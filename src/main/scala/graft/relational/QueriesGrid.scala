@@ -1,0 +1,190 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TensorFunctions._
+
+/** 2-D kernel queries: a 16x16 grid image is assembled in-query from
+  * `events` (cell (i,j) = user_id%16, event_id%16), one row = one tensor,
+  * and the real n-d kernels (stencil morphology, EDT, zoom, radon, label)
+  * run on it; the oracle recomputes the same op relationally in DuckDB
+  * (neighbor joins / cross-join min / 4-corner bilinear / circle-clipped
+  * column sums). This is the differential-testing pattern of the reference
+  * (scipy oracles, /root/reference/tests/) transplanted to the t2 gate.
+  */
+object QueriesGrid {
+
+  private val N = 16
+
+  /** value-sum grid: v(i,j) = round(sum(value),2), absent cells 0. */
+  private def valueGrid(s: SparkSession, dir: String): DataFrame = {
+    val cells = T(s, dir, "events")
+      .groupBy((col("user_id") % N).as("i"), (col("event_id") % N).as("j"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    val ij = s.range(N).select(col("id").as("i"))
+      .crossJoin(s.range(N).select(col("id").as("j")))
+    ij.join(cells, Seq("i", "j"), "left").na.fill(0.0, Seq("v"))
+  }
+
+  private val valueGridCte =
+    s"""cells AS (SELECT user_id % $N AS i, event_id % $N AS j, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+       |  FROM events GROUP BY user_id % $N, event_id % $N),
+       |grid AS (SELECT r1.i AS i, r2.j AS j, coalesce(c.v, 0.0) AS v
+       |  FROM range($N) r1(i) CROSS JOIN range($N) r2(j)
+       |  LEFT JOIN cells c ON c.i = r1.i AND c.j = r2.j)""".stripMargin
+
+  /** boolean grid: m(i,j) = any event with value > 300. */
+  private def maskGrid(s: SparkSession, dir: String): DataFrame = {
+    val cells = T(s, dir, "events")
+      .groupBy((col("user_id") % N).as("i"), (col("event_id") % N).as("j"))
+      .agg(max(when(col("value") > 300.0, 1).otherwise(0)).as("v"))
+    val ij = s.range(N).select(col("id").as("i"))
+      .crossJoin(s.range(N).select(col("id").as("j")))
+    ij.join(cells, Seq("i", "j"), "left").na.fill(0, Seq("v"))
+  }
+
+  private val maskGridCte =
+    s"""cells AS (SELECT user_id % $N AS i, event_id % $N AS j,
+       |  max(CASE WHEN value > 300.0 THEN 1 ELSE 0 END) AS v
+       |  FROM events GROUP BY user_id % $N, event_id % $N),
+       |grid AS (SELECT r1.i AS i, r2.j AS j, coalesce(c.v, 0) AS v
+       |  FROM range($N) r1(i) CROSS JOIN range($N) r2(j)
+       |  LEFT JOIN cells c ON c.i = r1.i AND c.j = r2.j)""".stripMargin
+
+  /** Collapse a grid DF into one row: row-major array ordered by (i, j). */
+  private def toTensor(grid: DataFrame, asBool: Boolean): DataFrame =
+    grid.agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("v")))),
+      x => if (asBool) x.getField("v") === 1 else x.getField("v").cast("double")).as("data"))
+
+  /** Explode a row-major array back to (i, j, value) rows. */
+  private def explodeGrid(t: DataFrame, valueCol: String, n: Int): DataFrame =
+    t.select(posexplode(col(valueCol)).as(Seq("pos", "out")))
+      .select((col("pos") / n).cast("long").as("i"), (col("pos") % n).cast("long").as("j"), col("out"))
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q_erosion2d",
+      (s, dir) => explodeGrid(
+          toTensor(maskGrid(s, dir), asBool = true)
+            .select(erodeUdf(col("data"), array(lit(N), lit(N))).as("e")),
+          "e", N)
+        .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("e")),
+      Some(s"""WITH $maskGridCte
+              |SELECT g.i, g.j, CASE WHEN g.v = 1
+              |  AND coalesce(u.v, 1) = 1 AND coalesce(d.v, 1) = 1
+              |  AND coalesce(l.v, 1) = 1 AND coalesce(r.v, 1) = 1 THEN 1 ELSE 0 END AS e
+              |FROM grid g
+              |LEFT JOIN grid u ON u.i = g.i - 1 AND u.j = g.j
+              |LEFT JOIN grid d ON d.i = g.i + 1 AND d.j = g.j
+              |LEFT JOIN grid l ON l.i = g.i AND l.j = g.j - 1
+              |LEFT JOIN grid r ON r.i = g.i AND r.j = g.j + 1""".stripMargin)),
+
+    Q("q_dilation2d",
+      (s, dir) => explodeGrid(
+          toTensor(maskGrid(s, dir), asBool = true)
+            .select(dilateUdf(col("data"), array(lit(N), lit(N))).as("e")),
+          "e", N)
+        .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("e")),
+      Some(s"""WITH $maskGridCte
+              |SELECT g.i, g.j, CASE WHEN g.v = 1
+              |  OR coalesce(u.v, 0) = 1 OR coalesce(d.v, 0) = 1
+              |  OR coalesce(l.v, 0) = 1 OR coalesce(r.v, 0) = 1 THEN 1 ELSE 0 END AS e
+              |FROM grid g
+              |LEFT JOIN grid u ON u.i = g.i - 1 AND u.j = g.j
+              |LEFT JOIN grid d ON d.i = g.i + 1 AND d.j = g.j
+              |LEFT JOIN grid l ON l.i = g.i AND l.j = g.j - 1
+              |LEFT JOIN grid r ON r.i = g.i AND r.j = g.j + 1""".stripMargin)),
+
+    Q("q_edt2d",
+      (s, dir) => explodeGrid(
+          toTensor(maskGrid(s, dir), asBool = true)
+            .select(edtUdf(col("data"), array(lit(N), lit(N)), array(lit(1.0), lit(1.0))).as("e")),
+          "e", N)
+        .select(col("i"), col("j"), round(col("out"), 4).as("dist")),
+      Some(s"""WITH $maskGridCte
+              |SELECT g.i, g.j, CASE WHEN g.v = 0 THEN 0.0 ELSE
+              |  round(sqrt(min((g.i - z.i)*(g.i - z.i) + (g.j - z.j)*(g.j - z.j))), 4) END AS dist
+              |FROM grid g JOIN grid z ON z.v = 0
+              |GROUP BY g.i, g.j, g.v""".stripMargin)),
+
+    Q("q_zoom2d",
+      (s, dir) => explodeGrid(
+          toTensor(valueGrid(s, dir), asBool = false)
+            .select(zoomUdf(col("data"), array(lit(N), lit(N)),
+              array(lit(0.5), lit(0.5)), lit(1), lit(0.0)).as("z"))
+            .select(col("z").getField("_1").as("zd")),
+          "zd", N / 2)
+        .select(col("i"), col("j"), round(col("out"), 4).as("v")),
+      Some {
+        // source coordinate for output index a: a * ((16-1)/(8-1))
+        def c(x: String) = s"($x * (15.0 / 7.0))"
+        def f(x: String) = s"floor(${c(x)})"
+        def pix(ri: String, ci: String) =
+          s"coalesce(d[CASE WHEN $ri BETWEEN 0 AND ${N - 1} AND $ci BETWEEN 0 AND ${N - 1} " +
+            s"THEN cast($ri * $N + $ci AS INT) + 1 ELSE NULL END], 0.0)"
+        val (fa, fb) = (s"cast(${f("ra.a")} AS INT)", s"cast(${f("rb.b")} AS INT)")
+        val (da, db) = (s"(${c("ra.a")} - ${f("ra.a")})", s"(${c("rb.b")} - ${f("rb.b")})")
+        s"""WITH $valueGridCte,
+           |g AS (SELECT list(v ORDER BY i, j) AS d FROM grid)
+           |SELECT ra.a AS i, rb.b AS j, round(
+           |  (1.0 * (1 - $da) * (1 - $db)) * ${pix(fa, fb)}
+           |+ (1.0 * $da * (1 - $db)) * ${pix(s"($fa + 1)", fb)}
+           |+ (1.0 * (1 - $da) * $db) * ${pix(fa, s"($fb + 1)")}
+           |+ (1.0 * $da * $db) * ${pix(s"($fa + 1)", s"($fb + 1)")}, 4) AS v
+           |FROM range(${N / 2}) ra(a) CROSS JOIN range(${N / 2}) rb(b) CROSS JOIN g""".stripMargin
+      }),
+
+    Q("q_radon_axis",
+      (s, dir) => {
+        // zero outside the inscribed circle so the reference's validation
+        // (radon.py:73-87) passes, then run the real kernel at theta=0
+        val circled = valueGrid(s, dir).select(col("i"), col("j"),
+          when((col("i") - 8) * (col("i") - 8) + (col("j") - 8) * (col("j") - 8) > 64, 0.0)
+            .otherwise(col("v")).as("v"))
+        toTensor(circled, asBool = false)
+          .select(radonUdf(col("data"), lit(N), array(lit(0.0))).as("sino"))
+          .select(posexplode(col("sino")).as(Seq("offset", "val")))
+          .select(col("offset").cast("long").as("offset"), round(col("val"), 4).as("val"))
+      },
+      Some(s"""WITH $valueGridCte,
+              |cg AS (SELECT i, j, CASE WHEN (i-8)*(i-8) + (j-8)*(j-8) > 64 THEN 0.0 ELSE v END AS v
+              |  FROM grid),
+              |lim AS (SELECT j, count(CASE WHEN (i-8)*(i-8) + (j-8)*(j-8) > 100 THEN 1 END) // 2 AS l
+              |  FROM cg GROUP BY j)
+              |SELECT cg.j AS offset, round(sum(cg.v), 4) AS val
+              |FROM cg JOIN lim ON lim.j = cg.j
+              |WHERE cg.i >= lim.l AND cg.i < $N - lim.l
+              |GROUP BY cg.j""".stripMargin)),
+
+    // no SQL oracle (iterative / FFT ops) — driver records rows-only checks
+    Q("q_label2d",
+      (s, dir) => {
+        val lab = toTensor(maskGrid(s, dir), asBool = false)
+          .select(labelUdf(col("data"), array(lit(N), lit(N)), lit(0.0), lit(2)).as("lab"))
+        lab.select(posexplode(col("lab").getField("_3")).as(Seq("idx", "sz")))
+          .select((col("idx") + 1).as("label"), col("sz").as("size"))
+      },
+      None),
+
+    Q("q_inverse_radon",
+      (s, dir) => {
+        val circled = valueGrid(s, dir).select(col("i"), col("j"),
+          when((col("i") - 8) * (col("i") - 8) + (col("j") - 8) * (col("j") - 8) > 64, 0.0)
+            .otherwise(col("v")).as("v"))
+        val theta = ZoomSeqLit.thetaArray(16)
+        toTensor(circled, asBool = false)
+          .select(inverseRadonUdf(
+            radonUdf(col("data"), lit(N), theta), lit(N), theta, lit(0.0)).as("rec"))
+          .select(posexplode(col("rec")).as(Seq("pos", "out")))
+          .select((col("pos") / N).cast("long").as("i"), (col("pos") % N).cast("long").as("j"),
+            round(col("out"), 2).as("v"))
+      },
+      None)
+  )
+}
+
+private object ZoomSeqLit {
+  import org.apache.spark.sql.Column
+  def thetaArray(n: Int): Column =
+    array(graft.kernels.RadonKernel.thetaLinspace(n).map(lit): _*)
+}

@@ -1,0 +1,157 @@
+package graft.relational
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** Core relational surface: scans, projections/filters, joins (broadcast /
+  * semi / anti / as-of), aggregations (hash, rollup, distinct), windows,
+  * sort/limit, set ops. The reference has no relational engine (SURVEY.md
+  * §2.8) — this is the stock-Spark capability layer our tensor ops compose
+  * with, declared and oracle-checked like everything else.
+  */
+object QueriesRelational {
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q1_agg",
+      (s, dir) => T(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+             sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .cast("decimal(28,4)")).cast("double").as("revenue"),
+             round(avg("l_quantity"), 4).as("avg_qty"),
+             count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             |cast(sum(cast(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+             |round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q_join_agg",
+      (s, dir) => T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"), count(lit(1)).as("n_orders")),
+      Some("""SELECT n_name, cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin)),
+
+    Q("q_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |cast(sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+             |FROM orders""".stripMargin)),
+
+    Q("q_topk",
+      (s, dir) => T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q_setops",
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+        o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")).distinct()
+          .except(o.where(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")).distinct())
+      },
+      Some("""SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+             |EXCEPT
+             |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+
+    Q("q_distinct_agg",
+      (s, dir) => T(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct("c_nationkey").as("n_nations"), count(lit(1)).as("n_cust"),
+             sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal")),
+      Some("""SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+             |count(*) AS n_cust, cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
+    Q("q_semi_anti",
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+        T(s, dir, "customer")
+          .join(o.where(col("o_totalprice") > 300000), col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(o.where(col("o_orderstatus") === "P"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin)),
+
+    Q("q_rollup",
+      (s, dir) => T(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    Q("q_pivot_events",
+      (s, dir) => T(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+             sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+             sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+             sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+             sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")),
+      Some("""SELECT user_id,
+             |sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+             |sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+             |sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+             |sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+             |sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+             |cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    Q("q_sessionize",
+      (s, dir) => {
+        // ts is read as ns-since-epoch long (nanosAsLong)
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts").as("t"))
+          .withColumn("gap", col("t") - lag("t", 1).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+               (lit(1) + sum(when(col("gap") > 1800000000000L, 1).otherwise(0))).as("n_sessions"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
+             |g AS (SELECT user_id, t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap FROM e)
+             |SELECT user_id, count(*) AS n_events,
+             |1 + sum(CASE WHEN gap > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions
+             |FROM g GROUP BY user_id""".stripMargin)),
+
+    Q("q_asof_join",
+      (s, dir) => AsOfJoin(
+          // ts arrives as ns-long (nanosAsLong); values are us-aligned
+          T(s, dir, "events").withColumn("ts_t",
+            timestamp_micros((col("ts") / 1000).cast("long"))),
+          T(s, dir, "orders"),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts_t", rightTime = "o_orderdate",
+          payload = "o_orderdate", payloadOut = "matched")
+        .where(col("matched").isNotNull)
+        .select(col("event_id"), col("user_id"),
+                date_format(col("matched"), "yyyy-MM-dd").as("order_date")),
+      Some("""SELECT e.event_id, e.user_id, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+             |FROM events e ASOF JOIN orders o
+             |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin)),
+
+    Q("q_multimodal_meta",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+                substring(md5(col("text")), 1, 8).as("checksum")),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |substring(md5(text), 1, 8) AS checksum FROM documents""".stripMargin))
+  )
+}

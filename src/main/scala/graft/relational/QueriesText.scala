@@ -1,0 +1,199 @@
+package graft.relational
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.SimilarityFunctions._
+
+/** Beyond-reference surface for large-scale training-data pipelines
+  * (BASELINE.json north star): deduplication (exact, MinHash+LSH, n-gram
+  * Jaccard, SimHash), similarity search (brute-force cosine top-k + LSH
+  * ANN), and text analysis (lang-id, quality, token counts, fingerprints)
+  * over the `documents` / `embeddings` tables.
+  *
+  * Everything is pure `functions._` expressions (no UDFs) so the oracles can
+  * recompute them in DuckDB: hashes are md5 hex strings (identical in both
+  * engines), minhash components are string-min over md5 digests, and dot
+  * products are left-folds with a fixed evaluation order.
+  */
+object QueriesText {
+
+  private val mhSql = (k: Int) =>
+    s"list_min(list_transform(list_distinct(string_split(text, ' ')), w -> md5('$k|' || w)))"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- deduplication ----
+
+    Q("q_dedup_exact",
+      (s, dir) => T(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    Q("q_fingerprint",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             |string_split(text, ' '))), ' ')) AS fp FROM documents""".stripMargin)),
+
+    Q("q_minhash",
+      (s, dir) => {
+        val sig = minhashSignature(col("text"), 4)
+        T(s, dir, "documents").select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      },
+      Some(s"""SELECT doc_id, ${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")}
+              |FROM documents""".stripMargin)),
+
+    Q("q_lsh_pairs",
+      (s, dir) => {
+        val sig = minhashSignature(col("text"), 4)
+        val d = T(s, dir, "documents")
+          .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+        val bands = (0 until 4).map(k =>
+          d.select(col("doc_id"), lit(k).as("band"), col(s"mh$k").as("h"))).reduce(_ unionByName _)
+        bands.as("x").join(bands.as("y"),
+            col("x.h") === col("y.h") && col("x.band") === col("y.band") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some(s"""WITH sig AS (SELECT doc_id,
+              |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM documents),
+              |bands AS (${(0 until 4).map(k =>
+                 s"SELECT doc_id, $k AS band, mh$k AS h FROM sig").mkString(" UNION ALL ")})
+              |SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_shared
+              |FROM bands x JOIN bands y
+              |ON x.h = y.h AND x.band = y.band AND x.doc_id < y.doc_id
+              |GROUP BY x.doc_id, y.doc_id""".stripMargin)),
+
+    Q("q_ngram_jaccard",
+      (s, dir) => {
+        val d = T(s, dir, "documents").select(col("doc_id"),
+          minhash(col("text"), 0).as("mh0"), shingles(col("text"), 3).as("sh"))
+        val x = d.select(col("doc_id").as("id1"), col("mh0"), col("sh").as("sa"))
+        val y = d.select(col("doc_id").as("id2"), col("mh0"), col("sh").as("sb"))
+        val inter = size(filter(col("sa"), e => array_contains(col("sb"), e)))
+        x.join(y, Seq("mh0")).where(col("id1") < col("id2"))
+          .withColumn("inter", inter)
+          .withColumn("jacc", col("inter").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+          .where(col("jacc") >= 0.5)
+          .select(col("id1"), col("id2"), round(col("jacc"), 4).as("jacc"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, ${mhSql(0)} AS mh0,
+              |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+              |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+              |         || ' ' || string_split(text, ' ')[i+2])) AS sh
+              |  FROM documents),
+              |p AS (SELECT x.doc_id AS id1, y.doc_id AS id2, x.sh AS sa, y.sh AS sb
+              |  FROM d x JOIN d y ON x.mh0 = y.mh0 AND x.doc_id < y.doc_id),
+              |j AS (SELECT id1, id2,
+              |  len(list_filter(sa, e -> list_contains(sb, e))) AS inter,
+              |  len(sa) AS la, len(sb) AS lb FROM p)
+              |SELECT id1, id2, round(cast(inter AS DOUBLE) / (la + lb - inter), 4) AS jacc
+              |FROM j WHERE cast(inter AS DOUBLE) / (la + lb - inter) >= 0.5""".stripMargin)),
+
+    Q("q_simhash",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), simhash16(col("text")).as("sh")),
+      Some {
+        val bits = (0 until 16).map { b =>
+          s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
+             |w -> CASE WHEN substring(md5(w), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+             |THEN ${1 << b} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        s"SELECT doc_id, $bits AS sh FROM documents"
+      }),
+
+    // ---- text analysis ----
+
+    Q("q_token_count",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"), col("n_chars")),
+      Some("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents")),
+
+    Q("q_quality",
+      (s, dir) => T(s, dir, "documents").select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(avgWordLen(col("text")), 4).as("avg_word_len"),
+        round(stopwordRatio(col("text"), Seq("the", "a", "of", "and", "to")), 4).as("stop_ratio")),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |round(cast(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             |  / len(string_split(text, ' ')), 4) AS avg_word_len,
+             |round(cast(len(list_filter(string_split(text, ' '),
+             |  w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+             |  / len(string_split(text, ' ')), 4) AS stop_ratio
+             |FROM documents""".stripMargin)),
+
+    Q("q_lang_id",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang")),
+      Some {
+        val score = langMarkers.map { case (lang, ws) =>
+          s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
+        }.mkString(", ")
+        val langs = langMarkers.map(_._1)
+        // first max wins, in declaration (alphabetical) order
+        val pick = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1)
+          s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""WITH sc AS (SELECT doc_id, lang, $score FROM documents)
+           |SELECT doc_id, lang, CASE $pick ELSE '${langs.last}' END AS pred_lang FROM sc""".stripMargin
+      }),
+
+    // ---- similarity search ----
+
+    // rank on the ROUNDED cosine on both sides so FP fold-order noise in the
+    // last bits cannot flip the ordering between engines
+    Q("q_cosine_topk",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id"), col("embedding").as("ce"))
+        val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+          .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+          .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+      },
+      Some(cosineSql(withBucket = false))),
+
+    Q("q_ann_lsh",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
+          col("embedding").as("qe"), signBucket(col("embedding"), 8).as("bucket"))
+        val c = e.select(col("vec_id"), col("embedding").as("ce"),
+          signBucket(col("embedding"), 8).as("bucket"))
+        val scored = c.join(broadcast(q), Seq("bucket")).where(col("qid") =!= col("vec_id"))
+          .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+          .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+      },
+      Some(cosineSql(withBucket = true)))
+  )
+
+  /** Shared cosine-top-k oracle; dot product as an index fold with the same
+    * left-to-right order as the Spark `aggregate` fold. */
+  private def cosineSql(withBucket: Boolean): String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+    val bucketExpr =
+      (0 until 8).map(k => s"CASE WHEN embedding[${k + 1}] > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
+    val bucketCol = if (withBucket) s", $bucketExpr AS bucket" else ""
+    val bucketCond = if (withBucket) "AND q.bucket = c.bucket" else ""
+    s"""WITH v AS (SELECT vec_id, embedding$bucketCol FROM embeddings),
+       |q AS (SELECT * FROM v WHERE vec_id < 5),
+       |scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+       |  round(${dot("q.embedding", "c.embedding")} /
+       |    (sqrt(${dot("q.embedding", "q.embedding")}) * sqrt(${dot("c.embedding", "c.embedding")})), 6) AS cos
+       |  FROM q JOIN v c ON q.vec_id != c.vec_id $bucketCond),
+       |ranked AS (SELECT qid, vec_id, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin
+  }
+}
