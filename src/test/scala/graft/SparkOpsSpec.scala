@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, Interp1dJoin}
+import graft.functions.{TextFunctions, SimilarityFunctions}
+
+object SharedSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+}
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("picks the greatest right time <= left time per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"), (3L, 50L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 6L, 300L))
+      .toDF("k", "rt", "pay")
+    val out = AsOfJoin(left, right, "k", "k", "t", "rt", "pay", "matched")
+      .select("tag", "matched").as[(String, Option[Long])].collect().toMap
+    assert(out("a").contains(100L)) // inclusive <= at equal time
+    assert(out("b").contains(200L))
+    assert(out("c").isEmpty)        // right time 6 > left 5
+    assert(out("d").isEmpty)        // no right rows for key 3
+  }
+
+  test("ties on (key, time) resolve to max payload deterministically") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 7L), (1L, 5L, 9L)).toDF("k", "rt", "pay")
+    val out = AsOfJoin(left, right, "k", "k", "t", "rt", "pay", "m")
+      .select("m").as[Long].collect()
+    assert(out.sameElements(Array(9L)))
+  }
+}
+
+class Interp1dJoinSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val grid = Seq((0.0, 0.0), (1.0, 10.0), (3.0, 30.0)).toDF("x", "y")
+
+  test("interior lerp incl. grid points and xmax") {
+    val q = Seq(0.0, 0.5, 1.0, 2.0, 3.0).toDF("xq")
+    val out = Interp1dJoin(grid, "x", "y", q, "xq", "yq")
+      .as[(Double, Double)].collect().toMap
+    assert(out(0.5) == 5.0 && out(2.0) == 20.0 && out(3.0) == 30.0 && out(0.0) == 0.0)
+  }
+
+  test("extrapolation matches two-point slopes") {
+    val q = Seq(-1.0, 4.0).toDF("xq")
+    val out = Interp1dJoin(grid, "x", "y", q, "xq", "yq", extrapolate = true)
+      .as[(Double, Double)].collect().toMap
+    assert(out(-1.0) == -10.0 && out(4.0) == 40.0)
+  }
+
+  test("fill value outside range") {
+    val q = Seq(-1.0, 4.0).toDF("xq")
+    val out = Interp1dJoin(grid, "x", "y", q, "xq", "yq", fillValue = -1.5)
+      .as[(Double, Double)].collect().toMap
+    assert(out(-1.0) == -1.5 && out(4.0) == -1.5)
+  }
+
+  test("agrees with the per-row kernel on a random grid") {
+    val rng = new scala.util.Random(11)
+    val xs = (0 until 20).map(_.toDouble).toArray
+    val ys = Array.fill(20)(rng.nextDouble() * 100)
+    val xq = Array.fill(50)(rng.nextDouble() * 25 - 3)
+    val expected = kernels.Interp1dKernel(xs, ys, xq,
+      kernels.Interp1dKernel.Opts(extrapolate = true, assumeSorted = true))
+    val gridDf = xs.zip(ys).toSeq.toDF("x", "y")
+    val out = Interp1dJoin(gridDf, "x", "y", xq.zipWithIndex.toSeq.toDF("xq", "i"),
+      "xq", "yq", extrapolate = true)
+      .orderBy("i").select("yq").as[Double].collect()
+    expected.zip(out).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+  }
+}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("token count, shingles, fingerprint invariance") {
+    val df = Seq("a b c d", "d c b a", "a a b").toDF("text")
+    val toks = df.select(TextFunctions.tokenCount($"text")).as[Int].collect()
+    assert(toks.sameElements(Array(4, 4, 3)))
+    val fps = df.select(TextFunctions.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1)) // bag-of-words identity is order-insensitive
+    assert(fps(0) != fps(2))
+    val sh = df.select(TextFunctions.shingles($"text", 2)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b", "b c", "c d"))
+  }
+
+  test("minhash equal for permuted docs, simhash is 16-bit") {
+    val df = Seq("x y z w q r s t", "t s r q w z y x", "completely different words here").toDF("text")
+    val mh = df.select(TextFunctions.minhash($"text", 0)).as[String].collect()
+    assert(mh(0) == mh(1) && mh(0) != mh(2))
+    val sh = df.select(TextFunctions.simhash16($"text")).as[Int].collect()
+    assert(sh.forall(v => v >= 0 && v < 65536))
+    assert(sh(0) == sh(1))
+  }
+
+  test("langId votes by marker stopwords") {
+    val df = Seq("the cat and the dog of a house", "el gato y la casa de los perros").toDF("text")
+    val out = df.select(TextFunctions.langId($"text")).as[String].collect()
+    assert(out.sameElements(Array("en", "es")))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1f, 0f, 2f), Seq(1f, 0f, 2f), Seq(0f, 3f, 0f)))
+      .toDF("a", "b", "c")
+    val (same, orth) = df.select(
+      SimilarityFunctions.cosine($"a", $"b"),
+      SimilarityFunctions.cosine($"a", $"c")).as[(Double, Double)].head()
+    assert(math.abs(same - 1.0) < 1e-12 && math.abs(orth) < 1e-12)
+  }
+
+  test("brute-force top-k returns nearest by construction") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityFunctions.bruteForceTopK(
+      vecs.where($"vec_id" === 0), vecs, 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out(3L) == 1 && out(1L) == 2) // 3 is closest to (1,0), then 1
+  }
+}
+
+class QuerySmokeSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  test("every declared query returns rows on sf0.001") {
+    val failures = SparkEntry.all.flatMap { q =>
+      try {
+        val n = q.run(spark, "/root/testdata/sf0.001").limit(5).count()
+        if (n > 0) None else Some(s"${q.name}: 0 rows")
+      } catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage.take(100)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
