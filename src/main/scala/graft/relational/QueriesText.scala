@@ -18,8 +18,12 @@ import graft.functions.SimilarityFunctions._
   */
 object QueriesText {
 
+  // shingle-based minhash: min md5 over distinct word 3-grams (seed-prefixed)
   private val mhSql = (k: Int) =>
-    s"list_min(list_transform(list_distinct(string_split(text, ' ')), w -> md5('$k|' || w)))"
+    "list_min(list_transform(list_distinct(list_transform(" +
+      "range(1, len(string_split(text, ' ')) - 1), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])), " +
+      s"s -> md5('$k|' || s)))"
 
   val queries: Seq[Q] = Seq(
 
@@ -39,20 +43,21 @@ object QueriesText {
              |string_split(text, ' '))), ' ')) AS fp FROM documents""".stripMargin)),
 
     Q("q_minhash",
-      (s, dir) => {
-        val sig = minhashSignature(col("text"), 4)
-        T(s, dir, "documents").select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
-      },
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), minhashSigUdf(col("text"), lit(4), lit(3)).as("sig"))
+        .select(col("doc_id") +: (0 until 4).map(k => col("sig").getItem(k).as(s"mh$k")): _*),
       Some(s"""SELECT doc_id, ${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")}
               |FROM documents""".stripMargin)),
 
     Q("q_lsh_pairs",
       (s, dir) => {
-        val sig = minhashSignature(col("text"), 4)
-        val d = T(s, dir, "documents")
-          .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
-        val bands = (0 until 4).map(k =>
-          d.select(col("doc_id"), lit(k).as("band"), col(s"mh$k").as("h"))).reduce(_ unionByName _)
+        // one signature pass, bands by posexplode (single scan per side)
+        // no explicit h-null filter: inner equi-join drops null keys anyway,
+        // and an extra filter would get pushed below Generate re-evaluating
+        // the signature UDF per row
+        val bands = T(s, dir, "documents")
+          .select(col("doc_id"), minhashSigUdf(col("text"), lit(4), lit(3)).as("sig"))
+          .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
         bands.as("x").join(bands.as("y"),
             col("x.h") === col("y.h") && col("x.band") === col("y.band") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -70,11 +75,14 @@ object QueriesText {
 
     Q("q_ngram_jaccard",
       (s, dir) => {
+        // block on the shingle-minhash (small buckets), then exact Jaccard
+        // via hash-set array_intersect — O(|A|+|B|) per candidate pair
         val d = T(s, dir, "documents").select(col("doc_id"),
-          minhash(col("text"), 0).as("mh0"), shingles(col("text"), 3).as("sh"))
+          minhashSigUdf(col("text"), lit(1), lit(3)).getItem(0).as("mh0"),
+          shinglesUdf(col("text"), lit(3)).as("sh"))
         val x = d.select(col("doc_id").as("id1"), col("mh0"), col("sh").as("sa"))
         val y = d.select(col("doc_id").as("id2"), col("mh0"), col("sh").as("sb"))
-        val inter = size(filter(col("sa"), e => array_contains(col("sb"), e)))
+        val inter = size(array_intersect(col("sa"), col("sb")))
         x.join(y, Seq("mh0")).where(col("id1") < col("id2"))
           .withColumn("inter", inter)
           .withColumn("jacc", col("inter").cast("double") /
@@ -89,15 +97,14 @@ object QueriesText {
               |  FROM documents),
               |p AS (SELECT x.doc_id AS id1, y.doc_id AS id2, x.sh AS sa, y.sh AS sb
               |  FROM d x JOIN d y ON x.mh0 = y.mh0 AND x.doc_id < y.doc_id),
-              |j AS (SELECT id1, id2,
-              |  len(list_filter(sa, e -> list_contains(sb, e))) AS inter,
+              |j AS (SELECT id1, id2, len(list_intersect(sa, sb)) AS inter,
               |  len(sa) AS la, len(sb) AS lb FROM p)
               |SELECT id1, id2, round(cast(inter AS DOUBLE) / (la + lb - inter), 4) AS jacc
               |FROM j WHERE cast(inter AS DOUBLE) / (la + lb - inter) >= 0.5""".stripMargin)),
 
     Q("q_simhash",
       (s, dir) => T(s, dir, "documents")
-        .select(col("doc_id"), simhash16(col("text")).as("sh")),
+        .select(col("doc_id"), simhash16Udf(col("text")).as("sh")),
       Some {
         val bits = (0 until 16).map { b =>
           s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
