@@ -124,6 +124,11 @@ object TensorFunctions {
     EdtKernel.edt(mask.toArray, shape.toArray, sampling.toArray).toSeq
   }
 
+  /** convex_hull_image of one 2-D mask row (morphology.py:524-591). */
+  val hullUdf = udf { (mask: Seq[Boolean], shape: Seq[Int]) =>
+    HullKernel.convexHullImage(mask.toArray, shape.toArray).toSeq
+  }
+
   /** forward radon of one square slice (row-major size*size data);
     * returns row-major (size x nAngles) sinogram. */
   val radonUdf = udf { (data: Seq[Double], sizeN: Int, thetaDeg: Seq[Double]) =>

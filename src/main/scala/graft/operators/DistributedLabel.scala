@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernels.LabelKernel
+import graft.operators.TiledStencil.Tile
+
+/** Distributed connected-components labeling over tiled boolean masks — the
+  * 100 TB path for the reference's `label`
+  * (/root/reference/imops/measure.py:33-137), which is single-node cc3d.
+  *
+  * Classic two-level scheme:
+  *  1. label each tile locally (the same union-find kernel), representative
+  *     of each local component = the minimum *global* flat pixel index it
+  *     contains — a globally unique, order-meaningful id;
+  *  2. adjacency across tile borders becomes an edge list between
+  *     representatives (shuffle volume O(perimeter), not O(area));
+  *  3. iterative min-label propagation over the representative graph to a
+  *     fixpoint (driver loop, each round one join — the standard Spark CC
+  *     pattern; rounds = diameter of the component graph);
+  *  4. final labels densified by rank of the component's minimum pixel
+  *     index, which equals the reference's row-major first-appearance
+  *     numbering — so results match the single-node kernel exactly.
+  *
+  * Connectivity 1 (cross adjacency), boolean masks.
+  */
+object DistributedLabel {
+
+  final case class Px(g: Long, rep: Long)
+  final case class Border(bkey: Long, pos: Int, side: Int, rep: Long)
+
+  /** Returns (global flat pixel index, label) for every true pixel. */
+  def apply(tiles: Dataset[Tile], ts: Int, gridRows: Int, gridCols: Int)
+           (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cols = gridCols * ts
+
+    // 1. local labeling; emit (g, rep) per true pixel + border cells
+    val localized = tiles.flatMap { t =>
+      val data = t.data.map(b => if (b) 1.0 else 0.0)
+      val res = LabelKernel.label(data, Array(ts, ts), connectivity = 1)
+      // rep per local label = min global index
+      val rep = scala.collection.mutable.Map.empty[Long, Long]
+      var i = 0
+      while (i < ts * ts) {
+        val lb = res.labels(i)
+        if (lb != 0) {
+          val g = (t.ti.toLong * ts + i / ts) * cols + (t.tj.toLong * ts + i % ts)
+          if (!rep.contains(lb) || g < rep(lb)) rep(lb) = rep.get(lb).map(math.min(_, g)).getOrElse(g)
+        }
+        i += 1
+      }
+      (0 until ts * ts).flatMap { i =>
+        val lb = res.labels(i)
+        if (lb == 0) None
+        else {
+          val g = (t.ti.toLong * ts + i / ts) * cols + (t.tj.toLong * ts + i % ts)
+          Some(Px(g, rep(lb)))
+        }
+      }
+    }.toDF("g", "rep").cache()
+
+    // 2. border edges: vertical boundaries between (ti,tj) and (ti,tj+1)
+    // keyed by (boundary id, row); horizontal analogously. Two sides with
+    // the same key and both true -> edge between reps.
+    val borders = tiles.flatMap { t =>
+      val data = t.data.map(b => if (b) 1.0 else 0.0)
+      val res = LabelKernel.label(data, Array(ts, ts), connectivity = 1)
+      val rep = scala.collection.mutable.Map.empty[Long, Long]
+      for (i <- 0 until ts * ts; if res.labels(i) != 0) {
+        val g = (t.ti.toLong * ts + i / ts) * cols + (t.tj.toLong * ts + i % ts)
+        val lb = res.labels(i)
+        rep(lb) = rep.get(lb).map(math.min(_, g)).getOrElse(g)
+      }
+      def repAt(i: Int, j: Int): Option[Long] = {
+        val lb = res.labels(i * ts + j)
+        if (lb == 0) None else Some(rep(lb))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Border]
+      // vertical boundary to the right: boundary id = (ti, tj) pair hashed
+      for (i <- 0 until ts) {
+        repAt(i, ts - 1).foreach { r =>
+          out += Border(((t.ti.toLong * gridCols + t.tj) << 1) | 0, i, 0, r) }
+        if (t.tj > 0) repAt(i, 0).foreach { r =>
+          out += Border(((t.ti.toLong * gridCols + (t.tj - 1)) << 1) | 0, i, 1, r) }
+      }
+      // horizontal boundary below
+      for (j <- 0 until ts) {
+        repAt(ts - 1, j).foreach { r =>
+          out += Border(((t.ti.toLong * gridCols + t.tj) << 1) | 1, j, 0, r) }
+        if (t.ti > 0) repAt(0, j).foreach { r =>
+          out += Border((((t.ti - 1).toLong * gridCols + t.tj) << 1) | 1, j, 1, r) }
+      }
+      out
+    }.toDF("bkey", "pos", "side", "rep")
+    val edges = borders.where(col("side") === 0).as("a")
+      .join(borders.where(col("side") === 1).as("b"), Seq("bkey", "pos"))
+      .select(col("a.rep").as("src"), col("b.rep").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val symEdges = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+
+    // 3. min-label propagation to fixpoint
+    var labels = localized.select(col("rep")).distinct()
+      .select(col("rep"), col("rep").as("lbl")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = symEdges.join(labels, symEdges("src") === labels("rep"))
+        .groupBy(col("dst")).agg(min("lbl").as("nlbl"))
+      val updated = labels.join(nbrMin, labels("rep") === nbrMin("dst"), "left")
+        .select(col("rep"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = updated.as("u").join(labels.as("l"), Seq("rep"))
+        .where(col("u.lbl") =!= col("l.lbl")).count()
+      labels = updated
+    }
+
+    // 4. densify: rank roots by their (min) id = scan-order numbering
+    val roots = labels.select(col("lbl")).distinct()
+      .withColumn("label", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("lbl"))))
+    localized.join(labels, Seq("rep"))
+      .join(roots, Seq("lbl"))
+      .select(col("g"), col("label").cast("long").as("label"))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.kernels.Interp2dKernel
+
+/** Distributed form of the reference's `Linear2DInterpolator`
+  * (/root/reference/imops/interp2d.py:12-121): the sample set is one call
+  * argument in the reference (an in-memory array), so it is collected,
+  * triangulated once, and broadcast; the query side — the 100 TB side —
+  * is a narrow per-row map with no shuffle.
+  */
+object ScatteredInterp {
+
+  /** Adds `outCol` = linear interpolation of (xCol,yCol) over the sampled
+    * surface; `fill` outside the convex hull. */
+  def apply(points: DataFrame, pxCol: String, pyCol: String, pvCol: String,
+            queries: DataFrame, qxCol: String, qyCol: String, outCol: String,
+            fill: Double): DataFrame = {
+    val rows = points.select(col(pxCol).cast("double"), col(pyCol).cast("double"),
+      col(pvCol).cast("double")).collect()
+    val px = rows.map(_.getDouble(0))
+    val py = rows.map(_.getDouble(1))
+    val pv = rows.map(_.getDouble(2))
+    val tr = Interp2dKernel.triangulate(px, py)
+    val sc = points.sparkSession.sparkContext
+    val bcTr = sc.broadcast(tr)
+    val bcV = sc.broadcast(pv)
+    val u = udf { (x: Double, y: Double) =>
+      Interp2dKernel.interpolate(bcTr.value, bcV.value, x, y, fill)
+    }
+    queries.withColumn(outCol, u(col(qxCol).cast("double"), col(qyCol).cast("double")))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.kernels.StencilKernel
+
+/** Tiled-tensor morphology: the 100 TB execution path for stencil ops.
+  *
+  * A 512^3 reference benchmark volume is >=1 GB per tensor
+  * (/root/reference/imops/benchmarks/benchmark_morphology.py) — too big for
+  * one Spark row. Tensors are stored as tile rows `(id, ti, tj, data)` and a
+  * stencil op becomes: emit halo strips to neighbors -> one shuffle
+  * (groupByKey on tile coordinate) -> assemble padded tile -> run the same
+  * per-tile kernel -> crop. Work and shuffle volume are O(surface), not
+  * O(volume): each tile ships only its r-wide border slabs.
+  *
+  * Border semantics match the reference kernel: out-of-image reads `true`
+  * for erosion and `false` for dilation
+  * (/root/reference/imops/src/_morphology.pyx:313-329); a missing neighbor
+  * tile is outside the image, so its halo defaults to that border value.
+  */
+object TiledStencil {
+
+  final case class Tile(id: Long, ti: Int, tj: Int, data: Array[Boolean])
+  // not private: Spark's encoder codegen needs public accessors
+  final case class Piece(id: Long, ti: Int, tj: Int, di: Int, dj: Int, strip: Array[Boolean])
+
+  /** Split a full 2-D mask into tiles (test/ingest helper). */
+  def tile(mask: Array[Boolean], rows: Int, cols: Int, ts: Int, id: Long = 0L): Seq[Tile] = {
+    require(rows % ts == 0 && cols % ts == 0, "grid must divide evenly into tiles")
+    for (ti <- 0 until rows / ts; tj <- 0 until cols / ts) yield {
+      val data = new Array[Boolean](ts * ts)
+      for (i <- 0 until ts; j <- 0 until ts)
+        data(i * ts + j) = mask((ti * ts + i) * cols + tj * ts + j)
+      Tile(id, ti, tj, data)
+    }
+  }
+
+  /** Reassemble a full mask from tiles (test/egress helper). */
+  def untile(tiles: Seq[Tile], rows: Int, cols: Int, ts: Int): Array[Boolean] = {
+    val out = new Array[Boolean](rows * cols)
+    tiles.foreach { t =>
+      for (i <- 0 until ts; j <- 0 until ts)
+        out((t.ti * ts + i) * cols + t.tj * ts + j) = t.data(i * ts + j)
+    }
+    out
+  }
+
+  /** Extract the slab of `t` that a neighbor in direction (di,dj) needs:
+    * the r-wide edge nearest to that neighbor, as a row-major array of shape
+    * (rows(di) x cols(dj)) where rows/cols are r or ts. */
+  private def slab(data: Array[Boolean], ts: Int, r: Int, di: Int, dj: Int): Array[Boolean] = {
+    val is = if (di < 0) 0 until r else if (di > 0) ts - r until ts else 0 until ts
+    val js = if (dj < 0) 0 until r else if (dj > 0) ts - r until ts else 0 until ts
+    val out = new Array[Boolean](is.length * js.length)
+    var k = 0
+    for (i <- is; j <- js) { out(k) = data(i * ts + j); k += 1 }
+    out
+  }
+
+  /** One stencil op over tiles. `footprint` rank-2 with radius
+    * fshape/2 <= r on both axes. Returns tiles of the result. */
+  def apply(tiles: Dataset[Tile], ts: Int, gridRows: Int, gridCols: Int,
+            fp: Array[Boolean], fshape: Array[Int],
+            isDilation: Boolean)(implicit spark: SparkSession): Dataset[Tile] = {
+    import spark.implicits._
+    val r = math.max(fshape(0) / 2, fshape(1) / 2).max(1)
+    val borderValue = !isDilation
+    val pieces = tiles.flatMap { t =>
+      val center = Piece(t.id, t.ti, t.tj, 0, 0, t.data)
+      val halos = for {
+        di <- -1 to 1; dj <- -1 to 1
+        if (di != 0 || dj != 0)
+        nti = t.ti + di; ntj = t.tj + dj
+        if nti >= 0 && nti < gridRows && ntj >= 0 && ntj < gridCols
+      } yield
+        // the neighbor sees this tile at relative direction (-di,-dj); ship
+        // the edge slab of this tile nearest to the neighbor
+        Piece(t.id, nti, ntj, -di, -dj, slab(t.data, ts, r, di, dj))
+      center +: halos
+    }
+    pieces.groupByKey(p => (p.id, p.ti, p.tj)).mapGroups { (key: (Long, Int, Int), it: Iterator[Piece]) =>
+      val (id, ti, tj) = key
+      val pts = ts + 2 * r
+      val padded = Array.fill(pts * pts)(borderValue)
+      it.foreach { p =>
+        val (rows, cols) = (if (p.di == 0) ts else r, if (p.dj == 0) ts else r)
+        val (i0, j0) = (
+          if (p.di < 0) 0 else if (p.di > 0) ts + r else r,
+          if (p.dj < 0) 0 else if (p.dj > 0) ts + r else r)
+        var k = 0
+        for (i <- 0 until rows; j <- 0 until cols) {
+          padded((i0 + i) * pts + (j0 + j)) = p.strip(k); k += 1
+        }
+      }
+      val res =
+        if (isDilation) StencilKernel.dilate(padded, Array(pts, pts), fp, fshape)
+        else StencilKernel.erode(padded, Array(pts, pts), fp, fshape)
+      val out = new Array[Boolean](ts * ts)
+      for (i <- 0 until ts; j <- 0 until ts) out(i * ts + j) = res((i + r) * pts + (j + r))
+      Tile(id, ti, tj, out)
+    }
+  }
+
+  def erode(tiles: Dataset[Tile], ts: Int, gridRows: Int, gridCols: Int)
+           (implicit spark: SparkSession): Dataset[Tile] = {
+    val (fp, fs) = StencilKernel.crossFootprint(2)
+    apply(tiles, ts, gridRows, gridCols, fp, fs, isDilation = false)
+  }
+
+  def dilate(tiles: Dataset[Tile], ts: Int, gridRows: Int, gridCols: Int)
+            (implicit spark: SparkSession): Dataset[Tile] = {
+    val (fp, fs) = StencilKernel.crossFootprint(2)
+    apply(tiles, ts, gridRows, gridCols, fp, fs, isDilation = true)
+  }
+}

@@ -156,7 +156,58 @@ object QueriesGrid {
               |WHERE cg.i >= lim.l AND cg.i < $N - lim.l
               |GROUP BY cg.j""".stripMargin)),
 
-    // no SQL oracle (iterative / FFT ops) — driver records rows-only checks
+    // the tiled (100 TB path) erosion must agree with the same relational
+    // oracle as the single-tensor form — one oracle, two execution paths
+    Q("q_tiled_erosion",
+      (s, dir) => {
+        import s.implicits._
+        val ts = 8
+        val tiles = maskGrid(s, dir)
+          .select((col("i") / ts).cast("int").as("ti"), (col("j") / ts).cast("int").as("tj"),
+            (col("i") % ts).as("li"), (col("j") % ts).as("lj"), col("v"))
+          .groupBy("ti", "tj")
+          .agg(transform(array_sort(collect_list(struct(col("li"), col("lj"), col("v")))),
+            x => x.getField("v") === 1).as("data"))
+          .select(lit(0L).as("id"), col("ti"), col("tj"), col("data"))
+          .as[graft.operators.TiledStencil.Tile]
+        val eroded = graft.operators.TiledStencil.erode(tiles, ts, N / ts, N / ts)(s)
+        eroded.toDF()
+          .select(col("ti"), col("tj"), posexplode(col("data")).as(Seq("pos", "out")))
+          .select((col("ti") * ts + col("pos") / ts).cast("long").as("i"),
+                  (col("tj") * ts + col("pos") % ts).cast("long").as("j"),
+                  when(col("out"), 1).otherwise(0).as("e"))
+      },
+      Some(s"""WITH $maskGridCte
+              |SELECT g.i, g.j, CASE WHEN g.v = 1
+              |  AND coalesce(u.v, 1) = 1 AND coalesce(d.v, 1) = 1
+              |  AND coalesce(l.v, 1) = 1 AND coalesce(r.v, 1) = 1 THEN 1 ELSE 0 END AS e
+              |FROM grid g
+              |LEFT JOIN grid u ON u.i = g.i - 1 AND u.j = g.j
+              |LEFT JOIN grid d ON d.i = g.i + 1 AND d.j = g.j
+              |LEFT JOIN grid l ON l.i = g.i AND l.j = g.j - 1
+              |LEFT JOIN grid r ON r.i = g.i AND r.j = g.j + 1""".stripMargin)),
+
+    // no SQL oracle (iterative / geometric / FFT ops) — rows-only checks,
+    // verified against the single-node kernels in the ScalaTest suites
+    Q("q_hull2d",
+      (s, dir) => explodeGrid(
+          toTensor(maskGrid(s, dir), asBool = true)
+            .select(hullUdf(col("data"), array(lit(N), lit(N))).as("h")),
+          "h", N)
+        .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("h")),
+      None),
+
+    Q("q_interp2d",
+      (s, dir) => {
+        val pts = valueGrid(s, dir).where(col("v") > 0)
+        val q = s.range(N).select(col("id").as("qi"))
+          .crossJoin(s.range(N).select(col("id").as("qj")))
+          .select((col("qi") + 0.25).as("qx"), (col("qj") + 0.75).as("qy"))
+        graft.operators.ScatteredInterp(pts, "i", "j", "v", q, "qx", "qy", "val", fill = -1.0)
+          .select(col("qx"), col("qy"), round(col("val"), 4).as("val"))
+      },
+      None),
+
     Q("q_label2d",
       (s, dir) => {
         val lab = toTensor(maskGrid(s, dir), asBool = false)

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernels.{HullKernel, Interp2dKernel, LabelKernel, StencilKernel}
+import graft.operators.{DistributedLabel, TiledStencil}
+import graft.operators.TiledStencil.Tile
+
+class HullKernelSpec extends AnyFunSuite {
+  test("triangle corners fill a pyramid (offset coordinates)") {
+    val m = new Array[Boolean](25)
+    m(0) = true; m(4) = true; m(20) = true // (0,0),(0,4),(4,0)
+    val out = HullKernel.convexHullImage(m, Array(5, 5))
+    val rows = (0 until 5).map(r => (0 until 5).count(c => out(r * 5 + c)))
+    assert(rows == Seq(5, 4, 3, 2, 1), s"got $rows")
+  }
+
+  test("solid rectangle is its own hull") {
+    val m = new Array[Boolean](30)
+    for (i <- 1 to 3; j <- 1 to 4) m(i * 6 + j) = true
+    val out = HullKernel.convexHullImage(m, Array(5, 6))
+    assert(out.sameElements(m))
+  }
+
+  test("empty and degenerate masks return all-false") {
+    assert(!HullKernel.convexHullImage(new Array[Boolean](12), Array(3, 4)).exists(identity))
+    // single pixel: offset coords give a diamond -> fills just that pixel
+    val single = new Array[Boolean](9); single(4) = true
+    val out = HullKernel.convexHullImage(single, Array(3, 3))
+    assert(out.sameElements(single))
+    // without offsets a single point is degenerate -> QhullError path -> zeros
+    assert(!HullKernel.convexHullImage(single, Array(3, 3), offsetCoordinates = false).exists(identity))
+  }
+
+  test("hull contains its input and never shrinks under re-application") {
+    // NOTE: exact idempotence does not hold for the reference algorithm
+    // either — the half-pixel offsets plus the +-0.2 rasterization fudge can
+    // grow diagonal edges by a pixel on re-application. The guaranteed
+    // invariants are input ⊆ hull and hull(hull) ⊇ hull.
+    val rng = new scala.util.Random(5)
+    val m = Array.fill(100)(rng.nextInt(4) == 0)
+    if (m.exists(identity)) {
+      val h1 = HullKernel.convexHullImage(m, Array(10, 10))
+      val h2 = HullKernel.convexHullImage(h1, Array(10, 10))
+      for (i <- 0 until 100) {
+        assert(!m(i) || h1(i), s"input pixel $i not in hull")
+        assert(!h1(i) || h2(i), s"hull pixel $i lost on re-application")
+      }
+    }
+  }
+}
+
+class Interp2dKernelSpec extends AnyFunSuite {
+  test("reproduces a linear function inside the hull, fill outside") {
+    val rng = new scala.util.Random(9)
+    val n = 30
+    val px = Array.fill(n)(rng.nextDouble() * 10)
+    val py = Array.fill(n)(rng.nextDouble() * 10)
+    def f(x: Double, y: Double) = 2 * x + 3 * y + 1
+    val values = Array.tabulate(n)(i => f(px(i), py(i)))
+    val tr = Interp2dKernel.triangulate(px, py)
+    assert(tr.nTris > 0)
+    // interior queries: centroid of sample triples stays in the hull
+    for (_ <- 0 until 50) {
+      val (a, b, c) = (rng.nextInt(n), rng.nextInt(n), rng.nextInt(n))
+      val qx = (px(a) + px(b) + px(c)) / 3
+      val qy = (py(a) + py(b) + py(c)) / 3
+      val got = Interp2dKernel.interpolate(tr, values, qx, qy, Double.NaN)
+      assert(math.abs(got - f(qx, qy)) < 1e-6, s"at ($qx,$qy): $got vs ${f(qx, qy)}")
+    }
+    // far outside -> fill
+    assert(Interp2dKernel.interpolate(tr, values, 1e3, 1e3, -7.0) == -7.0)
+  }
+
+  test("exact at sample points") {
+    val px = Array(0.0, 1.0, 0.0, 1.0)
+    val py = Array(0.0, 0.0, 1.0, 1.0)
+    val v = Array(1.0, 2.0, 3.0, 4.0)
+    val tr = Interp2dKernel.triangulate(px, py)
+    for (i <- 0 until 4)
+      assert(math.abs(Interp2dKernel.interpolate(tr, v, px(i), py(i), Double.NaN) - v(i)) < 1e-9)
+  }
+}
+
+class TiledStencilSpec extends AnyFunSuite {
+  private implicit val spark: org.apache.spark.sql.SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  test("tiled erosion/dilation equals whole-array kernel") {
+    val rng = new scala.util.Random(21)
+    val (rows, cols, ts) = (32, 48, 16)
+    val mask = Array.fill(rows * cols)(rng.nextInt(3) > 0)
+    val tiles = TiledStencil.tile(mask, rows, cols, ts).toDS()
+    val (gr, gc) = (rows / ts, cols / ts)
+
+    val erodedTiles = TiledStencil.erode(tiles, ts, gr, gc).collect()
+    val eroded = TiledStencil.untile(erodedTiles, rows, cols, ts)
+    assert(eroded.sameElements(StencilKernel.erodeDefault(mask, Array(rows, cols))))
+
+    val dilatedTiles = TiledStencil.dilate(tiles, ts, gr, gc).collect()
+    val dilated = TiledStencil.untile(dilatedTiles, rows, cols, ts)
+    assert(dilated.sameElements(StencilKernel.dilateDefault(mask, Array(rows, cols))))
+  }
+
+  test("tile/untile roundtrip") {
+    val rng = new scala.util.Random(2)
+    val mask = Array.fill(32 * 32)(rng.nextBoolean())
+    val t = TiledStencil.tile(mask, 32, 32, 16)
+    assert(TiledStencil.untile(t, 32, 32, 16).sameElements(mask))
+  }
+}
+
+class DistributedLabelSpec extends AnyFunSuite {
+  private implicit val spark: org.apache.spark.sql.SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  test("tiled labeling matches the single-node kernel exactly") {
+    val rng = new scala.util.Random(33)
+    val (rows, cols, ts) = (32, 32, 16)
+    val mask = Array.fill(rows * cols)(rng.nextInt(3) > 0) // dense-ish, cross-tile comps
+    val tiles = TiledStencil.tile(mask, rows, cols, ts).toDS()
+    val got = DistributedLabel(tiles, ts, rows / ts, cols / ts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val ref = LabelKernel.label(mask.map(b => if (b) 1.0 else 0.0),
+      Array(rows, cols), connectivity = 1)
+    val expected = ref.labels.zipWithIndex.collect {
+      case (lb, i) if lb != 0 => i.toLong -> lb
+    }.toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
+  test("components spanning many tiles merge to one label") {
+    val (rows, cols, ts) = (32, 32, 16)
+    val mask = new Array[Boolean](rows * cols)
+    for (j <- 0 until cols) mask(15 * cols + j) = true   // horizontal line row 15
+    for (i <- 0 until rows) mask(i * cols + 20) = true   // vertical line col 20
+    val tiles = TiledStencil.tile(mask, rows, cols, ts).toDS()
+    val labels = DistributedLabel(tiles, ts, rows / ts, cols / ts)
+      .select("label").distinct().collect().map(_.getLong(0))
+    assert(labels.length == 1 && labels(0) == 1L)
+  }
+}
