@@ -1,0 +1,78 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Backend, NdTensor}
+import graft.functions.{TensorFunctions, TextFunctions}
+
+/** User-facing facade with the reference's call shapes: scalar-or-sequence
+  * parameters broadcast against an `axis` argument
+  * (/root/reference/imops/utils.py:117-154), order/fill_value keywords, and
+  * backend dispatch via `spark.graft.backend` (the `set_backend` analog).
+  *
+  * Each function returns a Column over tensor rows (`data` + `shape`), so
+  * calls compose inside one Spark projection exactly like chained reference
+  * calls compose in memory — and WholeStageCodegen fuses the builtin path.
+  */
+object Graft {
+
+  /** zoom(x, scale_factor, axis, order, fill_value)
+    * (/root/reference/imops/zoom.py:72-126). `scaleFactor` broadcasts over
+    * `axis`; unlisted axes keep scale 1 — resolved at plan time like the
+    * reference's frontend normalization. */
+  def zoom(data: Column, shape: Column, rank: Int,
+           scaleFactor: Either[Double, Seq[Double]], axis: Seq[Int] = Seq(),
+           order: Int = 1, fillValue: Double = 0.0): Column = {
+    val scales = NdTensor.broadcastParam(rank, scaleFactor, axis, default = 1.0)
+    TensorFunctions.zoomUdf(data, shape, array(scales.map(lit): _*), lit(order), lit(fillValue))
+  }
+
+  /** zoom_to_shape (/root/reference/imops/zoom.py:129-188). */
+  def zoomToShape(data: Column, shape: Column, target: Seq[Int], order: Int = 1): Column =
+    TensorFunctions.zoomToShapeUdf(data, shape, array(target.map(lit): _*), lit(order))
+
+  /** pointwise_add with scalar or same-shape array summand
+    * (/root/reference/imops/numeric.py:99-192). */
+  def pointwiseAdd(data: Column, summand: Double): Column =
+    TensorFunctions.pointwiseAdd(data, summand)
+  def pointwiseAdd(a: Column, b: Column): Column =
+    TensorFunctions.pointwiseAddArray(a, b)
+
+  def fill(data: Column, value: Double): Column = TensorFunctions.fillArray(data, value)
+  def full(size: Column, value: Double): Column = TensorFunctions.fullArray(size, value)
+
+  def padToShape(data: Column, target: Int, ratio: Double = 0.5, value: Double = 0.0): Column =
+    TensorFunctions.padToShape(data, target, ratio, value)
+  def padToDivisible(data: Column, divisor: Int, value: Double = 0.0): Column =
+    TensorFunctions.padToDivisible(data, divisor, value)
+  def cropToShape(data: Column, target: Int, ratio: Double = 0.5): Column =
+    TensorFunctions.cropToShape(data, target, ratio)
+
+  def binaryErosion(mask: Column, shape: Column): Column = TensorFunctions.erodeUdf(mask, shape)
+  def binaryDilation(mask: Column, shape: Column): Column = TensorFunctions.dilateUdf(mask, shape)
+  def binaryClosing(mask: Column, shape: Column): Column = TensorFunctions.closeUdf(mask, shape)
+  def binaryOpening(mask: Column, shape: Column): Column = TensorFunctions.openUdf(mask, shape)
+  def distanceTransformEdt(mask: Column, shape: Column, sampling: Seq[Double]): Column =
+    TensorFunctions.edtUdf(mask, shape, array(sampling.map(lit): _*))
+  def convexHullImage(mask: Column, shape: Column): Column = TensorFunctions.hullUdf(mask, shape)
+  def label(data: Column, shape: Column, background: Double = 0.0, connectivity: Int = -1): Column =
+    TensorFunctions.labelUdf(data, shape, lit(background), lit(connectivity))
+  def radon(data: Column, size: Int, thetaDeg: Seq[Double]): Column =
+    TensorFunctions.radonUdf(data, lit(size), array(thetaDeg.map(lit): _*))
+  def inverseRadon(sino: Column, size: Int, thetaDeg: Seq[Double], fillValue: Double = 0.0): Column =
+    TensorFunctions.inverseRadonUdf(sino, lit(size), array(thetaDeg.map(lit): _*), lit(fillValue))
+
+  /** MinHash signature with backend dispatch: `builtin` uses the codegen'd
+    * expression chain, `kernel` the single-pass JVM implementation — the
+    * two-backends-one-semantics pattern of the reference (they agree
+    * byte-for-byte; the backend matrix test mirrors
+    * /root/reference/imops/_configs.py parametrization). */
+  def minhashSignature(spark: SparkSession, text: Column, k: Int,
+                       backend: Option[String] = None): Seq[Column] =
+    Backend.resolve(backend, spark, default = Backend.Kernel) match {
+      case Backend.Builtin => (0 until k).map(i => TextFunctions.minhashShingle(text, 3, i))
+      case Backend.Kernel =>
+        val sig = TextFunctions.minhashSigUdf(text, lit(k), lit(3))
+        (0 until k).map(i => sig.getItem(i))
+    }
+}

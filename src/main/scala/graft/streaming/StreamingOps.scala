@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface. The reference has no streaming
+  * (SURVEY.md §2.8) — every per-tensor op here is stateless per row, so the
+  * batch Columns (zoom, pointwise, minhash, quality, ...) compose onto
+  * `readStream` unchanged; this module adds the stateful pieces a
+  * training-data ingest pipeline needs: watermarked windowed aggregation,
+  * session windows, and streaming dedup.
+  */
+object StreamingOps {
+
+  /** Tumbling-window event counts with late-data handling. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  /** Session windows (gap-based), the streaming form of q_sessionize. */
+  def sessionized(events: DataFrame, tsCol: String, keyCol: String,
+                  gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming exact dedup by content hash within the watermark horizon —
+    * the streaming form of q_dedup_exact. */
+  def deduped(docs: DataFrame, tsCol: String, textCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("h", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("h")
+}

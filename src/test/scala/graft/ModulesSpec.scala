@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Backend
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingOps
+
+class BackendSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  test("resolution precedence: explicit > conf > default; unknown rejected") {
+    assert(Backend.resolve(None, spark) == Backend.Builtin)
+    assert(Backend.resolve(Some("kernel"), spark) == Backend.Kernel)
+    Backend.withBackend(spark, Backend.Kernel) {
+      assert(Backend.resolve(None, spark) == Backend.Kernel)
+    }
+    assert(Backend.resolve(None, spark) == Backend.Builtin) // restored
+    assertThrows[IllegalArgumentException](Backend.resolve(Some("cython"), spark))
+  }
+
+  test("negative parallelism counts down from all cores, clamped to >= 1") {
+    val all = spark.sparkContext.defaultParallelism
+    assert(Backend.normalizeParallelism(-1, spark) == all)
+    assert(Backend.normalizeParallelism(-all - 5, spark) == 1)
+    assert(Backend.normalizeParallelism(2, spark) == math.min(2, all))
+  }
+
+  test("backend matrix: builtin and kernel minhash agree byte-for-byte") {
+    import spark.implicits._
+    val df = Seq("spark scan filter join agg window sort limit",
+                 "completely different text with other words here").toDF("text")
+    val b = df.select(graft.api.Graft.minhashSignature(spark, $"text", 3,
+      Some("builtin")): _*).collect().map(_.toSeq)
+    val k = df.select(graft.api.Graft.minhashSignature(spark, $"text", 3,
+      Some("kernel")): _*).collect().map(_.toSeq)
+    assert(b.toSeq == k.toSeq)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("watermarked windowed counts over a memory stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamingOps.windowedCounts(df, "ts", "user_id", "10 minutes", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("wc").outputMode("update").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:05:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 00:12:00")
+      mem.addData((t0, 1L, 2.0), (t1, 1L, 3.0), (t2, 1L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").select("n", "total_value").as[(Long, Double)].collect().toSet
+      assert(rows.contains((2L, 5.0))) // two events in the first window
+      assert(rows.contains((1L, 5.0))) // one in the second
+    } finally q.stop()
+  }
+
+  test("streaming dedup by content hash") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = StreamingOps.deduped(df, "ts", "text", "1 minute")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData((t, "aaa"), (t, "bbb"), (t, "aaa"))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private implicit val spark: org.apache.spark.sql.SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  test("decode -> resize pipeline produces the declared shapes") {
+    val df = Seq((1L, "hello world".getBytes("UTF-8")), (2L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val decoded = Multimodal.decode(df, "id", "payload")
+    val d = decoded.collect().sortBy(_.id)
+    assert(d.forall(x => x.meta.width == 8 && x.meta.height == 8 && x.pixels.length == 64))
+    assert(d(1).pixels.forall(_ == 0.0)) // empty payload
+    // deterministic: same payload, same pixels
+    val d2 = Multimodal.decode(df, "id", "payload").collect().sortBy(_.id)
+    assert(d(0).pixels.sameElements(d2(0).pixels))
+
+    val resized = Multimodal.resize(decoded, 4, 4).collect()
+    assert(resized.forall(x => x.pixels.length == 16 && x.meta.width == 4))
+  }
+
+  test("frame sampling and metadata") {
+    val df = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("id", "payload")
+    val sampled = Multimodal.sampleFrames(df, "payload", frameBytes = 10, everyK = 2)
+    assert(sampled.select("n_frames").as[Int].head() == 5) // 10 frames, every 2nd
+    val m = Multimodal.meta(df, "payload").select("n_bytes").as[Long].head()
+    assert(m == 100L)
+  }
+}
