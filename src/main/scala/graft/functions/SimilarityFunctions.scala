@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityFunctions {
 
-  /** Σ a[k]*b[k] — left-fold, deterministic order (oracle-stable). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ a[k]*b[k] — ascending-index left-fold (oracle-stable), compiled to a
+    * primitive loop by the custom codegen Expression. */
+  def dot(a: Column, b: Column): Column = graft.exprs.DotProduct.dot(a, b)
+
+  /** Interpreted reference path for `dot` (the Scipy-fallback analog);
+    * bit-identical fold order — used by the backend-agreement tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

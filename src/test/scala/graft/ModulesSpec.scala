@@ -103,3 +103,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m == 100L)
   }
 }
+
+class DotProductSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  import graft.functions.SimilarityFunctions
+
+  test("codegen dot equals interpreted fold bit-for-bit on float arrays") {
+    val rng = new scala.util.Random(17)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rng.nextFloat() * 2 - 1),
+      Seq.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      SimilarityFunctions.dot($"a", $"b").as("fast"),
+      SimilarityFunctions.dotHof($"a", $"b").as("ref")).as[(Double, Double)].collect()
+    out.foreach { case (f, r) => assert(f == r, s"$f != $r") }
+  }
+
+  test("dot handles double arrays and empty arrays") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)), (Seq.empty[Double], Seq.empty[Double]))
+      .toDF("a", "b")
+    val out = df.select(SimilarityFunctions.dot($"a", $"b")).as[Double].collect()
+    assert(out(0) == 32.0 && out(1) == 0.0)
+  }
+}
