@@ -81,61 +81,83 @@ object TensorFunctions {
 
   /** zoom on an n-d tensor row; returns struct(data, shape).
     * Semantics: /root/reference/imops/src/_zoom.pyx via ZoomKernel. */
-  val zoomUdf = udf { (data: Seq[Double], shape: Seq[Int], scale: Seq[Double], order: Int, cval: Double) =>
-    val (d, s) = ZoomKernel.zoom(data.toArray, shape.toArray, scale.toArray, order, cval)
-    (d.toSeq, s.toSeq)
+  val zoomUdf = udf { (data: Array[Double], shape: Array[Int], scale: Array[Double], order: Int, cval: Double) =>
+    ZoomKernel.zoom(data, shape, scale, order, cval)
   }
 
-  val zoomToShapeUdf = udf { (data: Seq[Double], shape: Seq[Int], target: Seq[Int], order: Int) =>
-    val (d, s) = ZoomKernel.zoomToShape(data.toArray, shape.toArray, target.toArray, order, 0.0)
-    (d.toSeq, s.toSeq)
+  val zoomToShapeUdf = udf { (data: Array[Double], shape: Array[Int], target: Array[Int], order: Int) =>
+    ZoomKernel.zoomToShape(data, shape, target, order, 0.0)
   }
 
   /** interp1d over per-row (xs, ys, xq) arrays — the whole-array form;
     * the distributed/tabular form is graft.operators.Interp1dJoin. */
-  val interp1dUdf = udf { (xs: Seq[Double], ys: Seq[Double], xq: Seq[Double],
+  val interp1dUdf = udf { (xs: Array[Double], ys: Array[Double], xq: Array[Double],
                            extrapolate: Boolean, fillValue: Double) =>
-    Interp1dKernel(xs.toArray, ys.toArray, xq.toArray,
-      Interp1dKernel.Opts(extrapolate = extrapolate, fillValue = fillValue)).toSeq
+    Interp1dKernel(xs, ys, xq,
+      Interp1dKernel.Opts(extrapolate = extrapolate, fillValue = fillValue))
   }
 
-  val erodeUdf = udf { (data: Seq[Boolean], shape: Seq[Int]) =>
-    StencilKernel.erodeDefault(data.toArray, shape.toArray).toSeq
+  val erodeUdf = udf { (data: Array[Boolean], shape: Array[Int]) =>
+    StencilKernel.erodeDefault(data, shape)
   }
-  val dilateUdf = udf { (data: Seq[Boolean], shape: Seq[Int]) =>
-    StencilKernel.dilateDefault(data.toArray, shape.toArray).toSeq
+  val dilateUdf = udf { (data: Array[Boolean], shape: Array[Int]) =>
+    StencilKernel.dilateDefault(data, shape)
   }
-  val closeUdf = udf { (data: Seq[Boolean], shape: Seq[Int]) =>
+  val closeUdf = udf { (data: Array[Boolean], shape: Array[Int]) =>
     val (fp, fs) = StencilKernel.crossFootprint(shape.length)
-    StencilKernel.close(data.toArray, shape.toArray, fp, fs).toSeq
+    StencilKernel.close(data, shape, fp, fs)
   }
-  val openUdf = udf { (data: Seq[Boolean], shape: Seq[Int]) =>
+  val openUdf = udf { (data: Array[Boolean], shape: Array[Int]) =>
     val (fp, fs) = StencilKernel.crossFootprint(shape.length)
-    StencilKernel.open(data.toArray, shape.toArray, fp, fs).toSeq
+    StencilKernel.open(data, shape, fp, fs)
   }
 
   /** connected components; returns struct(labels, num, sizes). */
-  val labelUdf = udf { (data: Seq[Double], shape: Seq[Int], background: Double, connectivity: Int) =>
-    val r = LabelKernel.label(data.toArray, shape.toArray, background, connectivity)
-    (r.labels.toSeq, r.num, r.sizes.toSeq)
+  val labelUdf = udf { (data: Array[Double], shape: Array[Int], background: Double, connectivity: Int) =>
+    val r = LabelKernel.label(data, shape, background, connectivity)
+    (r.labels, r.num, r.sizes)
   }
 
-  val edtUdf = udf { (mask: Seq[Boolean], shape: Seq[Int], sampling: Seq[Double]) =>
-    EdtKernel.edt(mask.toArray, shape.toArray, sampling.toArray).toSeq
+  val edtUdf = udf { (mask: Array[Boolean], shape: Array[Int], sampling: Array[Double]) =>
+    EdtKernel.edt(mask, shape, sampling)
+  }
+
+  /** Per-row center-of-mass partials for a 2-D slice at batch index
+    * `sliceIdx` of a stacked volume: (Σw, Σw·slice, Σw·row, Σw·col).
+    * The reference's prange partial-sum reduction
+    * (/root/reference/imops/src/_measure.pyx:73-91) maps to per-row partials
+    * + a final hash-agg merge — map-side combine comes for free. */
+  val comPartialsUdf = udf { (data: Array[Double], rows: Int, cols: Int, sliceIdx: Long) =>
+    var sw = 0.0; var swi = 0.0; var swj = 0.0; var swk = 0.0
+    var i = 0
+    while (i < rows) {
+      var rowW = 0.0; var rowWj = 0.0
+      var j = 0
+      val base = i * cols
+      while (j < cols) {
+        val w = data(base + j)
+        rowW += w; rowWj += w * j
+        j += 1
+      }
+      sw += rowW; swi += rowW * i; swj += rowWj
+      i += 1
+    }
+    swk = sw * sliceIdx
+    (sw, swk, swi, swj) // (Σw, Σw·slice, Σw·row, Σw·col)
   }
 
   /** convex_hull_image of one 2-D mask row (morphology.py:524-591). */
-  val hullUdf = udf { (mask: Seq[Boolean], shape: Seq[Int]) =>
-    HullKernel.convexHullImage(mask.toArray, shape.toArray).toSeq
+  val hullUdf = udf { (mask: Array[Boolean], shape: Array[Int]) =>
+    HullKernel.convexHullImage(mask, shape)
   }
 
   /** forward radon of one square slice (row-major size*size data);
     * returns row-major (size x nAngles) sinogram. */
-  val radonUdf = udf { (data: Seq[Double], sizeN: Int, thetaDeg: Seq[Double]) =>
-    RadonKernel.radonSlice(data.toArray, sizeN, thetaDeg.toArray).toSeq
+  val radonUdf = udf { (data: Array[Double], sizeN: Int, thetaDeg: Array[Double]) =>
+    RadonKernel.radonSlice(data, sizeN, thetaDeg)
   }
 
-  val inverseRadonUdf = udf { (sino: Seq[Double], sizeN: Int, thetaDeg: Seq[Double], fillValue: Double) =>
-    RadonKernel.inverseRadonSlice(sino.toArray, sizeN, thetaDeg.toArray, fillValue).toSeq
+  val inverseRadonUdf = udf { (sino: Array[Double], sizeN: Int, thetaDeg: Array[Double], fillValue: Double) =>
+    RadonKernel.inverseRadonSlice(sino, sizeN, thetaDeg, fillValue)
   }
 }

@@ -27,8 +27,13 @@ object Interp1dKernel {
   def apply(xs0: Array[Double], ys0: Array[Double], xq: Array[Double], opts: Opts): Array[Double] = {
     require(xs0.length == ys0.length, "xs/ys length mismatch")
     require(xs0.length >= 2, "interp1d needs at least 2 points")
+    // skip the argsort allocation when the grid is already sorted — the
+    // common case for per-row batch execution
+    var sorted = true
+    var si = 1
+    while (sorted && si < xs0.length) { sorted = xs0(si - 1) <= xs0(si); si += 1 }
     val (xs, ys) =
-      if (opts.assumeSorted) (xs0, ys0)
+      if (opts.assumeSorted || sorted) (xs0, ys0)
       else {
         val perm = xs0.indices.sortBy(xs0)(Ordering.Double.TotalOrdering).toArray
         (perm.map(xs0), perm.map(ys0))

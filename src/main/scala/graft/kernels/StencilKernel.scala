@@ -63,19 +63,39 @@ object StencilKernel {
       }
     val offs = offsets(fpUsed, fshape, origin)
     val borderValue = !isDilation // erosion: OOB true; dilation: OOB false
-    val identity = !isDilation    // erosion: AND starts true; dilation: OR starts false
     val strides = NdTensor.strides(shape)
     val out = new Array[Boolean](data.length)
+    // precomputed flat deltas for interior cells (no bounds checks), and
+    // per-dim offset extents delimiting the interior region — the JVM analog
+    // of the reference's precomputed offset table
+    // (/root/reference/imops/src/_morphology.pyx:73-165)
+    val nOff = offs.length
+    val flatOff = new Array[Int](nOff)
+    val minOff = new Array[Int](rank)
+    val maxOff = new Array[Int](rank)
+    var k = 0
+    while (k < nOff) {
+      var dd = 0
+      var fo = 0
+      while (dd < rank) {
+        val o = offs(k)(dd)
+        fo += o * strides(dd)
+        if (o < minOff(dd)) minOff(dd) = o
+        if (o > maxOff(dd)) maxOff(dd) = o
+        dd += 1
+      }
+      flatOff(k) = fo
+      k += 1
+    }
+
+    // border/general cell: per-offset bounds checks
     val idx = new Array[Int](rank)
-    var flat = 0
-    while (flat < data.length) {
+    def slowCell(flat: Int): Boolean = {
       var d = 0
       while (d < rank) { idx(d) = (flat / strides(d)) % shape(d); d += 1 }
-      var acc = identity
-      var k = 0
-      var break = false
-      while (k < offs.length && !break) {
-        val off = offs(k)
+      var kk = 0
+      while (kk < nOff) {
+        val off = offs(kk)
         var oob = false
         var nFlat = 0
         var dd = 0
@@ -85,12 +105,69 @@ object StencilKernel {
           dd += 1
         }
         val v = if (oob) borderValue else data(nFlat)
-        if (!isDilation) { if (!v) { acc = false; break = true } }
-        else { if (v) { acc = true; break = true } }
-        k += 1
+        if (!isDilation) { if (!v) return false }
+        else if (v) return true
+        kk += 1
       }
-      out(flat) = acc
-      flat += 1
+      !isDilation
+    }
+
+    @inline def fastCell(flat: Int): Boolean = {
+      var kk = 0
+      if (!isDilation) {
+        while (kk < nOff) { if (!data(flat + flatOff(kk))) return false; kk += 1 }
+        true
+      } else {
+        while (kk < nOff) { if (data(flat + flatOff(kk))) return true; kk += 1 }
+        false
+      }
+    }
+
+    if (rank == 2) {
+      val (s0, s1) = (shape(0), shape(1))
+      val (iLo, iHi) = (-minOff(0), s0 - maxOff(0))
+      val (jLo, jHi) = (math.max(0, -minOff(1)), math.min(s1, s1 - maxOff(1)))
+      var i = 0
+      while (i < s0) {
+        val interiorRow = i >= iLo && i < iHi
+        val base = i * s1
+        var j = 0
+        if (interiorRow) {
+          while (j < jLo) { out(base + j) = slowCell(base + j); j += 1 }
+          while (j < jHi) { out(base + j) = fastCell(base + j); j += 1 }
+          while (j < s1) { out(base + j) = slowCell(base + j); j += 1 }
+        } else {
+          while (j < s1) { out(base + j) = slowCell(base + j); j += 1 }
+        }
+        i += 1
+      }
+    } else if (rank == 3) {
+      val (s0, s1, s2) = (shape(0), shape(1), shape(2))
+      val (iLo, iHi) = (-minOff(0), s0 - maxOff(0))
+      val (jLo, jHi) = (-minOff(1), s1 - maxOff(1))
+      val (kLo, kHi) = (math.max(0, -minOff(2)), math.min(s2, s2 - maxOff(2)))
+      var i = 0
+      while (i < s0) {
+        val ii = i >= iLo && i < iHi
+        var j = 0
+        while (j < s1) {
+          val interior = ii && j >= jLo && j < jHi
+          val base = (i * s1 + j) * s2
+          var c = 0
+          if (interior) {
+            while (c < kLo) { out(base + c) = slowCell(base + c); c += 1 }
+            while (c < kHi) { out(base + c) = fastCell(base + c); c += 1 }
+            while (c < s2) { out(base + c) = slowCell(base + c); c += 1 }
+          } else {
+            while (c < s2) { out(base + c) = slowCell(base + c); c += 1 }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      var flat = 0
+      while (flat < data.length) { out(flat) = slowCell(flat); flat += 1 }
     }
     out
   }

@@ -32,7 +32,15 @@ object ZoomKernel {
   def adjustedCoef(oldN: Int, newN: Int): Double =
     if (newN == 1) oldN.toDouble else (oldN - 1).toDouble / (newN - 1).toDouble
 
-  /** General n-d zoom, rank 1..4. Returns (data, shape). */
+  /** General n-d zoom, rank 1..4. Returns (data, shape).
+    *
+    * Fast path: per-axis (floor index, fraction) tables are precomputed once
+    * — the per-cell work is then pure lookups and lerp arithmetic with no
+    * allocation, the JVM analog of the reference's tight Cython loops
+    * (/root/reference/imops/src/_zoom.pyx:372-399). Source coordinates are
+    * always within [0, old-1], so the upper corner can be clamped (its
+    * weight is exactly 0 at the boundary) and `cval` is never read on this
+    * path — matching the kernel's effective behavior. */
   def zoom(data: Array[Double], shape: Array[Int], scale: Array[Double],
            order: Int, cval: Double): (Array[Double], Array[Int]) = {
     require(shape.length == scale.length, "scale rank mismatch")
@@ -41,25 +49,182 @@ object ZoomKernel {
     val n = shape.length
     val newShape = Array.tabulate(n)(d => outDim(shape(d), scale(d)))
     val coefs = Array.tabulate(n)(d => adjustedCoef(shape(d), newShape(d)))
-    val inStrides = NdTensor.strides(shape)
-    val outSize = NdTensor.numel(newShape)
-    val out = new Array[Double](outSize)
-    val outStrides = NdTensor.strides(newShape)
-    val idx = new Array[Int](n)
-    val coord = new Array[Double](n)
-    var flat = 0
-    while (flat < outSize) {
-      var d = 0
-      while (d < n) {
-        idx(d) = (flat / outStrides(d)) % newShape(d)
-        coord(d) = idx(d) * coefs(d)
-        d += 1
+    // per-axis tables: lo(d)(i), hi(d)(i) (clamped), frac(d)(i), and the
+    // nearest-pick index nearIdx(d)(i)
+    val lo = Array.ofDim[Array[Int]](n)
+    val hi = Array.ofDim[Array[Int]](n)
+    val fr = Array.ofDim[Array[Double]](n)
+    val nr = Array.ofDim[Array[Int]](n)
+    var d = 0
+    while (d < n) {
+      val m = newShape(d)
+      val old = shape(d)
+      lo(d) = new Array[Int](m); hi(d) = new Array[Int](m)
+      fr(d) = new Array[Double](m); nr(d) = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val c = i * coefs(d)
+        val f = math.floor(c)
+        val l = f.toInt
+        val frac = c - f
+        val upOk = l + 1 < old
+        lo(d)(i) = math.min(math.max(l, 0), old - 1)
+        hi(d)(i) = if (upOk) l + 1 else old - 1
+        fr(d)(i) = if (upOk) frac else 0.0 // weight of clamped corner is 0
+        nr(d)(i) =
+          if (frac >= 0.5 && upOk) l + 1
+          else if (l >= 0 && l < old) l
+          else if (upOk) l + 1 else 0
+        i += 1
       }
-      out(flat) = if (order == 1) interpLinear(data, shape, inStrides, coord, cval)
-                  else interpNearest(data, shape, inStrides, coord, cval)
-      flat += 1
+      d += 1
+    }
+    val out = new Array[Double](NdTensor.numel(newShape))
+    n match {
+      case 1 => zoom1(data, shape, newShape, lo(0), hi(0), fr(0), nr(0), order, out)
+      case 2 => zoom2(data, shape, newShape, lo, hi, fr, nr, order, out)
+      case 3 => zoom3(data, shape, newShape, lo, hi, fr, nr, order, out)
+      case 4 => zoom4(data, shape, newShape, lo, hi, fr, nr, order, out)
     }
     (out, newShape)
+  }
+
+  private def zoom1(data: Array[Double], shape: Array[Int], ns: Array[Int],
+                    lo: Array[Int], hi: Array[Int], fr: Array[Double], nr: Array[Int],
+                    order: Int, out: Array[Double]): Unit = {
+    var i = 0
+    val m = ns(0)
+    if (order == 0) while (i < m) { out(i) = data(nr(i)); i += 1 }
+    else while (i < m) {
+      val f = fr(i)
+      out(i) = data(lo(i)) * (1 - f) + data(hi(i)) * f
+      i += 1
+    }
+  }
+
+  private def zoom2(data: Array[Double], shape: Array[Int], ns: Array[Int],
+                    lo: Array[Array[Int]], hi: Array[Array[Int]], fr: Array[Array[Double]],
+                    nr: Array[Array[Int]], order: Int, out: Array[Double]): Unit = {
+    val s0 = shape(1)
+    val (m0, m1) = (ns(0), ns(1))
+    var p = 0
+    var i = 0
+    if (order == 0) {
+      while (i < m0) {
+        val base = nr(0)(i) * s0
+        var j = 0
+        while (j < m1) { out(p) = data(base + nr(1)(j)); p += 1; j += 1 }
+        i += 1
+      }
+    } else {
+      while (i < m0) {
+        val l0 = lo(0)(i) * s0; val h0 = hi(0)(i) * s0; val f0 = fr(0)(i)
+        var j = 0
+        while (j < m1) {
+          val l1 = lo(1)(j); val h1 = hi(1)(j); val f1 = fr(1)(j)
+          // corner order and association match the generic kernel/oracle:
+          // c00 + c10 + c01 + c11 with w = ((1*fa)*fb)
+          out(p) = (1.0 * (1 - f0) * (1 - f1)) * data(l0 + l1) +
+                   (1.0 * f0 * (1 - f1)) * data(h0 + l1) +
+                   (1.0 * (1 - f0) * f1) * data(l0 + h1) +
+                   (1.0 * f0 * f1) * data(h0 + h1)
+          p += 1; j += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  private def zoom3(data: Array[Double], shape: Array[Int], ns: Array[Int],
+                    lo: Array[Array[Int]], hi: Array[Array[Int]], fr: Array[Array[Double]],
+                    nr: Array[Array[Int]], order: Int, out: Array[Double]): Unit = {
+    val s1 = shape(2)
+    val s0 = shape(1) * s1
+    val (m0, m1, m2) = (ns(0), ns(1), ns(2))
+    var p = 0
+    var i = 0
+    if (order == 0) {
+      while (i < m0) {
+        val b0 = nr(0)(i) * s0
+        var j = 0
+        while (j < m1) {
+          val b1 = b0 + nr(1)(j) * s1
+          var k = 0
+          while (k < m2) { out(p) = data(b1 + nr(2)(k)); p += 1; k += 1 }
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      while (i < m0) {
+        val l0 = lo(0)(i) * s0; val h0 = hi(0)(i) * s0; val f0 = fr(0)(i)
+        var j = 0
+        while (j < m1) {
+          val l1 = lo(1)(j) * s1; val h1 = hi(1)(j) * s1; val f1 = fr(1)(j)
+          var k = 0
+          while (k < m2) {
+            val l2 = lo(2)(k); val h2 = hi(2)(k); val f2 = fr(2)(k)
+            out(p) = (1.0 * (1 - f0) * (1 - f1) * (1 - f2)) * data(l0 + l1 + l2) +
+                     (1.0 * f0 * (1 - f1) * (1 - f2)) * data(h0 + l1 + l2) +
+                     (1.0 * (1 - f0) * f1 * (1 - f2)) * data(l0 + h1 + l2) +
+                     (1.0 * f0 * f1 * (1 - f2)) * data(h0 + h1 + l2) +
+                     (1.0 * (1 - f0) * (1 - f1) * f2) * data(l0 + l1 + h2) +
+                     (1.0 * f0 * (1 - f1) * f2) * data(h0 + l1 + h2) +
+                     (1.0 * (1 - f0) * f1 * f2) * data(l0 + h1 + h2) +
+                     (1.0 * f0 * f1 * f2) * data(h0 + h1 + h2)
+            p += 1; k += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  private def zoom4(data: Array[Double], shape: Array[Int], ns: Array[Int],
+                    lo: Array[Array[Int]], hi: Array[Array[Int]], fr: Array[Array[Double]],
+                    nr: Array[Array[Int]], order: Int, out: Array[Double]): Unit = {
+    val strides = NdTensor.strides(shape)
+    val (m0, m1, m2, m3) = (ns(0), ns(1), ns(2), ns(3))
+    var p = 0
+    var i = 0
+    while (i < m0) {
+      var j = 0
+      while (j < m1) {
+        var k = 0
+        while (k < m2) {
+          var l = 0
+          while (l < m3) {
+            if (order == 0) {
+              out(p) = data(nr(0)(i) * strides(0) + nr(1)(j) * strides(1) +
+                nr(2)(k) * strides(2) + nr(3)(l))
+            } else {
+              var acc = 0.0
+              var corner = 0
+              while (corner < 16) {
+                var w = 1.0
+                var idx = 0
+                var dd = 0
+                while (dd < 4) {
+                  val oi = dd match { case 0 => i case 1 => j case 2 => k case _ => l }
+                  val up = ((corner >> dd) & 1) == 1
+                  w *= (if (up) fr(dd)(oi) else 1.0 - fr(dd)(oi))
+                  idx += (if (up) hi(dd)(oi) else lo(dd)(oi)) * strides(dd)
+                  dd += 1
+                }
+                acc += w * data(idx)
+                corner += 1
+              }
+              out(p) = acc
+            }
+            p += 1; l += 1
+          }
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
   }
 
   /** n-linear interpolation at fractional coordinate. */
