@@ -66,6 +66,31 @@ object Interp1dKernel {
         } else opts.fillValue
       k += 1
     }
+    nanPolicy(out)
+  }
+
+  /** The reference's output NaN/inf policy (interp1d.py:191-205): NaNs in
+    * the output (e.g. from inf*0 in the lerp, or a NaN fill_value) are only
+    * resolvable when the output also contains infinities of exactly one
+    * sign — then NaNs collapse to that infinity; otherwise it refuses. */
+  private def nanPolicy(out: Array[Double]): Array[Double] = {
+    var hasNan = false
+    var hasPos = false
+    var hasNeg = false
+    var i = 0
+    while (i < out.length) {
+      val v = out(i)
+      if (v.isNaN) hasNan = true
+      else if (v == Double.PositiveInfinity) hasPos = true
+      else if (v == Double.NegativeInfinity) hasNeg = true
+      i += 1
+    }
+    if (!hasNan) return out
+    if ((hasPos && hasNeg) || (!hasPos && !hasNeg))
+      throw new RuntimeException("Can't decide how to handle nans in the output.")
+    val repl = if (hasPos) Double.PositiveInfinity else Double.NegativeInfinity
+    i = 0
+    while (i < out.length) { if (out(i).isNaN) out(i) = repl; i += 1 }
     out
   }
 }

@@ -86,6 +86,19 @@ class Interp1dKernelSpec extends AnyFunSuite {
     assert(out.sameElements(Array(-10.0, 70.0)))
   }
 
+  test("NaN/inf output policy matches interp1d.py:191-205") {
+    val xs = Array(0.0, 1.0, 2.0)
+    // +inf in ys -> lerp produces inf and nan (inf*0); nans collapse to +inf
+    val ys = Array(1.0, Double.PositiveInfinity, 3.0)
+    val out = Interp1dKernel(xs, ys, Array(0.5, 1.0, 1.5), Opts(assumeSorted = true))
+    assert(out.forall(v => v.isInfinity || !v.isNaN))
+    assert(out(1) == Double.PositiveInfinity)
+    // NaN fill with no infs anywhere -> refuses
+    assertThrows[RuntimeException] {
+      Interp1dKernel(Array(0.0, 1.0), Array(1.0, 2.0), Array(5.0), Opts())
+    }
+  }
+
   test("fill value outside range; bounds_error throws") {
     val xs = Array(0.0, 1.0)
     val ys = Array(0.0, 1.0)
