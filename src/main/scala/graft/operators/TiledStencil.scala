@@ -112,4 +112,98 @@ object TiledStencil {
     val (fp, fs) = StencilKernel.crossFootprint(2)
     apply(tiles, ts, gridRows, gridCols, fp, fs, isDilation = true)
   }
+
+  // ---------- 3-D tiles (the reference's morphology rank cap is 3,
+  // /root/reference/imops/morphology.py:74-82; 512^3 benchmark volumes are
+  // the reason tensors tile at all) ----------
+
+  final case class Tile3(id: Long, ti: Int, tj: Int, tk: Int, data: Array[Boolean])
+  final case class Piece3(id: Long, ti: Int, tj: Int, tk: Int,
+                          di: Int, dj: Int, dk: Int, strip: Array[Boolean])
+
+  def tile3(mask: Array[Boolean], dims: Array[Int], ts: Int, id: Long = 0L): Seq[Tile3] = {
+    require(dims.forall(_ % ts == 0), "volume must divide evenly into tiles")
+    val (d0, d1, d2) = (dims(0), dims(1), dims(2))
+    for (ti <- 0 until d0 / ts; tj <- 0 until d1 / ts; tk <- 0 until d2 / ts) yield {
+      val data = new Array[Boolean](ts * ts * ts)
+      for (i <- 0 until ts; j <- 0 until ts; k <- 0 until ts)
+        data((i * ts + j) * ts + k) =
+          mask(((ti * ts + i) * d1 + (tj * ts + j)) * d2 + (tk * ts + k))
+      Tile3(id, ti, tj, tk, data)
+    }
+  }
+
+  def untile3(tiles: Seq[Tile3], dims: Array[Int], ts: Int): Array[Boolean] = {
+    val out = new Array[Boolean](dims(0) * dims(1) * dims(2))
+    tiles.foreach { t =>
+      for (i <- 0 until ts; j <- 0 until ts; k <- 0 until ts)
+        out(((t.ti * ts + i) * dims(1) + (t.tj * ts + j)) * dims(2) + (t.tk * ts + k)) =
+          t.data((i * ts + j) * ts + k)
+    }
+    out
+  }
+
+  private def slab3(data: Array[Boolean], ts: Int, r: Int,
+                    di: Int, dj: Int, dk: Int): Array[Boolean] = {
+    def rng(d: Int) = if (d < 0) 0 until r else if (d > 0) ts - r until ts else 0 until ts
+    val (is, js, ks) = (rng(di), rng(dj), rng(dk))
+    val out = new Array[Boolean](is.length * js.length * ks.length)
+    var c = 0
+    for (i <- is; j <- js; k <- ks) { out(c) = data((i * ts + j) * ts + k); c += 1 }
+    out
+  }
+
+  /** 3-D stencil over tiles: same halo-exchange scheme, 26-neighbor strips. */
+  def apply3(tiles: Dataset[Tile3], ts: Int, grid: Array[Int],
+             fp: Array[Boolean], fshape: Array[Int],
+             isDilation: Boolean)(implicit spark: SparkSession): Dataset[Tile3] = {
+    import spark.implicits._
+    val r = fshape.map(_ / 2).max.max(1)
+    val borderValue = !isDilation
+    val pieces = tiles.flatMap { t =>
+      val center = Piece3(t.id, t.ti, t.tj, t.tk, 0, 0, 0, t.data)
+      val halos = for {
+        di <- -1 to 1; dj <- -1 to 1; dk <- -1 to 1
+        if (di != 0 || dj != 0 || dk != 0)
+        nti = t.ti + di; ntj = t.tj + dj; ntk = t.tk + dk
+        if nti >= 0 && nti < grid(0) && ntj >= 0 && ntj < grid(1) && ntk >= 0 && ntk < grid(2)
+      } yield Piece3(t.id, nti, ntj, ntk, -di, -dj, -dk, slab3(t.data, ts, r, di, dj, dk))
+      center +: halos
+    }
+    pieces.groupByKey(p => (p.id, p.ti, p.tj, p.tk))
+      .mapGroups { (key: (Long, Int, Int, Int), it: Iterator[Piece3]) =>
+        val (id, ti, tj, tk) = key
+        val pts = ts + 2 * r
+        val padded = Array.fill(pts * pts * pts)(borderValue)
+        it.foreach { p =>
+          def ext(d: Int) = if (d == 0) ts else r
+          def org(d: Int) = if (d < 0) 0 else if (d > 0) ts + r else r
+          val (ri, rj, rk) = (ext(p.di), ext(p.dj), ext(p.dk))
+          val (oi, oj, ok) = (org(p.di), org(p.dj), org(p.dk))
+          var c = 0
+          for (i <- 0 until ri; j <- 0 until rj; k <- 0 until rk) {
+            padded(((oi + i) * pts + (oj + j)) * pts + (ok + k)) = p.strip(c); c += 1
+          }
+        }
+        val res =
+          if (isDilation) StencilKernel.dilate(padded, Array(pts, pts, pts), fp, fshape)
+          else StencilKernel.erode(padded, Array(pts, pts, pts), fp, fshape)
+        val out = new Array[Boolean](ts * ts * ts)
+        for (i <- 0 until ts; j <- 0 until ts; k <- 0 until ts)
+          out((i * ts + j) * ts + k) = res(((i + r) * pts + (j + r)) * pts + (k + r))
+        Tile3(id, ti, tj, tk, out)
+      }
+  }
+
+  def erode3(tiles: Dataset[Tile3], ts: Int, grid: Array[Int])
+            (implicit spark: SparkSession): Dataset[Tile3] = {
+    val (fp, fs) = StencilKernel.crossFootprint(3)
+    apply3(tiles, ts, grid, fp, fs, isDilation = false)
+  }
+
+  def dilate3(tiles: Dataset[Tile3], ts: Int, grid: Array[Int])
+             (implicit spark: SparkSession): Dataset[Tile3] = {
+    val (fp, fs) = StencilKernel.crossFootprint(3)
+    apply3(tiles, ts, grid, fp, fs, isDilation = true)
+  }
 }

@@ -168,6 +168,34 @@ object QueriesText {
       },
       Some(cosineSql(withBucket = false))),
 
+    // embedding-cosine near-dup: candidate pairs from the sign-bucket LSH
+    // equi-join, kept above a similarity threshold (synthetic embeddings
+    // are near-orthogonal, so the demo threshold is 0.3)
+    Q("q_embed_dedup",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val b = e.select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding"), 8).as("bucket"))
+        val x = b.select(col("vec_id").as("id1"), col("embedding").as("ea"), col("bucket"))
+        val y = b.select(col("vec_id").as("id2"), col("embedding").as("eb"), col("bucket"))
+        x.join(y, Seq("bucket")).where(col("id1") < col("id2"))
+          .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+          .where(col("cos") >= 0.3)
+          .select(col("id1"), col("id2"), col("cos"))
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        val bucketExpr =
+          (0 until 8).map(k => s"CASE WHEN embedding[${k + 1}] > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+           |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+           |  round(${dot("x.embedding", "y.embedding")} /
+           |    (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})), 6) AS cos
+           |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           |SELECT id1, id2, cos FROM p WHERE cos >= 0.3""".stripMargin
+      }),
+
     Q("q_ann_lsh",
       (s, dir) => {
         val e = T(s, dir, "embeddings")

@@ -101,6 +101,21 @@ class TiledStencilSpec extends AnyFunSuite {
     assert(dilated.sameElements(StencilKernel.dilateDefault(mask, Array(rows, cols))))
   }
 
+  test("3-D tiled erosion/dilation equals whole-volume kernel") {
+    val rng = new scala.util.Random(77)
+    val dims = Array(16, 32, 16)
+    val ts = 8
+    val mask = Array.fill(dims.product)(rng.nextInt(4) > 0)
+    val tiles = TiledStencil.tile3(mask, dims, ts).toDS()
+    val grid = dims.map(_ / ts)
+    val eroded = TiledStencil.untile3(
+      TiledStencil.erode3(tiles, ts, grid).collect(), dims, ts)
+    assert(eroded.sameElements(StencilKernel.erodeDefault(mask, dims)))
+    val dilated = TiledStencil.untile3(
+      TiledStencil.dilate3(tiles, ts, grid).collect(), dims, ts)
+    assert(dilated.sameElements(StencilKernel.dilateDefault(mask, dims)))
+  }
+
   test("tile/untile roundtrip") {
     val rng = new scala.util.Random(2)
     val mask = Array.fill(32 * 32)(rng.nextBoolean())
