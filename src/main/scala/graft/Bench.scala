@@ -100,13 +100,11 @@ object Bench {
     }
     val comInput = slices(512, 262144) // 512 slices of 512x512 f64
     bench("center_of_mass", v512.toDouble, Some(comInput)) {
-      // tensor-row form: per-slice partial sums in a tight loop, merged by
-      // one hash agg — the reference's prange partial+final reduction
+      // custom TypedImperativeAggregate: reads each slice's ArrayData in
+      // place (no copy), partial+final merge — SURVEY §4.3's CenterOfMassAgg
       comInput
-        .select(TensorFunctions.comPartialsUdf(col("data"), lit(512), lit(512), col("id")).as("p"))
-        .agg((sum(col("p").getField("_2")) / sum(col("p").getField("_1"))).as("ck"),
-             (sum(col("p").getField("_3")) / sum(col("p").getField("_1"))).as("ci"),
-             (sum(col("p").getField("_4")) / sum(col("p").getField("_1"))).as("cj")).collect()
+        .agg(graft.exprs.CenterOfMassAgg.centerOfMass(
+          col("data"), lit(512), lit(512), col("id")).as("com")).collect()
     }
     bench("pointwise_add", c24, Some(slices256)) {
       slices256
@@ -121,6 +119,40 @@ object Bench {
       interpInput
         .select(TensorFunctions.interp1dUdf(xs, col("data"), xq, lit(true), lit(0.0)).as("y"))
         .agg(sum(get(col("y"), lit(0)))).collect()
+    }
+
+    // radon: reference workload is a 256-slice 256x256 CT volume at 180
+    // angles (BASELINE.md); we run a 32-slice batch (1/8 of the volume) and
+    // report per-output-cell throughput, which normalizes linearly
+    val radonInput = slices(32, 65536)
+    val theta180 = array(graft.kernels.RadonKernel.thetaLinspace(180).map(lit): _*)
+    val circleMask = udf { (data: Array[Double], n: Int) =>
+      val r = n / 2
+      val out = data.clone()
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          val di = i - r; val dj = j - r
+          if (di * di + dj * dj > r * r) out(i * n + j) = 0.0
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+    val radonReady = radonInput.select(col("id"), circleMask(col("data"), lit(256)).as("data"))
+    bench("radon", 32.0 * 256 * 180, Some(radonReady)) {
+      radonReady
+        .select(TensorFunctions.radonUdf(col("data"), lit(256), theta180).as("s"))
+        .agg(sum(get(col("s"), lit(0)))).collect()
+    }
+    val sinoInput = radonReady
+      .select(TensorFunctions.radonUdf(col("data"), lit(256), theta180).as("s"))
+    bench("inverse_radon", 32.0 * 256 * 256, Some(sinoInput)) {
+      sinoInput
+        .select(TensorFunctions.inverseRadonUdf(col("s"), lit(256), theta180, lit(0.0)).as("r"))
+        .agg(sum(get(col("r"), lit(0)))).collect()
     }
 
     def j(d: Iterable[(String, Double)]) =

@@ -128,3 +128,33 @@ class DotProductSpec extends AnyFunSuite {
     assert(out(0) == 32.0 && out(1) == 0.0)
   }
 }
+
+class CenterOfMassAggSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("matches the relational weighted mean on slice rows") {
+    val rng = new scala.util.Random(4)
+    val (rows, cols, slices) = (4, 5, 3)
+    val data = Seq.tabulate(slices)(s => (s.toLong, Seq.fill(rows * cols)(rng.nextDouble())))
+    val df = data.toDF("id", "data")
+    val got = df.agg(graft.exprs.CenterOfMassAgg.centerOfMass(
+      $"data", lit(rows), lit(cols), $"id")).as[Seq[Double]].head()
+    // brute-force expectation
+    var sw = 0.0; var ss = 0.0; var si = 0.0; var sj = 0.0
+    for ((s, d) <- data; i <- 0 until rows; j <- 0 until cols) {
+      val w = d(i * cols + j)
+      sw += w; ss += w * s; si += w * i; sj += w * j
+    }
+    assert(math.abs(got(0) - ss / sw) < 1e-9)
+    assert(math.abs(got(1) - si / sw) < 1e-9)
+    assert(math.abs(got(2) - sj / sw) < 1e-9)
+  }
+
+  test("empty input yields null") {
+    val df = Seq.empty[(Long, Seq[Double])].toDF("id", "data")
+    val got = df.agg(graft.exprs.CenterOfMassAgg.centerOfMass(
+      $"data", lit(2), lit(2), $"id")).collect()(0)
+    assert(got.isNullAt(0))
+  }
+}
