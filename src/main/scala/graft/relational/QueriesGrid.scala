@@ -156,6 +156,47 @@ object QueriesGrid {
               |WHERE cg.i >= lim.l AND cg.i < $N - lim.l
               |GROUP BY cg.j""".stripMargin)),
 
+    // batched radon: one 16x16 image per event_type (5 tensor rows), the
+    // kernel mapping over the row axis — the reference's batch-of-slices
+    // framing (radon.py:213-216) exercised through the oracle gate
+    Q("q_radon_batch",
+      (s, dir) => {
+        val cells = T(s, dir, "events")
+          .groupBy(col("event_type"), (col("user_id") % N).as("i"), (col("event_id") % N).as("j"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        val ij = s.range(N).select(col("id").as("i"))
+          .crossJoin(s.range(N).select(col("id").as("j")))
+        val et = T(s, dir, "events").select("event_type").distinct()
+        val grid = et.crossJoin(ij).join(cells, Seq("event_type", "i", "j"), "left")
+          .na.fill(0.0, Seq("v"))
+          .select(col("event_type"), col("i"), col("j"),
+            when((col("i") - 8) * (col("i") - 8) + (col("j") - 8) * (col("j") - 8) > 64, 0.0)
+              .otherwise(col("v")).as("v"))
+        grid.groupBy("event_type")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("v")))),
+            x => x.getField("v").cast("double")).as("data"))
+          .select(col("event_type"), radonUdf(col("data"), lit(N), array(lit(0.0))).as("sino"))
+          .select(col("event_type"), posexplode(col("sino")).as(Seq("offset", "val")))
+          .select(col("event_type"), col("offset").cast("long").as("offset"),
+            round(col("val"), 4).as("val"))
+      },
+      Some(s"""WITH cells AS (SELECT event_type, user_id % $N AS i, event_id % $N AS j,
+              |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+              |  FROM events GROUP BY event_type, user_id % $N, event_id % $N),
+              |et AS (SELECT DISTINCT event_type FROM events),
+              |grid AS (SELECT et.event_type, r1.i AS i, r2.j AS j, coalesce(c.v, 0.0) AS v
+              |  FROM et CROSS JOIN range($N) r1(i) CROSS JOIN range($N) r2(j)
+              |  LEFT JOIN cells c ON c.event_type = et.event_type AND c.i = r1.i AND c.j = r2.j),
+              |cg AS (SELECT event_type, i, j,
+              |  CASE WHEN (i-8)*(i-8) + (j-8)*(j-8) > 64 THEN 0.0 ELSE v END AS v FROM grid),
+              |lim AS (SELECT r2.j AS j,
+              |  count(CASE WHEN (r1.i-8)*(r1.i-8) + (r2.j-8)*(r2.j-8) > 100 THEN 1 END) // 2 AS l
+              |  FROM range($N) r1(i) CROSS JOIN range($N) r2(j) GROUP BY r2.j)
+              |SELECT cg.event_type, cg.j AS offset, round(sum(cg.v), 4) AS val
+              |FROM cg JOIN lim ON lim.j = cg.j
+              |WHERE cg.i >= lim.l AND cg.i < $N - lim.l
+              |GROUP BY cg.event_type, cg.j""".stripMargin)),
+
     // the tiled (100 TB path) erosion must agree with the same relational
     // oracle as the single-tensor form — one oracle, two execution paths
     Q("q_tiled_erosion",
