@@ -123,4 +123,97 @@ object DistributedLabel {
       .join(roots, Seq("lbl"))
       .select(col("g"), col("label").cast("long").as("label"))
   }
+
+  import graft.operators.TiledStencil.Tile3
+  final case class Px3(g: Long, rep: Long)
+  final case class Border3(bkey: Long, pos: Int, side: Int, rep: Long)
+
+  /** 3-D volumes: same two-level scheme with face (plane) boundaries. */
+  def apply3(tiles: Dataset[Tile3], ts: Int, grid: Array[Int])
+            (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (d1, d2) = (grid(1) * ts, grid(2) * ts)
+
+    def localReps(t: Tile3): (graft.kernels.LabelKernel.Result, collection.Map[Long, Long]) = {
+      val res = graft.kernels.LabelKernel.label(
+        t.data.map(b => if (b) 1.0 else 0.0), Array(ts, ts, ts), connectivity = 1)
+      val rep = scala.collection.mutable.Map.empty[Long, Long]
+      var f = 0
+      while (f < ts * ts * ts) {
+        val lb = res.labels(f)
+        if (lb != 0) {
+          val (i, j, k) = (f / (ts * ts), (f / ts) % ts, f % ts)
+          val g = ((t.ti.toLong * ts + i) * d1 + (t.tj.toLong * ts + j)) * d2 + (t.tk.toLong * ts + k)
+          rep(lb) = rep.get(lb).map(math.min(_, g)).getOrElse(g)
+        }
+        f += 1
+      }
+      (res, rep)
+    }
+
+    val localized = tiles.flatMap { t =>
+      val (res, rep) = localReps(t)
+      (0 until ts * ts * ts).flatMap { f =>
+        val lb = res.labels(f)
+        if (lb == 0) None
+        else {
+          val (i, j, k) = (f / (ts * ts), (f / ts) % ts, f % ts)
+          val g = ((t.ti.toLong * ts + i) * d1 + (t.tj.toLong * ts + j)) * d2 + (t.tk.toLong * ts + k)
+          Some(Px3(g, rep(lb)))
+        }
+      }
+    }.toDF("g", "rep").cache()
+
+    val borders = tiles.flatMap { t =>
+      val (res, rep) = localReps(t)
+      def repAt(i: Int, j: Int, k: Int): Option[Long] = {
+        val lb = res.labels((i * ts + j) * ts + k)
+        if (lb == 0) None else Some(rep(lb))
+      }
+      def faceKey(ti: Int, tj: Int, tk: Int, axis: Int): Long =
+        (((ti.toLong * grid(1) + tj) * grid(2) + tk) * 3) + axis
+      val out = scala.collection.mutable.ArrayBuffer.empty[Border3]
+      for (a <- 0 until ts; b <- 0 until ts) {
+        val pos = a * ts + b
+        // +i face of this tile vs -i face of tile below (axis 0)
+        repAt(ts - 1, a, b).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 0), pos, 0, r))
+        if (t.ti > 0) repAt(0, a, b).foreach(r => out += Border3(faceKey(t.ti - 1, t.tj, t.tk, 0), pos, 1, r))
+        // +j face (axis 1)
+        repAt(a, ts - 1, b).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 1), pos, 0, r))
+        if (t.tj > 0) repAt(a, 0, b).foreach(r => out += Border3(faceKey(t.ti, t.tj - 1, t.tk, 1), pos, 1, r))
+        // +k face (axis 2)
+        repAt(a, b, ts - 1).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 2), pos, 0, r))
+        if (t.tk > 0) repAt(a, b, 0).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk - 1, 2), pos, 1, r))
+      }
+      out
+    }.toDF("bkey", "pos", "side", "rep")
+
+    val edges = borders.where(col("side") === 0).as("a")
+      .join(borders.where(col("side") === 1).as("b"), Seq("bkey", "pos"))
+      .select(col("a.rep").as("src"), col("b.rep").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val symEdges = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+
+    var labels = localized.select(col("rep")).distinct()
+      .select(col("rep"), col("rep").as("lbl")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = symEdges.join(labels, symEdges("src") === labels("rep"))
+        .groupBy(col("dst")).agg(min("lbl").as("nlbl"))
+      val updated = labels.join(nbrMin, labels("rep") === nbrMin("dst"), "left")
+        .select(col("rep"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = updated.as("u").join(labels.as("l"), Seq("rep"))
+        .where(col("u.lbl") =!= col("l.lbl")).count()
+      labels = updated
+    }
+
+    val roots = labels.select(col("lbl")).distinct()
+      .withColumn("label", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("lbl"))))
+    localized.join(labels, Seq("rep"))
+      .join(roots, Seq("lbl"))
+      .select(col("g"), col("label").cast("long").as("label"))
+  }
 }

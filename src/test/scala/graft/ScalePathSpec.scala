@@ -145,6 +145,21 @@ class DistributedLabelSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("3-D tiled labeling matches the single-node kernel exactly") {
+    val rng = new scala.util.Random(91)
+    val dims = Array(16, 16, 16)
+    val ts = 8
+    val mask = Array.fill(dims.product)(rng.nextInt(3) > 0)
+    val tiles = TiledStencil.tile3(mask, dims, ts).toDS()
+    val got = DistributedLabel.apply3(tiles, ts, dims.map(_ / ts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = LabelKernel.label(mask.map(b => if (b) 1.0 else 0.0), dims, connectivity = 1)
+    val expected = ref.labels.zipWithIndex.collect {
+      case (lb, i) if lb != 0 => i.toLong -> lb
+    }.toMap
+    assert(got == expected)
+  }
+
   test("components spanning many tiles merge to one label") {
     val (rows, cols, ts) = (32, 32, 16)
     val mask = new Array[Boolean](rows * cols)
