@@ -158,3 +158,21 @@ class CenterOfMassAggSpec extends AnyFunSuite {
     assert(got.isNullAt(0))
   }
 }
+
+class ExtensionsSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+    import spark.implicits._
+    Seq((0L, Seq(1.0, 3.0))).toDF("id", "data").createOrReplaceTempView("slices_t")
+    val com = spark.sql(
+      "SELECT center_of_mass_agg(data, 1, 2, id) AS c FROM slices_t")
+      .collect()(0).getSeq[Double](0)
+    // weights (1,3) at cols (0,1): col com = 3/4
+    assert(math.abs(com(2) - 0.75) < 1e-12)
+  }
+}
