@@ -176,3 +176,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(com(2) - 0.75) < 1e-12)
   }
 }
+
+class TensorSourceSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  test("full generator -> partitioned sink -> pruned read roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    val ds = graft.sources.TensorSource.full(spark, 20, Seq(2, 3), 1.5)
+    assert(ds.head().data.forall(_ == 1.5) && ds.head().shape == Seq(2, 3))
+    graft.sources.TensorSource.write(ds, dir, buckets = 4)
+    val back = graft.sources.TensorSource.read(spark, dir)
+    assert(back.count() == 20)
+    val one = graft.sources.TensorSource.readOne(spark, dir, 7L, buckets = 4)
+    assert(one.count() == 1 && one.head().getAs[Long]("id") == 7L)
+  }
+}
