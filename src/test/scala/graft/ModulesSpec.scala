@@ -191,3 +191,53 @@ class TensorSourceSpec extends AnyFunSuite {
     assert(one.count() == 1 && one.head().getAs[Long]("id") == 7L)
   }
 }
+
+class MeasureKernelSpec extends AnyFunSuite {
+  import graft.kernels.{LabelKernel, MeasureKernel}
+
+  test("global center of mass matches the docstring example") {
+    // center_of_mass(np.ones((2,2))) == (0.5, 0.5) (measure.py docstring)
+    val out = MeasureKernel.centerOfMass(Array(1.0, 1.0, 1.0, 1.0), Array(2, 2))
+    assert(out.sameElements(Array(0.5, 0.5)))
+  }
+
+  test("labeled variant with index order, missing labels, and validation") {
+    val data = Array(1.0, 2.0, 3.0, 4.0)
+    val lab = LabelKernel.label(Array(1.0, 1.0, 0.0, 2.0), Array(4), connectivity = 1)
+    val out = MeasureKernel.labeledCenterOfMass(data, Array(4), lab.labels, Array(2L, 1L, 9L))
+    assert(out(0).sameElements(Array(3.0)))               // label 2 at position 3
+    assert(math.abs(out(1)(0) - (1.0 * 0 + 2.0 * 1) / 3.0) < 1e-12) // label 1 at 0,1
+    assert(out(2)(0).isNaN)                               // label 9 absent -> 0/0
+    assertThrows[IllegalArgumentException](
+      MeasureKernel.labeledCenterOfMass(data, Array(4), lab.labels, Array(1L, 1L)))
+    assertThrows[IllegalArgumentException](
+      MeasureKernel.labeledCenterOfMass(data, Array(4), Array(1L), Array(1L)))
+  }
+
+  test("negative masses are allowed like the reference") {
+    val out = MeasureKernel.centerOfMass(Array(-1.0, 3.0), Array(2))
+    assert(out.sameElements(Array(1.5))) // (-1*0 + 3*1) / 2
+  }
+}
+
+class SkewedAggSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  import graft.operators.SkewedAgg
+
+  test("salted two-phase agg equals the direct aggregation") {
+    val rng = new scala.util.Random(6)
+    // heavy skew: 90% of rows on key 0
+    val rows = Seq.fill(2000)((if (rng.nextInt(10) == 0) rng.nextInt(5) + 1 else 0).toLong)
+      .map(k => (k, rng.nextInt(100).toDouble))
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum"), count(lit(1)).as("cnt"))
+      .as[(Long, Double, Long)].collect().toSet
+    val salted = SkewedAgg.sumCount(df, "k", "v", salts = 8)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(direct.map(t => (t._1, t._3)) == salted.map(t => (t._1, t._3)))
+    // sums: FP order differs across salts; compare within tolerance
+    val ds = direct.map(t => t._1 -> t._2).toMap
+    salted.foreach { case (k, s, _) => assert(math.abs(s - ds(k)) < 1e-6) }
+  }
+}
