@@ -155,6 +155,29 @@ object Bench {
         .agg(sum(get(col("r"), lit(0)))).collect()
     }
 
+    // tiled/distributed path: 256^3 volume as 4x4x4 tiles of 64^3 — the
+    // halo-exchange erosion (one shuffle of O(surface) strips)
+    val tile3Gen = udf { (id: Long) =>
+      val n = 64 * 64 * 64
+      val a = new Array[Boolean](n)
+      var i = 0
+      while (i < n) { a(i) = ((id * 31 + i * 7) % 5) != 0; i += 1 }
+      a
+    }
+    import graft.operators.TiledStencil.Tile3
+    val tiles3 = spark.range(64).select(
+        lit(0L).as("id"),
+        (col("id") / 16).cast("int").as("ti"),
+        ((col("id") / 4) % 4).cast("int").as("tj"),
+        (col("id") % 4).cast("int").as("tk"),
+        tile3Gen(col("id")).as("data"))
+      .as[Tile3]
+    val tiles3Df = tiles3.toDF()
+    bench("tiled_erosion_3d", 256.0 * 256 * 256, Some(tiles3Df)) {
+      graft.operators.TiledStencil.erode3(tiles3Df.as[Tile3], 64, Array(4, 4, 4))(spark)
+        .toDF().agg(count(lit(1))).collect()
+    }
+
     def j(d: Iterable[(String, Double)]) =
       d.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = j(results)
