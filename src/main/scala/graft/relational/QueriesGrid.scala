@@ -156,6 +156,19 @@ object QueriesGrid {
               |WHERE cg.i >= lim.l AND cg.i < $N - lim.l
               |GROUP BY cg.j""".stripMargin)),
 
+    // the custom TypedImperativeAggregate in the oracle gate: tensor-form
+    // center of mass over the grid image vs the relational weighted mean
+    Q("q_com_tensor",
+      (s, dir) => toTensor(valueGrid(s, dir), asBool = false)
+        .select(lit(0L).as("id"), col("data"))
+        .agg(graft.exprs.CenterOfMassAgg.centerOfMass(
+          col("data"), lit(N), lit(N), col("id")).as("com"))
+        .select(round(element_at(col("com"), 2), 4).as("com_i"),
+                round(element_at(col("com"), 3), 4).as("com_j")),
+      Some(s"""WITH $valueGridCte
+              |SELECT round(sum(v * i) / sum(v), 4) AS com_i,
+              |round(sum(v * j) / sum(v), 4) AS com_j FROM grid""".stripMargin)),
+
     // batched radon: one 16x16 image per event_type (5 tensor rows), the
     // kernel mapping over the row axis — the reference's batch-of-slices
     // framing (radon.py:213-216) exercised through the oracle gate

@@ -52,11 +52,13 @@ object QueriesText {
     Q("q_lsh_pairs",
       (s, dir) => {
         // one signature pass, bands by posexplode (single scan per side)
-        // no explicit h-null filter: inner equi-join drops null keys anyway,
-        // and an extra filter would get pushed below Generate re-evaluating
-        // the signature UDF per row
+        // no explicit h-null filter: inner equi-join drops null keys anyway.
+        // The signature application is marked nondeterministic so the
+        // optimizer cannot duplicate it into inferred Generate filters
+        // (it is in fact deterministic — this is purely an anti-CSE fence).
         val bands = T(s, dir, "documents")
-          .select(col("doc_id"), minhashSigUdf(col("text"), lit(4), lit(3)).as("sig"))
+          .select(col("doc_id"),
+            minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
           .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
         bands.as("x").join(bands.as("y"),
             col("x.h") === col("y.h") && col("x.band") === col("y.band") &&
