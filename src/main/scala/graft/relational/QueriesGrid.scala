@@ -107,6 +107,20 @@ object QueriesGrid {
               |FROM grid g JOIN grid z ON z.v = 0
               |GROUP BY g.i, g.j, g.v""".stripMargin)),
 
+    // distributed separable EDT (per-axis line passes) against the same
+    // relational oracle as the single-tensor q_edt2d
+    Q("q_edt2d_dist",
+      (s, dir) => graft.operators.DistributedEdt(
+          maskGrid(s, dir).select(col("i"), col("j"), (col("v") === 1).as("mask")))
+        .select(col("i"), col("j"),
+          when(col("dist") > 1e49, lit(0.0)) // all-true line guard (no zeros)
+            .otherwise(round(col("dist"), 4)).as("dist")),
+      Some(s"""WITH $maskGridCte
+              |SELECT g.i, g.j, CASE WHEN g.v = 0 THEN 0.0 ELSE
+              |  round(sqrt(min((g.i - z.i)*(g.i - z.i) + (g.j - z.j)*(g.j - z.j))), 4) END AS dist
+              |FROM grid g JOIN grid z ON z.v = 0
+              |GROUP BY g.i, g.j, g.v""".stripMargin)),
+
     Q("q_zoom2d",
       (s, dir) => explodeGrid(
           toTensor(valueGrid(s, dir), asBool = false)

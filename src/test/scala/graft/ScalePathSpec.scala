@@ -171,3 +171,24 @@ class DistributedLabelSpec extends AnyFunSuite {
     assert(labels.length == 1 && labels(0) == 1L)
   }
 }
+
+class DistributedEdtSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("per-axis line passes match the single-node kernel with sampling") {
+    val rng = new scala.util.Random(13)
+    val (rows, cols) = (12, 17)
+    val mask = Array.fill(rows * cols)(rng.nextInt(3) > 0)
+    if (mask.contains(false)) {
+      val px = (0 until rows * cols).map(f => (f / cols, f % cols, mask(f))).toDF("i", "j", "mask")
+      val got = graft.operators.DistributedEdt(px, sampling = (2.0, 1.0))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val exp = graft.kernels.EdtKernel.edt(mask, Array(rows, cols), Array(2.0, 1.0))
+      for (f <- 0 until rows * cols) {
+        val k = ((f / cols).toLong, (f % cols).toLong)
+        assert(math.abs(got(k) - exp(f)) < 1e-9, s"at $k: ${got(k)} vs ${exp(f)}")
+      }
+    }
+  }
+}
