@@ -100,6 +100,13 @@ object TensorFunctions {
   val erodeUdf = udf { (data: Array[Boolean], shape: Array[Int]) =>
     StencilKernel.erodeDefault(data, shape)
   }
+  /** morphology with an explicit footprint (incl. even shapes with the
+    * origin-shift rule, _morphology.pyx:62-64). */
+  val morphUdf = udf { (data: Array[Boolean], shape: Array[Int],
+                        fp: Array[Boolean], fshape: Array[Int], dilation: Boolean) =>
+    if (dilation) StencilKernel.dilate(data, shape, fp, fshape)
+    else StencilKernel.erode(data, shape, fp, fshape)
+  }
   val dilateUdf = udf { (data: Array[Boolean], shape: Array[Int]) =>
     StencilKernel.dilateDefault(data, shape)
   }

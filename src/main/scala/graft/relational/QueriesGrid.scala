@@ -95,6 +95,43 @@ object QueriesGrid {
               |LEFT JOIN grid l ON l.i = g.i AND l.j = g.j - 1
               |LEFT JOIN grid r ON r.i = g.i AND r.j = g.j + 1""".stripMargin)),
 
+    // even (2x2) footprint: erosion origin = fshape//2 = (1,1) so the
+    // support is {-1,0}^2; dilation reflects and shifts even origins by -1
+    // (origin (0,0)) so the support is {+0,+1}^2 (_morphology.pyx:62-64)
+    Q("q_erosion2d_even",
+      (s, dir) => explodeGrid(
+          toTensor(maskGrid(s, dir), asBool = true)
+            .select(morphUdf(col("data"), array(lit(N), lit(N)),
+              array(lit(true), lit(true), lit(true), lit(true)), array(lit(2), lit(2)),
+              lit(false)).as("e")),
+          "e", N)
+        .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("e")),
+      Some(s"""WITH $maskGridCte
+              |SELECT g.i, g.j, CASE WHEN g.v = 1
+              |  AND coalesce(a.v, 1) = 1 AND coalesce(b.v, 1) = 1 AND coalesce(c.v, 1) = 1
+              |  THEN 1 ELSE 0 END AS e
+              |FROM grid g
+              |LEFT JOIN grid a ON a.i = g.i - 1 AND a.j = g.j - 1
+              |LEFT JOIN grid b ON b.i = g.i - 1 AND b.j = g.j
+              |LEFT JOIN grid c ON c.i = g.i AND c.j = g.j - 1""".stripMargin)),
+
+    Q("q_dilation2d_even",
+      (s, dir) => explodeGrid(
+          toTensor(maskGrid(s, dir), asBool = true)
+            .select(morphUdf(col("data"), array(lit(N), lit(N)),
+              array(lit(true), lit(true), lit(true), lit(true)), array(lit(2), lit(2)),
+              lit(true)).as("e")),
+          "e", N)
+        .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("e")),
+      Some(s"""WITH $maskGridCte
+              |SELECT g.i, g.j, CASE WHEN g.v = 1
+              |  OR coalesce(a.v, 0) = 1 OR coalesce(b.v, 0) = 1 OR coalesce(c.v, 0) = 1
+              |  THEN 1 ELSE 0 END AS e
+              |FROM grid g
+              |LEFT JOIN grid a ON a.i = g.i + 1 AND a.j = g.j + 1
+              |LEFT JOIN grid b ON b.i = g.i + 1 AND b.j = g.j
+              |LEFT JOIN grid c ON c.i = g.i AND c.j = g.j + 1""".stripMargin)),
+
     Q("q_edt2d",
       (s, dir) => explodeGrid(
           toTensor(maskGrid(s, dir), asBool = true)
