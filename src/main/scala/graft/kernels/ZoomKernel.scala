@@ -32,6 +32,36 @@ object ZoomKernel {
   def adjustedCoef(oldN: Int, newN: Int): Double =
     if (newN == 1) oldN.toDouble else (oldN - 1).toDouble / (newN - 1).toDouble
 
+  /** Per-axis sampling tables for one axis of a zoom: lower/upper source
+    * indices (clamped — the clamped corner's weight is exactly 0), the
+    * lerp fraction, and the nearest pick (ties to upper,
+    * _zoom.pyx:203-248). Shared by the in-row kernel and the tiled path so
+    * both produce bit-identical results. */
+  final case class AxisTable(lo: Array[Int], hi: Array[Int], fr: Array[Double], nr: Array[Int])
+
+  def axisTables(old: Int, newN: Int): AxisTable = {
+    val coef = adjustedCoef(old, newN)
+    val lo = new Array[Int](newN); val hi = new Array[Int](newN)
+    val fr = new Array[Double](newN); val nr = new Array[Int](newN)
+    var i = 0
+    while (i < newN) {
+      val c = i * coef
+      val f = math.floor(c)
+      val l = f.toInt
+      val frac = c - f
+      val upOk = l + 1 < old
+      lo(i) = math.min(math.max(l, 0), old - 1)
+      hi(i) = if (upOk) l + 1 else old - 1
+      fr(i) = if (upOk) frac else 0.0
+      nr(i) =
+        if (frac >= 0.5 && upOk) l + 1
+        else if (l >= 0 && l < old) l
+        else if (upOk) l + 1 else 0
+      i += 1
+    }
+    AxisTable(lo, hi, fr, nr)
+  }
+
   /** General n-d zoom, rank 1..4. Returns (data, shape).
     *
     * Fast path: per-axis (floor index, fraction) tables are precomputed once
@@ -51,34 +81,11 @@ object ZoomKernel {
     val coefs = Array.tabulate(n)(d => adjustedCoef(shape(d), newShape(d)))
     // per-axis tables: lo(d)(i), hi(d)(i) (clamped), frac(d)(i), and the
     // nearest-pick index nearIdx(d)(i)
-    val lo = Array.ofDim[Array[Int]](n)
-    val hi = Array.ofDim[Array[Int]](n)
-    val fr = Array.ofDim[Array[Double]](n)
-    val nr = Array.ofDim[Array[Int]](n)
-    var d = 0
-    while (d < n) {
-      val m = newShape(d)
-      val old = shape(d)
-      lo(d) = new Array[Int](m); hi(d) = new Array[Int](m)
-      fr(d) = new Array[Double](m); nr(d) = new Array[Int](m)
-      var i = 0
-      while (i < m) {
-        val c = i * coefs(d)
-        val f = math.floor(c)
-        val l = f.toInt
-        val frac = c - f
-        val upOk = l + 1 < old
-        lo(d)(i) = math.min(math.max(l, 0), old - 1)
-        hi(d)(i) = if (upOk) l + 1 else old - 1
-        fr(d)(i) = if (upOk) frac else 0.0 // weight of clamped corner is 0
-        nr(d)(i) =
-          if (frac >= 0.5 && upOk) l + 1
-          else if (l >= 0 && l < old) l
-          else if (upOk) l + 1 else 0
-        i += 1
-      }
-      d += 1
-    }
+    val tables = Array.tabulate(n)(d => axisTables(shape(d), newShape(d)))
+    val lo = tables.map(_.lo)
+    val hi = tables.map(_.hi)
+    val fr = tables.map(_.fr)
+    val nr = tables.map(_.nr)
     val out = new Array[Double](NdTensor.numel(newShape))
     n match {
       case 1 => zoom1(data, shape, newShape, lo(0), hi(0), fr(0), nr(0), order, out)

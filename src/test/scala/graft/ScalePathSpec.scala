@@ -192,3 +192,26 @@ class DistributedEdtSpec extends AnyFunSuite {
     }
   }
 }
+
+class TiledZoomSpec extends AnyFunSuite {
+  private implicit val spark: org.apache.spark.sql.SparkSession = SharedSpark.spark
+  import spark.implicits._
+  import graft.operators.TiledZoom
+  import graft.kernels.ZoomKernel
+
+  test("striped zoom is bit-identical to the in-row kernel") {
+    val rng = new scala.util.Random(55)
+    val (rows, cols, ts) = (32, 20, 8)
+    val data = Array.fill(rows * cols)(rng.nextDouble() * 10 - 5)
+    for ((s0, s1, order) <- Seq((2.0, 2.0, 1), (0.7, 1.3, 1), (1.0, 0.5, 0), (1.4, 0.6, 0))) {
+      val (exp, expShape) = ZoomKernel.zoom(data, Array(rows, cols), Array(s0, s1), order, 0.0)
+      val stripes = TiledZoom.toStripes(data, rows, cols, ts).toDS()
+      val outStripes = TiledZoom(stripes, ts, rows, cols, s0, s1, order).collect()
+      val got = TiledZoom.fromStripes(outStripes, expShape(0), expShape(1), ts)
+      assert(got.length == exp.length, s"scale ($s0,$s1) order $order")
+      got.zip(exp).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b, s"scale ($s0,$s1) order $order at $i: $a vs $b")
+      }
+    }
+  }
+}
