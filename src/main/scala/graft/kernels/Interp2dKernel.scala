@@ -88,18 +88,58 @@ object Interp2dKernel {
     }
   }
 
-  /** Interpolate one query point; fill outside the hull. */
+  /** Uniform-grid triangle index: each cell lists the triangles whose
+    * bounding box overlaps it — the role of the reference's KD-tree seed
+    * (/root/reference/imops/interp2d.py:117-119): O(1) candidate lookup per
+    * query instead of scanning all triangles. */
+  final class TriGrid(tr: Triangulation, cellsPerAxis: Int) extends Serializable {
+    val minX: Double = tr.px.min
+    val minY: Double = tr.py.min
+    private val maxX = tr.px.max
+    private val maxY = tr.py.max
+    val sx: Double = math.max((maxX - minX) / cellsPerAxis, 1e-12)
+    val sy: Double = math.max((maxY - minY) / cellsPerAxis, 1e-12)
+    private val buckets = Array.fill(cellsPerAxis * cellsPerAxis)(List.empty[Int])
+    private def cellOf(x: Double, y: Double): (Int, Int) = (
+      math.min(cellsPerAxis - 1, math.max(0, ((x - minX) / sx).toInt)),
+      math.min(cellsPerAxis - 1, math.max(0, ((y - minY) / sy).toInt)))
+    for (t <- 0 until tr.nTris) {
+      val vs = Seq(tr.tris(3 * t), tr.tris(3 * t + 1), tr.tris(3 * t + 2))
+      val (cx0, cy0) = cellOf(vs.map(tr.px).min, vs.map(tr.py).min)
+      val (cx1, cy1) = cellOf(vs.map(tr.px).max, vs.map(tr.py).max)
+      for (cx <- cx0 to cx1; cy <- cy0 to cy1)
+        buckets(cx * cellsPerAxis + cy) ::= t
+    }
+    def candidates(x: Double, y: Double): List[Int] = {
+      val (cx, cy) = cellOf(x, y)
+      buckets(cx * cellsPerAxis + cy)
+    }
+  }
+
+  def buildGrid(tr: Triangulation): TriGrid =
+    new TriGrid(tr, math.max(4, math.sqrt(tr.nTris.toDouble).toInt))
+
+  /** Interpolate one query point; fill outside the hull. Linear scan. */
   def interpolate(tr: Triangulation, values: Array[Double],
-                  qx: Double, qy: Double, fill: Double): Double = {
+                  qx: Double, qy: Double, fill: Double): Double =
+    interpolateOver(tr, values, (0 until tr.nTris).iterator, qx, qy, fill)
+
+  /** Bucketed variant: only the query cell's candidate triangles. */
+  def interpolateFast(tr: Triangulation, grid: TriGrid, values: Array[Double],
+                      qx: Double, qy: Double, fill: Double): Double =
+    interpolateOver(tr, values, grid.candidates(qx, qy).iterator, qx, qy, fill)
+
+  private def interpolateOver(tr: Triangulation, values: Array[Double],
+                              tris: Iterator[Int], qx: Double, qy: Double,
+                              fill: Double): Double = {
     val tol = -1e-9
-    var i = 0
-    while (i < tr.nTris) {
+    while (tris.hasNext) {
+      val i = tris.next()
       val w = bary(tr, i, qx, qy)
       if (w != null && w(0) >= tol && w(1) >= tol && w(2) >= tol) {
         val a = tr.tris(3 * i); val b = tr.tris(3 * i + 1); val c = tr.tris(3 * i + 2)
         return w(0) * values(a) + w(1) * values(b) + w(2) * values(c)
       }
-      i += 1
     }
     fill
   }

@@ -23,11 +23,13 @@ object ScatteredInterp {
     val py = rows.map(_.getDouble(1))
     val pv = rows.map(_.getDouble(2))
     val tr = Interp2dKernel.triangulate(px, py)
+    val grid = Interp2dKernel.buildGrid(tr)
     val sc = points.sparkSession.sparkContext
     val bcTr = sc.broadcast(tr)
+    val bcGrid = sc.broadcast(grid)
     val bcV = sc.broadcast(pv)
     val u = udf { (x: Double, y: Double) =>
-      Interp2dKernel.interpolate(bcTr.value, bcV.value, x, y, fill)
+      Interp2dKernel.interpolateFast(bcTr.value, bcGrid.value, bcV.value, x, y, fill)
     }
     queries.withColumn(outCol, u(col(qxCol).cast("double"), col(qyCol).cast("double")))
   }

@@ -215,3 +215,21 @@ class TiledZoomSpec extends AnyFunSuite {
     }
   }
 }
+
+class TriGridSpec extends AnyFunSuite {
+  test("bucketed interpolation equals the linear scan everywhere") {
+    val rng = new scala.util.Random(23)
+    val n = 60
+    val px = Array.fill(n)(rng.nextDouble() * 10)
+    val py = Array.fill(n)(rng.nextDouble() * 10)
+    val v = Array.fill(n)(rng.nextDouble() * 100)
+    val tr = Interp2dKernel.triangulate(px, py)
+    val grid = Interp2dKernel.buildGrid(tr)
+    for (_ <- 0 until 300) {
+      val (qx, qy) = (rng.nextDouble() * 12 - 1, rng.nextDouble() * 12 - 1)
+      val slow = Interp2dKernel.interpolate(tr, v, qx, qy, -5.0)
+      val fast = Interp2dKernel.interpolateFast(tr, grid, v, qx, qy, -5.0)
+      assert(slow == fast, s"at ($qx,$qy): $slow vs $fast")
+    }
+  }
+}
