@@ -116,6 +116,41 @@ object QueriesText {
         s"SELECT doc_id, $bits AS sh FROM documents"
       }),
 
+    // composed training-data pipeline: exact-dedup (keep min doc_id) ->
+    // quality gate (length + stopword ratio) -> language-ID rollup per
+    // source — the end-to-end shape of a corpus-cleaning job, in one plan
+    Q("q_pipeline_clean",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val kept = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+        docs.join(kept, Seq("doc_id"), "left_semi")
+          .where(tokenCount(col("text")) >= 20 &&
+            stopwordRatio(col("text"), Seq("the", "a", "of", "and", "to")) <= 0.5)
+          .select(col("source"), langId(col("text")).as("pred_lang"))
+          .groupBy("source", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some {
+        val langs = langMarkers.map(_._1)
+        val score = langMarkers.map { case (lang, ws) =>
+          s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
+        }.mkString(", ")
+        val pick = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1)
+          s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |q AS (SELECT d.source, d.text FROM documents d
+           |  WHERE d.doc_id IN (SELECT doc_id FROM kept)
+           |  AND len(string_split(d.text, ' ')) >= 20
+           |  AND cast(len(list_filter(string_split(d.text, ' '),
+           |    w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+           |    / len(string_split(d.text, ' ')) <= 0.5),
+           |sc AS (SELECT source, $score FROM q)
+           |SELECT source, CASE $pick ELSE '${langs.last}' END AS pred_lang, count(*) AS n
+           |FROM sc GROUP BY source, CASE $pick ELSE '${langs.last}' END""".stripMargin
+      }),
+
     // ---- text analysis ----
 
     Q("q_token_count",
