@@ -21,6 +21,13 @@ final case class Box(start: Seq[Int], stop: Seq[Int]) {
     start.zip(other.start).forall { case (a, b) => a <= b } &&
       stop.zip(other.stop).forall { case (a, b) => a >= b }
   def numel: Long = shape.foldLeft(1L)(_ * _.toLong)
+  /** `build_slices` — per-axis (start, stop, step) triples
+    * (/root/reference/imops/utils.py:172-199). */
+  def buildSlices(step: Seq[Int]): Seq[(Int, Int, Int)] = {
+    require(step.length == rank, "step rank mismatch")
+    start.lazyZip(stop).lazyZip(step).map((a, b, s) => (a, b, s)).toSeq
+  }
+  def buildSlices: Seq[(Int, Int, Int)] = buildSlices(Seq.fill(rank)(1))
 }
 
 object Box {

@@ -164,6 +164,13 @@ object TensorFunctions {
     RadonKernel.radonSlice(data, sizeN, thetaDeg)
   }
 
+  /** radon with `return_fill=True` (radon.py:99-101): also returns the
+    * constant value found outside the inscribed circle. */
+  val radonWithFillUdf = udf { (data: Array[Double], sizeN: Int, thetaDeg: Array[Double]) =>
+    val (_, fill) = RadonKernel.validateCircle(data, sizeN)
+    (RadonKernel.radonSlice(data, sizeN, thetaDeg), fill)
+  }
+
   val inverseRadonUdf = udf { (sino: Array[Double], sizeN: Int, thetaDeg: Array[Double], fillValue: Double) =>
     RadonKernel.inverseRadonSlice(sino, sizeN, thetaDeg, fillValue)
   }

@@ -299,3 +299,20 @@ class BoxSpec extends AnyFunSuite {
     assert(NdTensor.promoteShape(Array(5), 3).sameElements(Array(1, 1, 5)))
   }
 }
+
+class ReturnFillSpec extends AnyFunSuite {
+  test("radon return_fill surfaces the constant outside the circle") {
+    val size = 16
+    val img = Array.fill(size * size)(2.5) // constant everywhere incl. outside
+    val (clean, fill) = RadonKernel.validateCircle(img, size)
+    assert(fill == 2.5)
+    // outside zeroed on the cleaned copy
+    assert(clean(0) == 0.0 && img(0) == 2.5)
+  }
+
+  test("Box.buildSlices zips starts/stops/steps") {
+    val b = Box(Seq(1, 2), Seq(5, 9))
+    assert(b.buildSlices == Seq((1, 5, 1), (2, 9, 1)))
+    assert(b.buildSlices(Seq(2, 3)) == Seq((1, 5, 2), (2, 9, 3)))
+  }
+}
