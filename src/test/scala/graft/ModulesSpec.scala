@@ -241,3 +241,24 @@ class SkewedAggSpec extends AnyFunSuite {
     salted.foreach { case (k, s, _) => assert(math.abs(s - ds(k)) < 1e-6) }
   }
 }
+
+class BucketedJoinSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    val a = (0L until 1000L).map(i => (i % 100, i)).toDF("k", "va")
+    val b = (0L until 500L).map(i => (i % 100, i * 2)).toDF("k", "vb")
+    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bj_a")
+    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bj_b")
+    val joined = spark.table("bj_a").join(spark.table("bj_b"), "k")
+    // disable broadcast so the co-located bucketing is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 5000) // 10 va-rows x 5 vb-rows per key x 100 keys
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
