@@ -158,6 +158,16 @@ object QueriesText {
         .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"), col("n_chars")),
       Some("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents")),
 
+    // BPE-ish pre-tokenization count: alphanumeric runs and punctuation runs
+    // as separate tokens (regex subset with identical Java/RE2 semantics)
+    Q("q_token_bpe",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9 ]+"), lit(0)))
+            .as("n_bpe_tokens")),
+      Some("""SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]+'))
+             |AS n_bpe_tokens FROM documents""".stripMargin)),
+
     Q("q_quality",
       (s, dir) => T(s, dir, "documents").select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
