@@ -316,3 +316,37 @@ class ReturnFillSpec extends AnyFunSuite {
     assert(b.buildSlices(Seq(2, 3)) == Seq((1, 5, 2), (2, 9, 3)))
   }
 }
+
+class DtypeTagSpec extends AnyFunSuite {
+  import NdTensor.castToDtype
+
+  test("logical dtype cast-back: ints clamp, bools binarize, halves round") {
+    assert(castToDtype(300.0, "uint8") == 255.0)
+    assert(castToDtype(-5.0, "uint16") == 0.0)
+    assert(castToDtype(130.7, "int8") == 127.0)
+    assert(castToDtype(2.5, "bool") == 1.0 && castToDtype(0.0, "bool") == 0.0)
+    // fp16 has ~3 decimal digits: 0.1 is not representable exactly
+    val h = castToDtype(0.1, "float16")
+    assert(h != 0.1 && math.abs(h - 0.1) < 1e-3)
+    assert(castToDtype(1.5, "float16") == 1.5) // exactly representable
+    assert(castToDtype(1e9, "float16").isInfinity) // overflow -> inf
+    assertThrows[IllegalArgumentException](castToDtype(1.0, "complex64"))
+  }
+
+  test("float16 round-trip matches numpy.float16 on pinned cases") {
+    // generated with numpy: (input, float64(float16(input))) — covers
+    // subnormals, round-to-even, max-normal boundary, overflow-to-inf
+    val cases = Seq(
+      (6.141106381442258e-07, 5.960464477539062e-07),
+      (-3.1062095922673245e-08, -5.960464477539063e-08),
+      (-2.965966465193401e-07, -2.980232238769531e-07),
+      (0.1, 0.0999755859375),
+      (65519.999, 65504.0),
+      (65520.0, Double.PositiveInfinity),
+      (2.980232238769531e-08, 0.0),
+      (1.23456789, 1.234375))
+    cases.foreach { case (in, exp) =>
+      assert(NdTensor.halfRoundTrip(in) == exp, s"half($in)")
+    }
+  }
+}
