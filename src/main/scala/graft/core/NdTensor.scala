@@ -98,31 +98,44 @@ object NdTensor {
     * numeric.py:41-42): round-to-nearest-even into a 10-bit significand,
     * overflow to infinity, subnormals preserved. */
   def halfRoundTrip(v: Double): Double = {
-    val f = v.toFloat
-    val bits = java.lang.Float.floatToIntBits(f)
-    val sign = (bits >>> 16) & 0x8000
-    val absBits = bits & 0x7fffffff
+    // convert straight from double (a float32 intermediate would double-
+    // round at the 65520 overflow boundary — numpy converts directly too)
+    val bits = java.lang.Double.doubleToLongBits(v)
+    val sign = ((bits >>> 48) & 0x8000L).toInt
+    val eD = ((bits >>> 52) & 0x7ff).toInt
+    val frac = bits & 0xfffffffffffffL
     val half: Int =
-      if (absBits >= 0x7f800000) sign | 0x7c00 | (if (absBits > 0x7f800000) 0x200 else 0) // inf/nan
-      else if (absBits >= 0x47800000) sign | 0x7c00 // overflow -> inf
-      else if (absBits >= 0x38800000) { // normal half
-        val e = ((absBits >>> 23) - 112) << 10
-        val m = (absBits >>> 13) & 0x3ff
-        val rounded = sign | e | m
-        // round to nearest even on the truncated 13 bits
-        val rem = absBits & 0x1fff
-        if (rem > 0x1000 || (rem == 0x1000 && (m & 1) == 1)) rounded + 1 else rounded
-      } else if (absBits >= 0x33000000) { // subnormal half
-        // value = m24 * 2^(e_f - 150); half mantissa unit is 2^-24, so
-        // mantissa_h = m24 >> (126 - e_f), with 13 <= 126 - e_f <= 24
-        val totalShift = 126 - (absBits >>> 23)
-        val m = (absBits & 0x7fffff) | 0x800000
-        val shifted = m >>> totalShift
-        val rem = m & ((1 << totalShift) - 1)
-        val halfPoint = 1 << (totalShift - 1)
-        val r = if (rem > halfPoint || (rem == halfPoint && (shifted & 1) == 1)) shifted + 1 else shifted
-        sign | r
-      } else sign // underflow -> signed zero
+      if (eD == 0x7ff) sign | 0x7c00 | (if (frac != 0) 0x200 else 0) // inf/nan
+      else {
+        val e = eD - 1023
+        if (e >= -14) {
+          val eh = e + 15
+          if (eh >= 31) sign | 0x7c00 // overflow -> inf
+          else {
+            val m = (frac >>> 42).toInt
+            val rem = frac & ((1L << 42) - 1)
+            val halfPoint = 1L << 41
+            var r = (eh << 10) | m
+            // round-to-nearest-even; a carry out of 0x7bff lands on 0x7c00
+            // (inf), which is the correct boundary behavior
+            if (rem > halfPoint || (rem == halfPoint && (m & 1) == 1)) r += 1
+            sign | r
+          }
+        } else if (eD == 0) sign // double subnormal ~ 1e-308 -> signed zero
+        else { // subnormal half: mantissa_h = m53 >> (1051 - eD)
+          val totalShift = 1051 - eD
+          if (totalShift > 53) sign
+          else {
+            val m53 = frac | (1L << 52)
+            val shifted = (m53 >>> totalShift).toInt
+            val rem = m53 & ((1L << totalShift) - 1)
+            val halfPoint = 1L << (totalShift - 1)
+            val r = if (rem > halfPoint || (rem == halfPoint && (shifted & 1) == 1)) shifted + 1
+                    else shifted
+            sign | r
+          }
+        }
+      }
     // expand back to float
     val s = (half & 0x8000) << 16
     val eh = (half >>> 10) & 0x1f
