@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON; sbt's
+// "[success] Total time..." epilogue after the bench output broke that
+// (round-1 `parsed: null`). Suppress it so the JSON line stays last, and
+// stream the forked JVM's stdout raw (no "[info] " prefix tagging).
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

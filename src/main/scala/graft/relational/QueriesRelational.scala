@@ -105,12 +105,15 @@ object QueriesRelational {
              sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
              sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
              sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")),
+      // DuckDB sums over INTEGER as HUGEINT, which pandas fetches as
+      // float64 while Spark writes int64 (identical values, different
+      // hash) — cast back to BIGINT so both sides fetch as int64.
       Some("""SELECT user_id,
-             |sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-             |sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-             |sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-             |sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-             |sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+             |cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             |cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
              |cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY user_id""".stripMargin)),
 
@@ -125,10 +128,11 @@ object QueriesRelational {
           .agg(count(lit(1)).as("n_events"),
                (lit(1) + sum(when(col("gap") > 1800000000000L, 1).otherwise(0))).as("n_sessions"))
       },
+      // HUGEINT→float64 fetch quirk: cast the integer sum to BIGINT.
       Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
              |g AS (SELECT user_id, t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap FROM e)
              |SELECT user_id, count(*) AS n_events,
-             |1 + sum(CASE WHEN gap > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions
+             |cast(1 + sum(CASE WHEN gap > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
              |FROM g GROUP BY user_id""".stripMargin)),
 
     Q("q_asof_join",

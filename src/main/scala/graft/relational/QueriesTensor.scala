@@ -13,6 +13,10 @@ import graft.operators.Interp1dJoin
   * `l_quantity` sequences ordered by `l_linenumber` (integer-valued
   * doubles — hash-exact). The n-d kernel forms are exercised by
   * QueriesGrid and the ScalaTest suites.
+  *
+  * Every declared query outputs SCALAR columns only: array results are
+  * exploded to (id, pos, v) rows on both sides, because the driver's
+  * pandas-based compare cannot sort/hash list columns.
   */
 object QueriesTensor {
 
@@ -38,6 +42,25 @@ object QueriesTensor {
   private val maskCte =
     "WITH m AS (SELECT l_orderkey AS id, list(l_quantity >= 25.0 ORDER BY l_linenumber, l_quantity) AS mask FROM lineitem GROUP BY l_orderkey)"
 
+  /** Explode an (id, data: array) frame into scalar (id, pos, v) rows.
+    * pos is LONG on both sides (DuckDB range() yields BIGINT); booleans
+    * and other non-doubles go through asLong. */
+  private def explodePos(df: DataFrame, asLong: Boolean = false): DataFrame =
+    df.select(col("id"), posexplode(col("data")).as(Seq("pos", "v0")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        (if (asLong) col("v0").cast("long") else col("v0")).as("v"))
+
+  /** Wrap an oracle select producing (id, data: list) into the exploded
+    * (id, pos, v) form via DuckDB's zip-unnest. `castTo` forces a
+    * per-element CAST (use "BIGINT" for boolean/int lists so pandas
+    * fetches int64, matching Spark's long). */
+  private def explodeSql(ctes: String, inner: String, castTo: String = ""): String = {
+    val u =
+      if (castTo.isEmpty) "unnest(data)"
+      else s"unnest(list_transform(data, x -> CAST(x AS $castTo)))"
+    s"$ctes, __o AS ($inner) SELECT id, unnest(range(len(data))) AS pos, $u AS v FROM __o"
+  }
+
   // SQL fragment: zoom 1-D source coordinate for output index i at scale 2 (len n)
   private def coord(i: String, n: String) = s"($i * (($n - 1.0) / (2*$n - 1.0)))"
 
@@ -46,27 +69,32 @@ object QueriesTensor {
     // ---- pointwise numerics (/root/reference/imops/numeric.py) ----
 
     Q("q_pointwise_add",
-      (s, dir) => arrDf(s, dir).select(col("id"), pointwiseAdd(col("data"), 5.0).as("data")),
-      Some(s"$arrCte SELECT id, list_transform(data, x -> x + 5.0) AS data FROM arr")),
+      (s, dir) => explodePos(
+        arrDf(s, dir).select(col("id"), pointwiseAdd(col("data"), 5.0).as("data"))),
+      Some(explodeSql(arrCte,
+        "SELECT id, list_transform(data, x -> x + 5.0) AS data FROM arr"))),
 
     Q("q_pointwise_add_arrays",
-      (s, dir) => arrDf(s, dir).select(col("id"),
-        pointwiseAddArray(col("data"), reverse(col("data"))).as("data")),
-      Some(s"""$arrCte SELECT id, list_transform(range(1, len(data)+1),
-              |i -> data[i] + data[len(data)+1-i]) AS data FROM arr""".stripMargin)),
+      (s, dir) => explodePos(arrDf(s, dir).select(col("id"),
+        pointwiseAddArray(col("data"), reverse(col("data"))).as("data"))),
+      Some(explodeSql(arrCte,
+        """SELECT id, list_transform(range(1, len(data)+1),
+          |i -> data[i] + data[len(data)+1-i]) AS data FROM arr""".stripMargin))),
 
     Q("q_fill",
-      (s, dir) => arrDf(s, dir).select(col("id"), fillArray(col("data"), 7.5).as("data")),
-      Some(s"$arrCte SELECT id, list_transform(data, x -> 7.5::DOUBLE) AS data FROM arr")),
+      (s, dir) => explodePos(
+        arrDf(s, dir).select(col("id"), fillArray(col("data"), 7.5).as("data"))),
+      Some(explodeSql(arrCte,
+        "SELECT id, list_transform(data, x -> 7.5::DOUBLE) AS data FROM arr"))),
 
     Q("q_full",
-      (s, dir) => T(s, dir, "nation").select(col("n_nationkey").as("id"),
-        fullArray(lit(4), 2.5).as("data")),
-      Some("SELECT n_nationkey AS id, [2.5::DOUBLE, 2.5::DOUBLE, 2.5::DOUBLE, 2.5::DOUBLE] AS data FROM nation")),
+      (s, dir) => explodePos(T(s, dir, "nation").select(col("n_nationkey").as("id"),
+        fullArray(lit(4), 2.5).as("data"))),
+      Some("SELECT n_nationkey AS id, unnest(range(4)) AS pos, 2.5::DOUBLE AS v FROM nation")),
 
     Q("q_copy",
-      (s, dir) => arrDf(s, dir).select(col("id"), col("data")),
-      Some(s"$arrCte SELECT id, data FROM arr")),
+      (s, dir) => explodePos(arrDf(s, dir).select(col("id"), col("data"))),
+      Some(explodeSql(arrCte, "SELECT id, data FROM arr"))),
 
     Q("q_isin",
       (s, dir) => T(s, dir, "lineitem")
@@ -77,10 +105,12 @@ object QueriesTensor {
              |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)""".stripMargin)),
 
     Q("q_isin_mask",
-      (s, dir) => arrDf(s, dir).select(col("id"),
-        isinArray(col("data"), Seq(5.0, 10.0, 15.0, 20.0, 25.0)).as("mask")),
-      Some(s"""$arrCte SELECT id, list_transform(data,
-              |x -> list_contains([5.0, 10.0, 15.0, 20.0, 25.0], x)) AS mask FROM arr""".stripMargin)),
+      (s, dir) => explodePos(arrDf(s, dir).select(col("id"),
+        isinArray(col("data"), Seq(5.0, 10.0, 15.0, 20.0, 25.0)).as("data")), asLong = true),
+      Some(explodeSql(arrCte,
+        """SELECT id, list_transform(data,
+          |x -> list_contains([5.0, 10.0, 15.0, 20.0, 25.0], x)) AS data FROM arr""".stripMargin,
+        castTo = "BIGINT"))),
 
     // ---- aggregations (/root/reference/imops/measure.py) ----
 
@@ -145,43 +175,49 @@ object QueriesTensor {
     // ---- pad / crop (/root/reference/imops/pad.py, crop.py) ----
 
     Q("q_pad",
-      (s, dir) => arrDf(s, dir).select(col("id"),
-        padArray(col("data"), lit(2), lit(1), 0.0).as("data")),
-      Some(s"$arrCte SELECT id, [0.0::DOUBLE, 0.0::DOUBLE] || data || [0.0::DOUBLE] AS data FROM arr")),
+      (s, dir) => explodePos(arrDf(s, dir).select(col("id"),
+        padArray(col("data"), lit(2), lit(1), 0.0).as("data"))),
+      Some(explodeSql(arrCte,
+        "SELECT id, [0.0::DOUBLE, 0.0::DOUBLE] || data || [0.0::DOUBLE] AS data FROM arr"))),
 
     Q("q_pad_to_shape",
-      (s, dir) => arrDf(s, dir).where(size(col("data")) <= 8)
-        .select(col("id"), padToShape(col("data"), 8, 0.5, 0.0).as("data")),
-      Some(s"""$arrCte SELECT id, list_concat(list_concat(
-              |list_transform(range(cast(floor((8 - len(data)) * 0.5) AS INT)), x -> 0.0::DOUBLE),
-              |data),
-              |list_transform(range(8 - len(data) - cast(floor((8 - len(data)) * 0.5) AS INT)), x -> 0.0::DOUBLE)) AS data
-              |FROM arr WHERE len(data) <= 8""".stripMargin)),
+      (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")) <= 8)
+        .select(col("id"), padToShape(col("data"), 8, 0.5, 0.0).as("data"))),
+      Some(explodeSql(arrCte,
+        """SELECT id, list_concat(list_concat(
+          |list_transform(range(cast(floor((8 - len(data)) * 0.5) AS INT)), x -> 0.0::DOUBLE),
+          |data),
+          |list_transform(range(8 - len(data) - cast(floor((8 - len(data)) * 0.5) AS INT)), x -> 0.0::DOUBLE)) AS data
+          |FROM arr WHERE len(data) <= 8""".stripMargin))),
 
     Q("q_pad_to_divisible",
-      (s, dir) => arrDf(s, dir).select(col("id"),
-        padToDivisible(col("data"), 4, 0.0).as("data")),
-      Some(s"""$arrCte SELECT id,
-              |data || list_transform(range((4 - len(data) % 4) % 4), x -> 0.0::DOUBLE) AS data
-              |FROM arr""".stripMargin)),
+      (s, dir) => explodePos(arrDf(s, dir).select(col("id"),
+        padToDivisible(col("data"), 4, 0.0).as("data"))),
+      Some(explodeSql(arrCte,
+        """SELECT id,
+          |data || list_transform(range((4 - len(data) % 4) % 4), x -> 0.0::DOUBLE) AS data
+          |FROM arr""".stripMargin))),
 
     Q("q_crop_to_shape",
-      (s, dir) => arrDf(s, dir).where(size(col("data")) >= 3)
-        .select(col("id"), cropToShape(col("data"), 3, 0.5).as("data")),
-      Some(s"""$arrCte SELECT id,
-              |list_slice(data, cast(floor((len(data)-3) * 0.5) AS INT) + 1,
-              |                 cast(floor((len(data)-3) * 0.5) AS INT) + 3) AS data
-              |FROM arr WHERE len(data) >= 3""".stripMargin)),
+      (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")) >= 3)
+        .select(col("id"), cropToShape(col("data"), 3, 0.5).as("data"))),
+      Some(explodeSql(arrCte,
+        """SELECT id,
+          |list_slice(data, cast(floor((len(data)-3) * 0.5) AS INT) + 1,
+          |                 cast(floor((len(data)-3) * 0.5) AS INT) + 3) AS data
+          |FROM arr WHERE len(data) >= 3""".stripMargin))),
 
     Q("q_crop_to_box",
-      (s, dir) => arrDf(s, dir).where(size(col("data")) >= 4)
-        .select(col("id"), cropToBox(col("data"), lit(1), lit(4)).as("data")),
-      Some(s"$arrCte SELECT id, list_slice(data, 2, 4) AS data FROM arr WHERE len(data) >= 4")),
+      (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")) >= 4)
+        .select(col("id"), cropToBox(col("data"), lit(1), lit(4)).as("data"))),
+      Some(explodeSql(arrCte,
+        "SELECT id, list_slice(data, 2, 4) AS data FROM arr WHERE len(data) >= 4"))),
 
     Q("q_restore_crop",
-      (s, dir) => arrDf(s, dir).select(col("id"),
-        restoreCrop(col("data"), lit(2), size(col("data")) + 5, 1.0).as("data")),
-      Some(s"$arrCte SELECT id, [1.0::DOUBLE, 1.0::DOUBLE] || data || [1.0::DOUBLE, 1.0::DOUBLE, 1.0::DOUBLE] AS data FROM arr")),
+      (s, dir) => explodePos(arrDf(s, dir).select(col("id"),
+        restoreCrop(col("data"), lit(2), size(col("data")) + 5, 1.0).as("data"))),
+      Some(explodeSql(arrCte,
+        "SELECT id, [1.0::DOUBLE, 1.0::DOUBLE] || data || [1.0::DOUBLE, 1.0::DOUBLE, 1.0::DOUBLE] AS data FROM arr"))),
 
     // ---- interp1d (/root/reference/imops/interp1d.py) ----
 
@@ -232,86 +268,99 @@ object QueriesTensor {
     // ---- zoom, 1-D oracle forms (/root/reference/imops/src/_zoom.pyx) ----
 
     Q("q_zoom1d_linear",
-      (s, dir) => arrDf(s, dir).where(size(col("data")) >= 2)
+      (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")) >= 2)
         .withColumn("z", zoomUdf(col("data"), array(size(col("data"))),
           array(lit(2.0)), lit(1), lit(0.0)))
-        .select(col("id"), transform(col("z").getField("_1"), x => round(x, 4)).as("data")),
+        .select(col("id"), transform(col("z").getField("_1"), x => round(x, 4)).as("data"))),
       Some {
         val c = coord("i", "len(data)")
         val fi = s"cast(floor($c) AS INT)"
-        s"""$arrCte SELECT id, list_transform(range(0, 2*len(data)), i ->
-           |round(data[$fi + 1] * (1 - ($c - floor($c)))
-           |    + coalesce(data[$fi + 2], 0.0) * ($c - floor($c)), 4)) AS data
-           |FROM arr WHERE len(data) >= 2""".stripMargin
+        explodeSql(arrCte,
+          s"""SELECT id, list_transform(range(0, 2*len(data)), i ->
+             |round(data[$fi + 1] * (1 - ($c - floor($c)))
+             |    + coalesce(data[$fi + 2], 0.0) * ($c - floor($c)), 4)) AS data
+             |FROM arr WHERE len(data) >= 2""".stripMargin)
       }),
 
     Q("q_zoom1d_nearest",
-      (s, dir) => arrDf(s, dir).where(size(col("data")) >= 2)
+      (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")) >= 2)
         .withColumn("z", zoomUdf(col("data"), array(size(col("data"))),
           array(lit(2.0)), lit(0), lit(0.0)))
-        .select(col("id"), col("z").getField("_1").as("data")),
+        .select(col("id"), col("z").getField("_1").as("data"))),
       Some {
         val c = coord("i", "len(data)")
-        s"""$arrCte SELECT id, list_transform(range(0, 2*len(data)), i ->
-           |data[CASE WHEN ($c - floor($c)) >= 0.5 AND cast(floor($c) AS INT) + 1 <= len(data) - 1
-           |          THEN cast(floor($c) AS INT) + 2 ELSE cast(floor($c) AS INT) + 1 END]) AS data
-           |FROM arr WHERE len(data) >= 2""".stripMargin
+        explodeSql(arrCte,
+          s"""SELECT id, list_transform(range(0, 2*len(data)), i ->
+             |data[CASE WHEN ($c - floor($c)) >= 0.5 AND cast(floor($c) AS INT) + 1 <= len(data) - 1
+             |          THEN cast(floor($c) AS INT) + 2 ELSE cast(floor($c) AS INT) + 1 END]) AS data
+             |FROM arr WHERE len(data) >= 2""".stripMargin)
       }),
 
     Q("q_zoom_to_shape",
-      (s, dir) => arrDf(s, dir).where(size(col("data")).between(2, 13))
+      (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")).between(2, 13))
         .withColumn("z", zoomToShapeUdf(col("data"), array(size(col("data"))),
           array(lit(4)), lit(1)))
-        .select(col("id"), transform(col("z").getField("_1"), x => round(x, 4)).as("data")),
+        .select(col("id"), transform(col("z").getField("_1"), x => round(x, 4)).as("data"))),
       Some {
         val c = "(i * ((len(data) - 1.0) / 3.0))"
         val fi = s"cast(floor($c) AS INT)"
-        s"""$arrCte SELECT id, list_transform(range(0, 4), i ->
-           |round(data[$fi + 1] * (1 - ($c - floor($c)))
-           |    + coalesce(data[$fi + 2], 0.0) * ($c - floor($c)), 4)) AS data
-           |FROM arr WHERE len(data) BETWEEN 2 AND 13""".stripMargin
+        explodeSql(arrCte,
+          s"""SELECT id, list_transform(range(0, 4), i ->
+             |round(data[$fi + 1] * (1 - ($c - floor($c)))
+             |    + coalesce(data[$fi + 2], 0.0) * ($c - floor($c)), 4)) AS data
+             |FROM arr WHERE len(data) BETWEEN 2 AND 13""".stripMargin)
       }),
 
     // ---- 1-D morphology (/root/reference/imops/src/_morphology.pyx) ----
 
     Q("q_erosion1d",
-      (s, dir) => maskDf(s, dir).select(col("id"),
-        erodeUdf(col("mask"), array(size(col("mask")))).as("mask")),
-      Some(s"""$maskCte SELECT id, list_transform(range(1, len(mask)+1), i ->
-              |(CASE WHEN i = 1 THEN true ELSE mask[i-1] END)
-              |AND mask[i]
-              |AND (CASE WHEN i = len(mask) THEN true ELSE mask[i+1] END)) AS mask FROM m""".stripMargin)),
+      (s, dir) => explodePos(maskDf(s, dir).select(col("id"),
+        erodeUdf(col("mask"), array(size(col("mask")))).as("data")), asLong = true),
+      Some(explodeSql(maskCte,
+        """SELECT id, list_transform(range(1, len(mask)+1), i ->
+          |(CASE WHEN i = 1 THEN true ELSE mask[i-1] END)
+          |AND mask[i]
+          |AND (CASE WHEN i = len(mask) THEN true ELSE mask[i+1] END)) AS data FROM m""".stripMargin,
+        castTo = "BIGINT"))),
 
     Q("q_dilation1d",
-      (s, dir) => maskDf(s, dir).select(col("id"),
-        dilateUdf(col("mask"), array(size(col("mask")))).as("mask")),
-      Some(s"""$maskCte SELECT id, list_transform(range(1, len(mask)+1), i ->
-              |(CASE WHEN i = 1 THEN false ELSE mask[i-1] END)
-              |OR mask[i]
-              |OR (CASE WHEN i = len(mask) THEN false ELSE mask[i+1] END)) AS mask FROM m""".stripMargin)),
+      (s, dir) => explodePos(maskDf(s, dir).select(col("id"),
+        dilateUdf(col("mask"), array(size(col("mask")))).as("data")), asLong = true),
+      Some(explodeSql(maskCte,
+        """SELECT id, list_transform(range(1, len(mask)+1), i ->
+          |(CASE WHEN i = 1 THEN false ELSE mask[i-1] END)
+          |OR mask[i]
+          |OR (CASE WHEN i = len(mask) THEN false ELSE mask[i+1] END)) AS data FROM m""".stripMargin,
+        castTo = "BIGINT"))),
 
     Q("q_closing1d",
-      (s, dir) => maskDf(s, dir).select(col("id"),
-        closeUdf(col("mask"), array(size(col("mask")))).as("mask")),
-      Some(s"""$maskCte, d AS (SELECT id, list_transform(range(1, len(mask)+1), i ->
-              |(CASE WHEN i = 1 THEN false ELSE mask[i-1] END) OR mask[i]
-              |OR (CASE WHEN i = len(mask) THEN false ELSE mask[i+1] END)) AS mask FROM m)
-              |SELECT id, list_transform(range(1, len(mask)+1), i ->
-              |(CASE WHEN i = 1 THEN true ELSE mask[i-1] END) AND mask[i]
-              |AND (CASE WHEN i = len(mask) THEN true ELSE mask[i+1] END)) AS mask FROM d""".stripMargin)),
+      (s, dir) => explodePos(maskDf(s, dir).select(col("id"),
+        closeUdf(col("mask"), array(size(col("mask")))).as("data")), asLong = true),
+      Some(explodeSql(
+        s"""$maskCte, d AS (SELECT id, list_transform(range(1, len(mask)+1), i ->
+           |(CASE WHEN i = 1 THEN false ELSE mask[i-1] END) OR mask[i]
+           |OR (CASE WHEN i = len(mask) THEN false ELSE mask[i+1] END)) AS mask FROM m)""".stripMargin,
+        """SELECT id, list_transform(range(1, len(mask)+1), i ->
+          |(CASE WHEN i = 1 THEN true ELSE mask[i-1] END) AND mask[i]
+          |AND (CASE WHEN i = len(mask) THEN true ELSE mask[i+1] END)) AS data FROM d""".stripMargin,
+        castTo = "BIGINT"))),
 
     Q("q_opening1d",
-      (s, dir) => maskDf(s, dir).select(col("id"),
-        openUdf(col("mask"), array(size(col("mask")))).as("mask")),
-      Some(s"""$maskCte, e AS (SELECT id, list_transform(range(1, len(mask)+1), i ->
-              |(CASE WHEN i = 1 THEN true ELSE mask[i-1] END) AND mask[i]
-              |AND (CASE WHEN i = len(mask) THEN true ELSE mask[i+1] END)) AS mask FROM m)
-              |SELECT id, list_transform(range(1, len(mask)+1), i ->
-              |(CASE WHEN i = 1 THEN false ELSE mask[i-1] END) OR mask[i]
-              |OR (CASE WHEN i = len(mask) THEN false ELSE mask[i+1] END)) AS mask FROM e""".stripMargin)),
+      (s, dir) => explodePos(maskDf(s, dir).select(col("id"),
+        openUdf(col("mask"), array(size(col("mask")))).as("data")), asLong = true),
+      Some(explodeSql(
+        s"""$maskCte, e AS (SELECT id, list_transform(range(1, len(mask)+1), i ->
+           |(CASE WHEN i = 1 THEN true ELSE mask[i-1] END) AND mask[i]
+           |AND (CASE WHEN i = len(mask) THEN true ELSE mask[i+1] END)) AS mask FROM m)""".stripMargin,
+        """SELECT id, list_transform(range(1, len(mask)+1), i ->
+          |(CASE WHEN i = 1 THEN false ELSE mask[i-1] END) OR mask[i]
+          |OR (CASE WHEN i = len(mask) THEN false ELSE mask[i+1] END)) AS data FROM e""".stripMargin,
+        castTo = "BIGINT"))),
 
     // ---- label as 1-D run-length components (/root/reference/imops/measure.py:33-137) ----
 
+    // scalar roll-up per user: component count + size aggregates (the
+    // per-component size list is covered by q_label_run_sizes below)
     Q("q_label_runs",
       (s, dir) => {
         val perUser = T(s, dir, "events")
@@ -321,7 +370,9 @@ object QueriesTensor {
         perUser
           .withColumn("lab", labelUdf(col("data"), array(size(col("data"))), lit(0.0), lit(1)))
           .select(col("user_id"), col("lab").getField("_2").cast("long").as("n_components"),
-                  col("lab").getField("_3").as("sizes"))
+                  coalesce(array_max(col("lab").getField("_3")), lit(0L)).as("max_size"),
+                  coalesce(aggregate(col("lab").getField("_3"), lit(0L), (acc, x) => acc + x),
+                    lit(0L)).as("total_size"))
       },
       Some("""WITH e AS (SELECT user_id, event_id, (value > 100.0) AS m,
              |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events),
@@ -330,25 +381,54 @@ object QueriesTensor {
              |l AS (SELECT user_id, rn, m, sum(st) OVER (PARTITION BY user_id ORDER BY rn
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lbl FROM r),
              |sz AS (SELECT user_id, lbl, count(*) AS c FROM l WHERE m GROUP BY user_id, lbl),
-             |agg AS (SELECT user_id, list(c ORDER BY lbl) AS sizes, count(*) AS n_components
-             |  FROM sz GROUP BY user_id)
-             |SELECT u.user_id, coalesce(a.n_components, 0) AS n_components,
-             |coalesce(a.sizes, []) AS sizes
+             |agg AS (SELECT user_id, count(*) AS n_components, max(c) AS max_size,
+             |  sum(c) AS total_size FROM sz GROUP BY user_id)
+             |SELECT u.user_id, cast(coalesce(a.n_components, 0) AS BIGINT) AS n_components,
+             |cast(coalesce(a.max_size, 0) AS BIGINT) AS max_size,
+             |cast(coalesce(a.total_size, 0) AS BIGINT) AS total_size
              |FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN agg a ON u.user_id = a.user_id""".stripMargin)),
+
+    // per-component sizes in scan order — the exploded form of the
+    // reference's `sizes` extra (measure.py:120-132)
+    Q("q_label_run_sizes",
+      (s, dir) => {
+        val perUser = T(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(transform(array_sort(collect_list(struct(col("event_id"), (col("value") > 100.0).as("m")))),
+            x => when(x.getField("m"), 1.0).otherwise(0.0)).as("data"))
+        perUser
+          .withColumn("lab", labelUdf(col("data"), array(size(col("data"))), lit(0.0), lit(1)))
+          .select(col("user_id"), posexplode(col("lab").getField("_3")).as(Seq("idx", "sz")))
+          .select(col("user_id"), (col("idx") + 1).cast("long").as("label"),
+                  col("sz").cast("long").as("size"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, (value > 100.0) AS m,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events),
+             |r AS (SELECT user_id, rn, m, CASE WHEN m AND NOT coalesce(
+             |  lag(m) OVER (PARTITION BY user_id ORDER BY rn), false) THEN 1 ELSE 0 END AS st FROM e),
+             |l AS (SELECT user_id, rn, m, sum(st) OVER (PARTITION BY user_id ORDER BY rn
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lbl FROM r)
+             |SELECT user_id, cast(lbl AS BIGINT) AS label, cast(count(*) AS BIGINT) AS size
+             |FROM l WHERE m GROUP BY user_id, lbl""".stripMargin)),
 
     // ---- 1-D EDT (/root/reference/imops/morphology.py:372-521) ----
 
+    // distances stay DOUBLE: a LONG cast would be re-evaluated by Catalyst's
+    // inferred Generate filter on pre-filter rows (where the all-true
+    // sentinel 1e50 lives) and trip the ANSI overflow check; 1-D distances
+    // at sampling 1.0 are exact integers in double, so the hash is stable
     Q("q_edt1d",
-      (s, dir) => maskDf(s, dir)
+      (s, dir) => explodePos(maskDf(s, dir)
         .where(array_contains(col("mask"), false))
         .select(col("id"),
-          transform(edtUdf(col("mask"), array(size(col("mask"))), array(lit(1.0))),
-            x => x.cast("long")).as("dist")),
-      Some(s"""$maskCte, f AS (SELECT id, mask,
-              |  list_filter(range(0, len(mask)), j -> NOT mask[j+1]) AS zpos
-              |  FROM m WHERE list_contains(mask, false))
-              |SELECT id, list_transform(range(0, len(mask)), i ->
-              |CASE WHEN mask[i+1] THEN list_min(list_transform(zpos, j -> abs(i - j)))
-              |     ELSE 0 END) AS dist FROM f""".stripMargin))
+          edtUdf(col("mask"), array(size(col("mask"))), array(lit(1.0))).as("data"))),
+      Some(explodeSql(
+        s"""$maskCte, f AS (SELECT id, mask,
+           |  list_filter(range(0, len(mask)), j -> NOT mask[j+1]) AS zpos
+           |  FROM m WHERE list_contains(mask, false))""".stripMargin,
+        """SELECT id, list_transform(range(0, len(mask)), i ->
+          |CASE WHEN mask[i+1] THEN list_min(list_transform(zpos, j -> abs(i - j)))
+          |     ELSE 0 END) AS data FROM f""".stripMargin,
+        castTo = "DOUBLE")))
   )
 }

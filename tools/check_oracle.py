@@ -32,6 +32,16 @@ def norm(v):
     if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
     return v
 
+def list_cols(df):
+    """The driver's pandas sort_values raises on list/ndarray cells — any
+    list-typed output column is an automatic gate failure. Flag them."""
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object and len(col) and isinstance(col.iloc[0], (list, tuple, np.ndarray)):
+            bad.append(c)
+    return bad
+
 fails, okc = [], 0
 for name, sql in sorted(oracle.items()):
     try:
@@ -42,9 +52,18 @@ for name, sql in sorted(oracle.items()):
         got = con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
     except Exception as e:
         fails.append((name, f"spark output missing: {e}")); continue
+    lb = list_cols(exp) + list_cols(got)
+    if lb:
+        fails.append((name, f"list-typed columns (driver cannot hash): {sorted(set(lb))}")); continue
     ec, gc = sorted(exp.columns), sorted(got.columns)
     if ec != gc:
         fails.append((name, f"columns differ: oracle={ec} spark={gc}")); continue
+    # dtype-kind mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
+    # hash-mismatches in the driver even when values are identical
+    dk = [(c, exp[c].dtype, got[c].dtype) for c in ec
+          if exp[c].dtype.kind != got[c].dtype.kind]
+    if dk:
+        fails.append((name, f"dtype kinds differ: {dk}")); continue
     er = sorted([tuple(norm(v) for v in row) for row in exp[ec].itertuples(index=False)], key=str)
     gr = sorted([tuple(norm(v) for v in row) for row in got[ec].itertuples(index=False)], key=str)
     if len(er) != len(gr):
