@@ -292,50 +292,187 @@ object QueriesGrid {
               |LEFT JOIN grid l ON l.i = g.i AND l.j = g.j - 1
               |LEFT JOIN grid r ON r.i = g.i AND r.j = g.j + 1""".stripMargin)),
 
-    // no SQL oracle (iterative / geometric / FFT ops) — rows-only checks,
-    // verified against the single-node kernels in the ScalaTest suites
+    // convex_hull_image vs a from-scratch relational hull: candidate points
+    // are the per-row bound pixels offset by +-0.5 (doubled to stay integer,
+    // so every cross product below is exact); a directed pair (a,b) is a CCW
+    // hull edge iff no point lies right of it and collinear points sit inside
+    // the segment; the scanline (lerp at integer rows, vertical-edge
+    // floor/ceil rule, +-0.2 fudge) replicates HullKernel.gridPointsInPoly
+    // operation-for-operation, so the compare is exact with no rounding.
     Q("q_hull2d",
       (s, dir) => explodeGrid(
           toTensor(maskGrid(s, dir), asBool = true)
             .select(hullUdf(col("data"), array(lit(N), lit(N))).as("h")),
           "h", N)
         .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("h")),
-      None),
+      Some(s"""WITH $maskGridCte,
+              |b AS (SELECT i, min(j) AS jl, max(j) AS jr FROM grid WHERE v = 1 GROUP BY i),
+              |cand AS (
+              |  SELECT 2*i - 1 AS x, 2*jl AS y FROM b UNION SELECT 2*i + 1, 2*jl FROM b
+              |  UNION SELECT 2*i, 2*jl - 1 FROM b UNION SELECT 2*i, 2*jl + 1 FROM b
+              |  UNION SELECT 2*i - 1, 2*jr FROM b UNION SELECT 2*i + 1, 2*jr FROM b
+              |  UNION SELECT 2*i, 2*jr - 1 FROM b UNION SELECT 2*i, 2*jr + 1 FROM b),
+              |he AS (SELECT a.x AS ax, a.y AS ay, c.x AS bx, c.y AS cy2
+              |  FROM cand a JOIN cand c ON (a.x <> c.x OR a.y <> c.y)
+              |  WHERE NOT EXISTS (SELECT 1 FROM cand p WHERE
+              |      (c.x - a.x) * (p.y - a.y) - (c.y - a.y) * (p.x - a.x) < 0)
+              |    AND NOT EXISTS (SELECT 1 FROM cand p WHERE
+              |      (c.x - a.x) * (p.y - a.y) - (c.y - a.y) * (p.x - a.x) = 0
+              |      AND (p.x < least(a.x, c.x) OR p.x > greatest(a.x, c.x)
+              |           OR p.y < least(a.y, c.y) OR p.y > greatest(a.y, c.y)))),
+              |nv AS (SELECT
+              |  CASE WHEN ax < bx THEN ax / 2.0 ELSE bx / 2.0 END AS fx,
+              |  CASE WHEN ax < bx THEN ay / 2.0 ELSE cy2 / 2.0 END AS fy,
+              |  CASE WHEN ax < bx THEN bx / 2.0 ELSE ax / 2.0 END AS tx,
+              |  CASE WHEN ax < bx THEN cy2 / 2.0 ELSE ay / 2.0 END AS ty
+              |  FROM he WHERE ax <> bx),
+              |contrib AS (
+              |  SELECT CAST(t.r AS INT) AS r,
+              |    fy * (1 - (t.r - fx) / (tx - fx)) + ty * ((t.r - fx) / (tx - fx)) AS y
+              |  FROM nv, unnest(range(CAST(ceil(fx) AS BIGINT), CAST(floor(tx + 1) AS BIGINT))) AS t(r)
+              |  UNION ALL
+              |  SELECT CAST(CASE WHEN ay < cy2 THEN floor(ax / 2.0) ELSE ceil(ax / 2.0) END AS INT),
+              |    least(ay, cy2) / 2.0 FROM he WHERE ax = bx
+              |  UNION ALL
+              |  SELECT CAST(CASE WHEN ay < cy2 THEN floor(ax / 2.0) ELSE ceil(ax / 2.0) END AS INT),
+              |    greatest(ay, cy2) / 2.0 FROM he WHERE ax = bx),
+              |bounds AS (SELECT r, min(y) AS lb, max(y) AS rb FROM contrib
+              |  WHERE r BETWEEN 0 AND ${N - 1} GROUP BY r)
+              |SELECT g.i, g.j, CASE WHEN bo.r IS NOT NULL
+              |  AND g.j >= ceil(bo.lb - 0.2) AND g.j <= floor(bo.rb + 0.2)
+              |  THEN 1 ELSE 0 END AS h
+              |FROM grid g LEFT JOIN bounds bo ON bo.r = g.i""".stripMargin)),
 
+    // Linear2DInterpolator over a value-jittered scatter: fractional parts
+    // of the per-group value sums push the 25 sample points into general
+    // position, so the Delaunay triangulation is unique and the oracle can
+    // enumerate it directly — a triple is Delaunay iff no other point falls
+    // strictly inside its circumcircle — then barycentric-interpolate with
+    // the exact operand order of Interp2dKernel.bary (diffs ~1e-13, far
+    // inside round(_, 4)).
     Q("q_interp2d",
       (s, dir) => {
-        val pts = valueGrid(s, dir).where(col("v") > 0)
-        val q = s.range(N).select(col("id").as("qi"))
-          .crossJoin(s.range(N).select(col("id").as("qj")))
-          .select((col("qi") + 0.25).as("qx"), (col("qj") + 0.75).as("qy"))
-        graft.operators.ScatteredInterp(pts, "i", "j", "v", q, "qx", "qy", "val", fill = -1.0)
-          .select(col("qx"), col("qy"), round(col("val"), 4).as("val"))
+        val pts = T(s, dir, "events")
+          .groupBy((col("user_id") % 5).as("gi"), (col("event_id") % 5).as("gj"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+          .select((col("gi") * lit(3.0) + (col("v") - floor(col("v")))).as("px"),
+                  (col("gj") * lit(3.0) + (col("v") * lit(7.0) - floor(col("v") * lit(7.0)))).as("py"),
+                  col("v"))
+        val q = s.range(12).select(col("id").as("qi"))
+          .crossJoin(s.range(12).select(col("id").as("qj")))
+          .select(col("qi"), col("qj"),
+            (col("qi") * lit(1.1) + lit(0.05)).as("qx"),
+            (col("qj") * lit(1.1) + lit(0.05)).as("qy"))
+        graft.operators.ScatteredInterp(pts, "px", "py", "v", q, "qx", "qy", "val", fill = -1.0)
+          .select(col("qi"), col("qj"), round(col("val"), 4).as("val"))
       },
-      None),
+      Some("""WITH pts0 AS (SELECT user_id % 5 AS gi, event_id % 5 AS gj,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+             |  FROM events GROUP BY user_id % 5, event_id % 5),
+             |pts AS (SELECT row_number() OVER (ORDER BY gi, gj) AS id,
+             |  gi * 3.0 + (v - floor(v)) AS x,
+             |  gj * 3.0 + (v * 7.0 - floor(v * 7.0)) AS y, v FROM pts0),
+             |tri0 AS (SELECT a.id AS ia, b.id AS ib, c.id AS ic,
+             |  a.x AS ax, a.y AS ay, b.x AS bx, b.y AS b_y, c.x AS cx, c.y AS cy,
+             |  a.v AS va, b.v AS vb, c.v AS vc,
+             |  2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y) + c.x * (a.y - b.y)) AS dd
+             |  FROM pts a JOIN pts b ON a.id < b.id JOIN pts c ON b.id < c.id),
+             |circ AS (SELECT *,
+             |  ((ax*ax + ay*ay) * (b_y - cy) + (bx*bx + b_y*b_y) * (cy - ay)
+             |   + (cx*cx + cy*cy) * (ay - b_y)) / dd AS ux,
+             |  ((ax*ax + ay*ay) * (cx - bx) + (bx*bx + b_y*b_y) * (ax - cx)
+             |   + (cx*cx + cy*cy) * (bx - ax)) / dd AS uy
+             |  FROM tri0 WHERE abs(dd) > 1e-12),
+             |tri AS (SELECT *,
+             |  (b_y - cy) * (ax - cx) + (cx - bx) * (ay - cy) AS det
+             |  FROM (SELECT *, (ux - ax)*(ux - ax) + (uy - ay)*(uy - ay) AS rr FROM circ) t
+             |  WHERE NOT EXISTS (SELECT 1 FROM pts p WHERE p.id NOT IN (t.ia, t.ib, t.ic)
+             |    AND (p.x - t.ux)*(p.x - t.ux) + (p.y - t.uy)*(p.y - t.uy) < t.rr)),
+             |q AS (SELECT r1.qi AS qi, r2.qj AS qj,
+             |  r1.qi * 1.1 + 0.05 AS qx, r2.qj * 1.1 + 0.05 AS qy
+             |  FROM range(12) r1(qi) CROSS JOIN range(12) r2(qj)),
+             |qa AS (SELECT q.qi, q.qj, t.va, t.vb, t.vc,
+             |  ((t.b_y - t.cy) * (q.qx - t.cx) + (t.cx - t.bx) * (q.qy - t.cy)) / t.det AS w0,
+             |  ((t.cy - t.ay) * (q.qx - t.cx) + (t.ax - t.cx) * (q.qy - t.cy)) / t.det AS w1
+             |  FROM q CROSS JOIN tri t WHERE abs(t.det) >= 1e-12),
+             |cand AS (SELECT qi, qj, w0 * va + w1 * vb + (1.0 - w0 - w1) * vc AS val
+             |  FROM qa WHERE w0 >= -1e-9 AND w1 >= -1e-9 AND (1.0 - w0 - w1) >= -1e-9)
+             |SELECT q.qi, q.qj, round(coalesce(m.val, -1.0), 4) AS val
+             |FROM q LEFT JOIN (SELECT qi, qj, min(val) AS val FROM cand GROUP BY qi, qj) m
+             |ON m.qi = q.qi AND m.qj = q.qj""".stripMargin)),
 
+    // connectivity-2 (8-neighbor) components via a recursive-CTE transitive
+    // closure: each true cell reaches every cell of its component, the
+    // component representative is the min flat id = the first cell in
+    // row-major scan order, so ranking representatives reproduces the
+    // kernel's first-appearance label numbering (LabelKernel.label)
     Q("q_label2d",
       (s, dir) => {
         val lab = toTensor(maskGrid(s, dir), asBool = false)
           .select(labelUdf(col("data"), array(lit(N), lit(N)), lit(0.0), lit(2)).as("lab"))
         lab.select(posexplode(col("lab").getField("_3")).as(Seq("idx", "sz")))
-          .select((col("idx") + 1).as("label"), col("sz").as("size"))
+          .select((col("idx") + 1).cast("long").as("label"), col("sz").cast("long").as("size"))
       },
-      None),
+      Some(s"""WITH RECURSIVE $maskGridCte,
+              |pts AS (SELECT i * $N + j AS id, i, j FROM grid WHERE v = 1),
+              |edge AS (SELECT a.id AS s, c.id AS t FROM pts a JOIN pts c
+              |  ON abs(a.i - c.i) <= 1 AND abs(a.j - c.j) <= 1 AND a.id <> c.id),
+              |reach(s, t) AS (
+              |  SELECT id, id FROM pts
+              |  UNION
+              |  SELECT r.s, e.t FROM reach r JOIN edge e ON e.s = r.t),
+              |comp AS (SELECT s AS id, min(t) AS rep FROM reach GROUP BY s),
+              |sz AS (SELECT rep, count(*) AS n FROM comp GROUP BY rep)
+              |SELECT CAST(row_number() OVER (ORDER BY rep) AS BIGINT) AS label,
+              |CAST(n AS BIGINT) AS size FROM sz""".stripMargin)),
 
+    // filtered backprojection with the events grid as the sinogram (16
+    // offsets x 16 angles; the radon->iradon roundtrip is covered by
+    // RadonKernelSpec, the forward path by q_radon_axis/batch). The oracle
+    // exploits that the FFT ramp filter is IDFT(2*DFT(f)) with f even-real,
+    // i.e. exactly circular convolution with 2f — so the whole filter is a
+    // 64-point real convolution, and backprojection is a lerp-join, both
+    // expressible relationally. FFT-vs-direct FP drift is ~1e-12 relative,
+    // far inside the round(_, 2) compare.
     Q("q_inverse_radon",
       (s, dir) => {
-        val circled = valueGrid(s, dir).select(col("i"), col("j"),
-          when((col("i") - 8) * (col("i") - 8) + (col("j") - 8) * (col("j") - 8) > 64, 0.0)
-            .otherwise(col("v")).as("v"))
         val theta = ZoomSeqLit.thetaArray(16)
-        toTensor(circled, asBool = false)
-          .select(inverseRadonUdf(
-            radonUdf(col("data"), lit(N), theta), lit(N), theta, lit(0.0)).as("rec"))
+        toTensor(valueGrid(s, dir), asBool = false)
+          .select(inverseRadonUdf(col("data"), lit(N), theta, lit(0.0)).as("rec"))
           .select(posexplode(col("rec")).as(Seq("pos", "out")))
           .select((col("pos") / N).cast("long").as("i"), (col("pos") % N).cast("long").as("j"),
             round(col("out"), 2).as("v"))
       },
-      None)
+      // geometry constants for size 16: diagonal ceil(16*sqrt(2)) = 23,
+      // pad-before 23/2 - 16/2 = 3, padded FFT size 64, interpolation
+      // center (23/2).toInt = 11, right limit 22, scaling pi/(2*16)
+      Some(s"""WITH $valueGridCte,
+              |f AS (SELECT t.d AS d, CASE WHEN t.d = 0 THEN 0.25
+              |  WHEN t.d % 2 = 1 THEN -1.0 / pow(pi() * least(t.d, 64 - t.d), 2)
+              |  ELSE 0.0 END AS fv FROM range(64) t(d)),
+              |filt AS (SELECT rr.r AS r, g.j AS ang, 2.0 * sum(g.v * f.fv) AS val
+              |  FROM range(23) rr(r) CROSS JOIN grid g
+              |  JOIN f ON f.d = ((rr.r - 3 - g.i) % 64 + 64) % 64
+              |  GROUP BY rr.r, g.j),
+              |ang AS (SELECT t.a AS a,
+              |  sin((180.0 * t.a / 16) / 180.0 * pi()) AS sn,
+              |  cos((180.0 * t.a / 16) / 180.0 * pi()) AS cs FROM range(16) t(a)),
+              |pix AS (SELECT r1.i AS i, r2.j AS j FROM range($N) r1(i) CROSS JOIN range($N) r2(j)),
+              |proj AS (SELECT p.i, p.j, a.a,
+              |  (p.j - 8) * a.cs - (p.i - 8) * a.sn + 11 AS t
+              |  FROM pix p CROSS JOIN ang a
+              |  WHERE (p.i - 8)*(p.i - 8) + (p.j - 8)*(p.j - 8) <= 64),
+              |contrib AS (SELECT pr.i, pr.j,
+              |  CASE WHEN pr.t >= 0 AND pr.t <= 22 THEN
+              |    CASE WHEN CAST(floor(pr.t) AS INT) = 22 THEN f0.val
+              |    ELSE (f1.val - f0.val) * (pr.t - CAST(floor(pr.t) AS INT)) + f0.val END
+              |  ELSE 0.0 END AS c
+              |  FROM proj pr
+              |  LEFT JOIN filt f0 ON f0.ang = pr.a AND f0.r = CAST(floor(pr.t) AS INT)
+              |  LEFT JOIN filt f1 ON f1.ang = pr.a AND f1.r = CAST(floor(pr.t) AS INT) + 1),
+              |bp AS (SELECT i, j, sum(c) * (pi() / 32) AS acc FROM contrib GROUP BY i, j)
+              |SELECT p.i, p.j, CASE WHEN b.i IS NOT NULL THEN round(b.acc, 2) ELSE 0.0 END AS v
+              |FROM pix p LEFT JOIN bp b ON b.i = p.i AND b.j = p.j""".stripMargin))
   )
 }
 
