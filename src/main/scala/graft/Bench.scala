@@ -25,6 +25,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // op benches time compute over cached in-RAM inputs (the baseline's
+      // numpy-array-in-RAM framing); compressed columnar cache would charge
+      // every timed run a decompression pass that is not part of the op
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -67,7 +71,10 @@ object Bench {
     def bench(name: String, work: Double, input: Option[DataFrame] = None)(f: => Unit): Unit = {
       input.foreach { df => df.persist(); df.count() }
       f // warmup
-      val sec = Seq(time(f), time(f), time(f)).min // best-of-3: the box runs other load
+      // best-of-5: the box runs other load and per-run swings of 3-4x were
+      // observed between identical builds; min over 5 reps is the steadiest
+      // estimator of the op's actual cost
+      val sec = Seq.fill(5)(time(f)).min
       input.foreach(_.unpersist())
       ops(name) = (sec, work / sec)
     }

@@ -3,6 +3,7 @@ package graft.exprs
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -29,14 +30,40 @@ case class CenterOfMassAgg(data: Expression, rows: Expression, cols: Expression,
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val dataOk = data.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    def integral(e: Expression) = e.dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
+      case _ => false
+    }
+    if (!dataOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"center_of_mass_agg data must be array<double>, got ${data.dataType.sql}")
+    else if (!integral(rows) || !integral(cols) || !integral(sliceIdx))
+      TypeCheckResult.TypeCheckFailure(
+        "center_of_mass_agg rows/cols/sliceIdx must be integral, got " +
+          s"${rows.dataType.sql}/${cols.dataType.sql}/${sliceIdx.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): Array[Double] = new Array[Double](4)
 
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val arr = data.eval(input).asInstanceOf[ArrayData]
     if (arr != null) {
-      val r = rows.eval(input).asInstanceOf[Int]
-      val c = cols.eval(input).asInstanceOf[Int]
-      val s = sliceIdx.eval(input).asInstanceOf[Long].toDouble
+      // SQL integer literals arrive as Int/Long/Short/Byte depending on the
+      // parser path; coerce instead of blind casts
+      val r = rows.eval(input).asInstanceOf[Number].intValue()
+      val c = cols.eval(input).asInstanceOf[Number].intValue()
+      val s = sliceIdx.eval(input).asInstanceOf[Number].longValue().toDouble
+      // one bulk copy to a primitive array (a single copyMemory for
+      // UnsafeArrayData), then a monomorphic JIT-friendly loop — per-element
+      // ArrayData.getDouble is a megamorphic virtual call that dominated the
+      // 512^3 benchmark
+      val d = arr.toDoubleArray()
       var sw = 0.0; var swi = 0.0; var swj = 0.0
       var i = 0
       var p = 0
@@ -44,7 +71,7 @@ case class CenterOfMassAgg(data: Expression, rows: Expression, cols: Expression,
         var rowW = 0.0; var rowWj = 0.0
         var j = 0
         while (j < c) {
-          val w = arr.getDouble(p)
+          val w = d(p)
           rowW += w; rowWj += w * j
           j += 1; p += 1
         }

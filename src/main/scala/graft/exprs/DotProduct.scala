@@ -23,14 +23,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, N
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // only the element types the eval paths actually read: getFloat/getDouble
+    // on an int/long/decimal UnsafeArrayData would misread bits, so reject
+    // anything else at analysis time (callers cast, e.g. a.cast("array<double>"))
     def ok(dt: DataType) = dt match {
-      case ArrayType(_: NumericType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"dot_product expects numeric arrays, got ${left.dataType} / ${right.dataType}")
+      s"dot_product expects array<float> or array<double>, got ${left.dataType.sql} / ${right.dataType.sql}")
   }
 
   override def dataType: DataType = DoubleType
@@ -48,9 +51,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      // null elements contribute nothing (array<double> from parquet can
+      // carry containsNull=true even when no element is actually null)
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+      }
       i += 1
     }
     acc
@@ -63,11 +70,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val lNull = left.dataType.asInstanceOf[ArrayType].containsNull
+      val rNull = right.dataType.asInstanceOf[ArrayType].containsNull
+      // emit the null guard only when the schema says elements can be null,
+      // keeping the common all-non-null loop branch-free
+      val guard =
+        if (lNull || rNull) s"if (!$a.isNullAt($i) && !$b.isNullAt($i)) " else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  $guard$acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |}
          |${ev.value} = $acc;
        """.stripMargin

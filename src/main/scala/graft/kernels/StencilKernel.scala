@@ -126,7 +126,11 @@ object StencilKernel {
     if (rank == 2) {
       val (s0, s1) = (shape(0), shape(1))
       val (iLo, iHi) = (-minOff(0), s0 - maxOff(0))
-      val (jLo, jHi) = (math.max(0, -minOff(1)), math.min(s1, s1 - maxOff(1)))
+      // clamp the pre-interior bound to the row length: a footprint wider
+      // than the image would otherwise drive the slow-path loop past the row
+      // (transiently corrupting the next row, OOB on the last)
+      val jLo = math.min(s1, math.max(0, -minOff(1)))
+      val jHi = math.min(s1, s1 - maxOff(1))
       var i = 0
       while (i < s0) {
         val interiorRow = i >= iLo && i < iHi
@@ -145,7 +149,9 @@ object StencilKernel {
       val (s0, s1, s2) = (shape(0), shape(1), shape(2))
       val (iLo, iHi) = (-minOff(0), s0 - maxOff(0))
       val (jLo, jHi) = (-minOff(1), s1 - maxOff(1))
-      val (kLo, kHi) = (math.max(0, -minOff(2)), math.min(s2, s2 - maxOff(2)))
+      // same clamp as rank 2: keep the pre-interior loop inside the line
+      val kLo = math.min(s2, math.max(0, -minOff(2)))
+      val kHi = math.min(s2, s2 - maxOff(2))
       var i = 0
       while (i < s0) {
         val ii = i >= iLo && i < iHi

@@ -270,8 +270,11 @@ object ZoomKernel {
   }
 
   /** Nearest-corner: per-axis pick upper when frac >= 0.5 (the kernel's
-    * `distance <= min_distance` makes the later/upper candidate win ties),
-    * falling back to the lower corner when the upper is out of bounds. */
+    * `distance <= min_distance` makes the later/upper candidate win ties);
+    * when the nearest corner is out of bounds the reference returns cval —
+    * it does not fall back to the other corner. Unreachable from zoom
+    * (coords stay in [0, shape-1]) but the helper documents the reference's
+    * interpolate3d_nearest contract. */
   def interpNearest(data: Array[Double], shape: Array[Int], strides: Array[Int],
                     coord: Array[Double], cval: Double): Double = {
     val n = shape.length
@@ -281,13 +284,8 @@ object ZoomKernel {
       val f = math.floor(coord(d))
       val lo = f.toInt
       val frac = coord(d) - f
-      val upOk = lo + 1 < shape(d)
-      val loOk = lo >= 0 && lo < shape(d)
-      val c =
-        if (frac >= 0.5 && upOk) lo + 1
-        else if (loOk) lo
-        else if (upOk) lo + 1
-        else return cval
+      val c = if (frac >= 0.5) lo + 1 else lo
+      if (c < 0 || c >= shape(d)) return cval
       flatIdx += c * strides(d)
       d += 1
     }

@@ -35,10 +35,18 @@ object TensorSource {
     spark.read.parquet(path).as[NdTensor]
   }
 
+  private val castBackUdf = udf { (data: Array[Double], dtype: String) =>
+    if (data == null || dtype == null || dtype == "float64") data
+    else data.map(NdTensor.castToDtype(_, dtype))
+  }
+
   /** Partitioned parquet sink. `buckets` spreads tensors into directory
-    * partitions by id hash so a 100 TB dataset prunes by partition at scan. */
+    * partitions by id hash so a 100 TB dataset prunes by partition at scan.
+    * Applies the logical-dtype cast-back (rounding/clamping per the tensor's
+    * `dtype` tag) on the way out — the sink half of the dtype-tag scheme. */
   def write(ds: Dataset[NdTensor], path: String, buckets: Int = 64): Unit =
-    ds.withColumn("part", pmod(hash(col("id")), lit(buckets)))
+    ds.withColumn("data", castBackUdf(col("data"), col("dtype")))
+      .withColumn("part", pmod(hash(col("id")), lit(buckets)))
       .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(path)
 
   /** Read with partition pruning for a specific tensor id. */
