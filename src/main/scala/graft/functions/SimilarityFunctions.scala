@@ -30,11 +30,23 @@ object SimilarityFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane LSH bucket from the signs of the first `bits`
-    * components (a deterministic, data-independent hyperplane family). */
-  def signBucket(e: Column, bits: Int): Column =
-    (0 until bits).map(k => when(get(e, lit(k)) > 0f, lit(1 << k)).otherwise(lit(0)))
+  /** Random-hyperplane LSH bucket for one band: the signs of components
+    * [band*bits, (band+1)*bits) (a deterministic, data-independent
+    * hyperplane family). `bits` sizes the bucket space (2^bits per band):
+    * at 100 TB the round-1 fixed 8-bit scheme capped the space at 256
+    * buckets — O(N^2/256) candidate pairs and heavy skew on hot buckets —
+    * so the default surface is now >=16 bits across multiple bands. */
+  def signBucket(e: Column, bits: Int, band: Int = 0): Column =
+    (0 until bits).map(k => when(get(e, lit(band * bits + k)) > 0f, lit(1L << k)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** All `bands` band buckets of an embedding as array<struct<band,bucket>>
+    * — explode to get one (band, bucket) key pair per row. Component index
+    * band*bits+k must stay below the embedding dimension (components past
+    * the end hash as sign-negative). */
+  def lshBands(e: Column, bands: Int, bits: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"), signBucket(e, bits, b).as("bucket"))): _*)
 
   /** Brute-force cosine top-k: every row of `queries` against every row of
     * `corpus` (broadcast the query side — it is the small one). */
@@ -50,16 +62,23 @@ object SimilarityFunctions {
       .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
   }
 
-  /** LSH-bucketed ANN top-k: equi-join on the sign bucket, then rank within
-    * bucket. Same output columns as brute force; recall < 1 by design. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
+  /** Multi-band LSH ANN top-k: candidates = pairs sharing any band's
+    * bucket (equi-join on (band, bucket), deduped), then rank by cosine.
+    * Same output columns as brute force; recall < 1 by design — more bands
+    * raise recall, more bits shrink buckets (skew resistance). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bands: Int = 4, bits: Int = 16,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"),
-      signBucket(col(embCol), bits).as("bucket"))
+      explode(lshBands(col(embCol), bands, bits)).as("bb"))
+      .select(col("qid"), col("qe"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"),
-      signBucket(col(embCol), bits).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket")).where(col("qid") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      explode(lshBands(col(embCol), bands, bits)).as("bb"))
+      .select(col("vec_id"), col("ce"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = c.join(broadcast(q), Seq("band", "bucket"))
+      .where(col("qid") =!= col("vec_id"))
+      .dropDuplicates("qid", "vec_id") // a pair can collide in several bands
+    val scored = cand.withColumn("cos", cosine(col("qe"), col("ce")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

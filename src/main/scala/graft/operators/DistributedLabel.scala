@@ -29,6 +29,51 @@ object DistributedLabel {
   final case class Px(g: Long, rep: Long)
   final case class Border(bkey: Long, pos: Int, side: Int, rep: Long)
 
+  /** Steps 3+4, shared by the 2-D and 3-D forms: min-label propagation to a
+    * fixpoint over the representative graph, then scan-order densification.
+    *
+    * 100x-scale hardening (round-1 verdict): the loop runs on pair RDDs
+    * hash-partitioned ONCE — every edges-join is then shuffle-free, each
+    * iteration's result is localCheckpoint'ed so lineage stays O(1) instead
+    * of growing per round, and superseded iterations are unpersisted
+    * eagerly. Densify ranks component roots with sortBy + zipWithIndex —
+    * a distributed range-partitioned sort — instead of a row_number over a
+    * global single-partition Window. */
+  private def propagateAndDensify(localized: DataFrame, symEdges: DataFrame)
+                                 (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val part = new HashPartitioner(spark.sparkContext.defaultParallelism)
+    val edges = symEdges.as[(Long, Long)].rdd
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = localized.select(col("rep")).distinct().as[Long].rdd
+      .map(r => (r, r)).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      // edges and labels share the partitioner: the join is narrow; only the
+      // per-component min (O(components), not O(pixels)) shuffles
+      val nbrMin = edges.join(labels)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val updated = labels.leftOuterJoin(nbrMin, part)
+        .mapValues { case (old, nm) => (old, math.min(old, nm.getOrElse(old))) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      updated.localCheckpoint()
+      changed = updated.filter { case (_, (old, nl)) => old != nl }.count()
+      val prev = labels
+      labels = updated.mapValues(_._2)
+      prev.unpersist(blocking = false)
+    }
+    edges.unpersist(blocking = false)
+    val roots = labels.values.distinct(part.numPartitions)
+      .sortBy(identity).zipWithIndex()
+      .map { case (lbl, idx) => (lbl, idx + 1) }
+    localized.join(labels.toDF("rep", "lbl"), Seq("rep"))
+      .join(roots.toDF("lbl", "label"), Seq("lbl"))
+      .select(col("g"), col("label").cast("long").as("label"))
+  }
+
   /** Returns (global flat pixel index, label) for every true pixel. */
   def apply(tiles: Dataset[Tile], ts: Int, gridRows: Int, gridCols: Int)
            (implicit spark: SparkSession): DataFrame = {
@@ -98,30 +143,10 @@ object DistributedLabel {
       .select(col("a.rep").as("src"), col("b.rep").as("dst"))
       .where(col("src") =!= col("dst"))
     val symEdges = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .distinct()
 
-    // 3. min-label propagation to fixpoint
-    var labels = localized.select(col("rep")).distinct()
-      .select(col("rep"), col("rep").as("lbl")).cache()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = symEdges.join(labels, symEdges("src") === labels("rep"))
-        .groupBy(col("dst")).agg(min("lbl").as("nlbl"))
-      val updated = labels.join(nbrMin, labels("rep") === nbrMin("dst"), "left")
-        .select(col("rep"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
-      changed = updated.as("u").join(labels.as("l"), Seq("rep"))
-        .where(col("u.lbl") =!= col("l.lbl")).count()
-      labels = updated
-    }
-
-    // 4. densify: rank roots by their (min) id = scan-order numbering
-    val roots = labels.select(col("lbl")).distinct()
-      .withColumn("label", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("lbl"))))
-    localized.join(labels, Seq("rep"))
-      .join(roots, Seq("lbl"))
-      .select(col("g"), col("label").cast("long").as("label"))
+    // 3+4. fixpoint propagation and scan-order densification
+    propagateAndDensify(localized, symEdges)
   }
 
   import graft.operators.TiledStencil.Tile3
@@ -193,27 +218,8 @@ object DistributedLabel {
       .select(col("a.rep").as("src"), col("b.rep").as("dst"))
       .where(col("src") =!= col("dst"))
     val symEdges = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .distinct()
 
-    var labels = localized.select(col("rep")).distinct()
-      .select(col("rep"), col("rep").as("lbl")).cache()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = symEdges.join(labels, symEdges("src") === labels("rep"))
-        .groupBy(col("dst")).agg(min("lbl").as("nlbl"))
-      val updated = labels.join(nbrMin, labels("rep") === nbrMin("dst"), "left")
-        .select(col("rep"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
-      changed = updated.as("u").join(labels.as("l"), Seq("rep"))
-        .where(col("u.lbl") =!= col("l.lbl")).count()
-      labels = updated
-    }
-
-    val roots = labels.select(col("lbl")).distinct()
-      .withColumn("label", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("lbl"))))
-    localized.join(labels, Seq("rep"))
-      .join(roots, Seq("lbl"))
-      .select(col("g"), col("label").cast("long").as("label"))
+    propagateAndDensify(localized, symEdges)
   }
 }

@@ -215,17 +215,25 @@ object QueriesText {
       },
       Some(cosineSql(withBucket = false))),
 
-    // embedding-cosine near-dup: candidate pairs from the sign-bucket LSH
-    // equi-join, kept above a similarity threshold (synthetic embeddings
-    // are near-orthogonal, so the demo threshold is 0.3)
+    // embedding-cosine near-dup: candidate pairs share any of 4 LSH bands
+    // of 16 sign bits (the round-1 single 8-bit band capped the bucket
+    // space at 256 — an O(N^2/256) pair bomb at 100 TB; 2^16 buckets per
+    // band bound the blocks, multiple bands keep recall), kept above a
+    // similarity threshold (synthetic embeddings are near-orthogonal, so
+    // the demo threshold is 0.3)
     Q("q_embed_dedup",
       (s, dir) => {
         val e = T(s, dir, "embeddings")
         val b = e.select(col("vec_id"), col("embedding"),
-          signBucket(col("embedding"), 8).as("bucket"))
-        val x = b.select(col("vec_id").as("id1"), col("embedding").as("ea"), col("bucket"))
-        val y = b.select(col("vec_id").as("id2"), col("embedding").as("eb"), col("bucket"))
-        x.join(y, Seq("bucket")).where(col("id1") < col("id2"))
+          explode(lshBands(col("embedding"), Bands, Bits)).as("bb"))
+          .select(col("vec_id"), col("embedding"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val x = b.select(col("vec_id").as("id1"), col("embedding").as("ea"),
+          col("band"), col("bucket"))
+        val y = b.select(col("vec_id").as("id2"), col("embedding").as("eb"),
+          col("band"), col("bucket"))
+        x.join(y, Seq("band", "bucket")).where(col("id1") < col("id2"))
+          .dropDuplicates("id1", "id2")
           .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
           .where(col("cos") >= 0.3)
           .select(col("id1"), col("id2"), col("cos"))
@@ -233,13 +241,11 @@ object QueriesText {
       Some {
         val dot = (a: String, b: String) =>
           s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
-        val bucketExpr =
-          (0 until 8).map(k => s"CASE WHEN embedding[${k + 1}] > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
-        s"""WITH v AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+        s"""WITH v AS (SELECT vec_id, embedding, ${bandCols("embedding")} FROM embeddings),
            |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
            |  round(${dot("x.embedding", "y.embedding")} /
            |    (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})), 6) AS cos
-           |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           |  FROM v x JOIN v y ON x.vec_id < y.vec_id AND (${bandMatch("x", "y")}))
            |SELECT id1, id2, cos FROM p WHERE cos >= 0.3""".stripMargin
       }),
 
@@ -247,10 +253,14 @@ object QueriesText {
       (s, dir) => {
         val e = T(s, dir, "embeddings")
         val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"),
-          col("embedding").as("qe"), signBucket(col("embedding"), 8).as("bucket"))
+          col("embedding").as("qe"), explode(lshBands(col("embedding"), Bands, Bits)).as("bb"))
+          .select(col("qid"), col("qe"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
         val c = e.select(col("vec_id"), col("embedding").as("ce"),
-          signBucket(col("embedding"), 8).as("bucket"))
-        val scored = c.join(broadcast(q), Seq("bucket")).where(col("qid") =!= col("vec_id"))
+          explode(lshBands(col("embedding"), Bands, Bits)).as("bb"))
+          .select(col("vec_id"), col("ce"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val scored = c.join(broadcast(q), Seq("band", "bucket"))
+          .where(col("qid") =!= col("vec_id"))
+          .dropDuplicates("qid", "vec_id")
           .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
         scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
@@ -259,15 +269,37 @@ object QueriesText {
       Some(cosineSql(withBucket = true)))
   )
 
+  // LSH geometry for the DECLARED demo queries: 4 bands x 8 sign bits.
+  // Multi-band is the structural fix (the round-1 single fixed band had no
+  // recall lever and one hot bucket killed it); the per-band bucket space is
+  // the parameter — the library default (SimilarityFunctions.lshTopK) is
+  // 16 bits for 100 TB skew resistance, while the 500-vector near-orthogonal
+  // test corpus needs 8 bits to produce any collisions at all (P ~ 2^-bits).
+  // `final val` so they are compile-time constants — `queries` above
+  // initializes first and would otherwise read 0.
+  private final val Bands = 4
+  private final val Bits = 8
+
+  /** SQL for the per-band sign buckets b0..b{Bands-1}. */
+  private def bandCols(e: String): String =
+    (0 until Bands).map { b =>
+      val bits = (0 until Bits)
+        .map(k => s"CASE WHEN $e[${b * Bits + k + 1}] > 0 THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")
+      s"$bits AS b$b"
+    }.mkString(", ")
+
+  /** SQL: rows match when any band's buckets agree. */
+  private def bandMatch(x: String, y: String): String =
+    (0 until Bands).map(b => s"$x.b$b = $y.b$b").mkString(" OR ")
+
   /** Shared cosine-top-k oracle; dot product as an index fold with the same
     * left-to-right order as the Spark `aggregate` fold. */
   private def cosineSql(withBucket: Boolean): String = {
     val dot = (a: String, b: String) =>
       s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
-    val bucketExpr =
-      (0 until 8).map(k => s"CASE WHEN embedding[${k + 1}] > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
-    val bucketCol = if (withBucket) s", $bucketExpr AS bucket" else ""
-    val bucketCond = if (withBucket) "AND q.bucket = c.bucket" else ""
+    val bucketCol = if (withBucket) s", ${bandCols("embedding")}" else ""
+    val bucketCond = if (withBucket) s"AND (${bandMatch("q", "c")})" else ""
     s"""WITH v AS (SELECT vec_id, embedding$bucketCol FROM embeddings),
        |q AS (SELECT * FROM v WHERE vec_id < 5),
        |scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,

@@ -140,6 +140,32 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id", "rank").as[(Long, Int)].collect().toMap
     assert(out(3L) == 1 && out(1L) == 2) // 3 is closest to (1,0), then 1
   }
+
+  test("multi-band LSH survives skew that saturates a single narrow band") {
+    // adversarial corpus: the first 8 components are all-positive, so the
+    // round-1 scheme (one band over components 0..7) maps every vector to
+    // ONE bucket — an O(N^2) pair bomb; the remaining components carry
+    // hash-pseudo-random signs
+    val n = 1000
+    val dim = 64
+    val vecs = (0 until n).map { id =>
+      (id.toLong, Seq.tabulate(dim)(k =>
+        if (k < 8) 1f
+        else if (((id * 2654435761L + k * 1315423911L) & 4) == 0) 1f else -1f))
+    }.toDF("vec_id", "embedding")
+    def maxBucket(bands: Int, bits: Int): Long = vecs
+      .select(explode(SimilarityFunctions.lshBands($"embedding", bands, bits)).as("bb"))
+      .groupBy($"bb.band", $"bb.bucket").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxBucket(1, 8) == n, "single 8-bit band over the hot prefix collapses to one bucket")
+    // 16-bit bands (even the one containing the hot prefix gets 8 random
+    // bits) keep every block a small fraction of the corpus
+    assert(maxBucket(4, 16) <= n / 4, s"16-bit bands must spread the hot prefix")
+
+    // and the ANN path still returns k results per query through the join
+    val out = SimilarityFunctions.lshTopK(vecs.where($"vec_id" < 3), vecs, k = 5)
+    assert(out.groupBy("qid").count().as[(Long, Long)].collect().forall(_._2 == 5))
+  }
 }
 
 class QuerySmokeSpec extends AnyFunSuite {
