@@ -129,6 +129,12 @@ object TensorFunctions {
     EdtKernel.edt(mask, shape, sampling)
   }
 
+  /** EDT feature transform (`return_indices`): per cell, the flat index of
+    * the nearest zero cell; -1 when the mask has no zero. */
+  val edtFeatureUdf = udf { (mask: Array[Boolean], shape: Array[Int], sampling: Array[Double]) =>
+    EdtKernel.edtFeature(mask, shape, sampling)._2
+  }
+
   /** Per-row center-of-mass partials for a 2-D slice at batch index
     * `sliceIdx` of a stacked volume: (Σw, Σw·slice, Σw·row, Σw·col).
     * The reference's prange partial-sum reduction

@@ -12,11 +12,22 @@ import graft.kernels.Interp2dKernel
   */
 object ScatteredInterp {
 
+  /** Hard cap on the collected sample-point set: the triangulation is a
+    * driver-side build (mirroring the reference, where the sample set is an
+    * in-memory call argument). Beyond this, the operator would silently
+    * become a driver bottleneck — fail fast instead of OOMing an executor
+    * fleet's driver. */
+  val MaxDriverPoints: Int = 2000000
+
   /** Adds `outCol` = linear interpolation of (xCol,yCol) over the sampled
     * surface; `fill` outside the convex hull. */
   def apply(points: DataFrame, pxCol: String, pyCol: String, pvCol: String,
             queries: DataFrame, qxCol: String, qyCol: String, outCol: String,
             fill: Double): DataFrame = {
+    // limit-probe short-circuits: no full scan of an oversized table
+    require(points.limit(MaxDriverPoints + 1).count() <= MaxDriverPoints,
+      s"ScatteredInterp collects the sample points to the driver; got more than " +
+        s"$MaxDriverPoints rows — pre-aggregate the surface or tile the interpolation")
     val rows = points.select(col(pxCol).cast("double"), col(pyCol).cast("double"),
       col(pvCol).cast("double")).collect()
     val px = rows.map(_.getDouble(0))

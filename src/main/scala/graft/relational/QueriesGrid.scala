@@ -132,6 +132,50 @@ object QueriesGrid {
               |LEFT JOIN grid b ON b.i = g.i + 1 AND b.j = g.j
               |LEFT JOIN grid c ON c.i = g.i AND c.j = g.j + 1""".stripMargin)),
 
+    // arbitrary asymmetric 3x2 footprint [T,T / T,F / F,T] — the reference's
+    // randomized-footprint surface (tests/test_morphology.py:52-57) under
+    // the oracle gate. Erosion origin = fshape/2 = (1,1) so the support is
+    // {(-1,-1),(-1,0),(0,-1),(1,0)}; dilation reflects the footprint
+    // (row-major reverse) and shifts the even axis origin to (1,0), giving
+    // {(-1,0),(0,1),(1,0),(1,1)} (_morphology.pyx:62-64)
+    Q("q_erosion2d_fp",
+      (s, dir) => explodeGrid(
+          toTensor(maskGrid(s, dir), asBool = true)
+            .select(morphUdf(col("data"), array(lit(N), lit(N)),
+              array(lit(true), lit(true), lit(true), lit(false), lit(false), lit(true)),
+              array(lit(3), lit(2)), lit(false)).as("e")),
+          "e", N)
+        .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("e")),
+      // note: the footprint's center cell (1,1) is FALSE, so g's own value
+      // does not participate — only the four covered neighbors
+      Some(s"""WITH $maskGridCte
+              |SELECT g.i, g.j, CASE WHEN coalesce(a.v, 1) = 1
+              |  AND coalesce(b.v, 1) = 1 AND coalesce(c.v, 1) = 1 AND coalesce(d.v, 1) = 1
+              |  THEN 1 ELSE 0 END AS e
+              |FROM grid g
+              |LEFT JOIN grid a ON a.i = g.i - 1 AND a.j = g.j - 1
+              |LEFT JOIN grid b ON b.i = g.i - 1 AND b.j = g.j
+              |LEFT JOIN grid c ON c.i = g.i AND c.j = g.j - 1
+              |LEFT JOIN grid d ON d.i = g.i + 1 AND d.j = g.j""".stripMargin)),
+
+    Q("q_dilation2d_fp",
+      (s, dir) => explodeGrid(
+          toTensor(maskGrid(s, dir), asBool = true)
+            .select(morphUdf(col("data"), array(lit(N), lit(N)),
+              array(lit(true), lit(true), lit(true), lit(false), lit(false), lit(true)),
+              array(lit(3), lit(2)), lit(true)).as("e")),
+          "e", N)
+        .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("e")),
+      Some(s"""WITH $maskGridCte
+              |SELECT g.i, g.j, CASE WHEN coalesce(a.v, 0) = 1
+              |  OR coalesce(b.v, 0) = 1 OR coalesce(c.v, 0) = 1 OR coalesce(d.v, 0) = 1
+              |  THEN 1 ELSE 0 END AS e
+              |FROM grid g
+              |LEFT JOIN grid a ON a.i = g.i - 1 AND a.j = g.j
+              |LEFT JOIN grid b ON b.i = g.i AND b.j = g.j + 1
+              |LEFT JOIN grid c ON c.i = g.i + 1 AND c.j = g.j
+              |LEFT JOIN grid d ON d.i = g.i + 1 AND d.j = g.j + 1""".stripMargin)),
+
     Q("q_edt2d",
       (s, dir) => explodeGrid(
           toTensor(maskGrid(s, dir), asBool = true)
@@ -157,6 +201,26 @@ object QueriesGrid {
               |  round(sqrt(min((g.i - z.i)*(g.i - z.i) + (g.j - z.j)*(g.j - z.j))), 4) END AS dist
               |FROM grid g JOIN grid z ON z.v = 0
               |GROUP BY g.i, g.j, g.v""".stripMargin)),
+
+    // EDT feature transform (`return_indices`): the oracle recomputes the
+    // argmin zero per pixel; the separable envelope composition resolves
+    // distance ties to the lexicographically smallest (j, i) — last axis
+    // processed wins first — hence the ORDER BY dist2, zj, zi
+    Q("q_edt2d_indices",
+      (s, dir) => explodeGrid(
+          toTensor(maskGrid(s, dir), asBool = true)
+            .select(edtFeatureUdf(col("data"), array(lit(N), lit(N)),
+              array(lit(1.0), lit(1.0))).as("ft")),
+          "ft", N)
+        .select(col("i"), col("j"),
+          (col("out") / N).cast("long").as("fi"), (col("out") % N).cast("long").as("fj")),
+      Some(s"""WITH $maskGridCte,
+              |z AS (SELECT i, j FROM grid WHERE v = 0),
+              |nn AS (SELECT g.i, g.j, z.i AS fi, z.j AS fj, row_number() OVER (
+              |  PARTITION BY g.i, g.j
+              |  ORDER BY (g.i - z.i)*(g.i - z.i) + (g.j - z.j)*(g.j - z.j), z.j, z.i) AS rn
+              |FROM grid g CROSS JOIN z)
+              |SELECT i, j, fi, fj FROM nn WHERE rn = 1""".stripMargin)),
 
     Q("q_zoom2d",
       (s, dir) => explodeGrid(
@@ -417,6 +481,36 @@ object QueriesGrid {
               |pts AS (SELECT i * $N + j AS id, i, j FROM grid WHERE v = 1),
               |edge AS (SELECT a.id AS s, c.id AS t FROM pts a JOIN pts c
               |  ON abs(a.i - c.i) <= 1 AND abs(a.j - c.j) <= 1 AND a.id <> c.id),
+              |reach(s, t) AS (
+              |  SELECT id, id FROM pts
+              |  UNION
+              |  SELECT r.s, e.t FROM reach r JOIN edge e ON e.s = r.t),
+              |comp AS (SELECT s AS id, min(t) AS rep FROM reach GROUP BY s),
+              |sz AS (SELECT rep, count(*) AS n FROM comp GROUP BY rep)
+              |SELECT CAST(row_number() OVER (ORDER BY rep) AS BIGINT) AS label,
+              |CAST(n AS BIGINT) AS size FROM sz""".stripMargin)),
+
+    // label with a CUSTOM background on a 3-valued grid (buckets 0/1/2 of
+    // the value sums), background=2, connectivity 1: the reference swaps the
+    // background value with 0 before labeling (measure.py:106-113), so
+    // 2-cells become background, 0-cells become labelable value "2", and
+    // components group EQUAL values under 4-adjacency in scan-order ids
+    Q("q_label2d_bg",
+      (s, dir) => {
+        val bucketed = valueGrid(s, dir).select(col("i"), col("j"),
+          when(col("v") > 400.0, 1.0).when(col("v") > 0.0, 2.0).otherwise(0.0).as("v"))
+        val lab = toTensor(bucketed, asBool = false)
+          .select(labelUdf(col("data"), array(lit(N), lit(N)), lit(2.0), lit(1)).as("lab"))
+        lab.select(posexplode(col("lab").getField("_3")).as(Seq("idx", "sz")))
+          .select((col("idx") + 1).cast("long").as("label"), col("sz").cast("long").as("size"))
+      },
+      Some(s"""WITH RECURSIVE $valueGridCte,
+              |vals AS (SELECT i, j, CASE WHEN v > 400.0 THEN 1 WHEN v > 0.0 THEN 2 ELSE 0 END AS w
+              |  FROM grid),
+              |sw AS (SELECT i, j, CASE WHEN w = 2 THEN 0 WHEN w = 0 THEN 2 ELSE w END AS w FROM vals),
+              |pts AS (SELECT i * $N + j AS id, i, j, w FROM sw WHERE w <> 0),
+              |edge AS (SELECT a.id AS s, c.id AS t FROM pts a JOIN pts c
+              |  ON abs(a.i - c.i) + abs(a.j - c.j) = 1 AND a.w = c.w),
               |reach(s, t) AS (
               |  SELECT id, id FROM pts
               |  UNION

@@ -227,6 +227,35 @@ class EdtKernelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("feature transform returns the nearest zero, ties to smallest (j, i)") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 8) {
+      val shape = Array(2 + rng.nextInt(8), 2 + rng.nextInt(8))
+      val n = shape(0) * shape(1)
+      val mask = Array.fill(n)(rng.nextInt(3) > 0)
+      if (mask.contains(false)) {
+        val (dist, feat) = EdtKernel.edtFeature(mask, shape, Array(1.0, 1.0))
+        val plain = EdtKernel.edt(mask, shape, Array(1.0, 1.0))
+        val zeros = (0 until n).filter(!mask(_))
+        for (f <- 0 until n) {
+          assert(dist(f) == plain(f), "distances must match the plain edt")
+          val (fi, fj) = (f / shape(1), f % shape(1))
+          // brute-force argmin with the envelope tie rule: last axis first
+          val exp = zeros.minBy { z =>
+            val (zi, zj) = (z / shape(1), z % shape(1))
+            ((fi - zi) * (fi - zi) + (fj - zj) * (fj - zj), zj, zi)
+          }
+          assert(feat(f) == exp, s"trial $trial at ($fi,$fj): ${feat(f)} vs $exp")
+        }
+      }
+    }
+  }
+
+  test("feature transform on an all-true mask carries -1") {
+    val (_, feat) = EdtKernel.edtFeature(Array(true, true, true, true), Array(2, 2), Array(1.0, 1.0))
+    assert(feat.forall(_ == -1))
+  }
 }
 
 class FftSpec extends AnyFunSuite {
