@@ -16,3 +16,19 @@ object T {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 }
+
+/** Memoized, persisted shared derived inputs. The declared-query suite
+  * reuses the same derived tables (per-order quantity arrays, the 16x16
+  * event grids) across dozens of queries; building each once per session
+  * mirrors how a real pipeline materializes its feature table instead of
+  * re-shuffling the source per query (the round-1 review measured the
+  * repeated collect_list groupBy at ~3x the sibling query cost). Keyed by
+  * (session, dir, name) so Verify/Bench/test sessions stay independent;
+  * persist() is lazy, so the first query that runs materializes the frame.
+  */
+object SharedInputs {
+  private val memo =
+    scala.collection.mutable.Map[(SparkSession, String, String), DataFrame]()
+  def apply(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+    memo.synchronized(memo.getOrElseUpdate((s, dir, key), build.persist()))
+}

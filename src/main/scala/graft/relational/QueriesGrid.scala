@@ -17,14 +17,15 @@ object QueriesGrid {
   private val N = 16
 
   /** value-sum grid: v(i,j) = round(sum(value),2), absent cells 0. */
-  private def valueGrid(s: SparkSession, dir: String): DataFrame = {
-    val cells = T(s, dir, "events")
-      .groupBy((col("user_id") % N).as("i"), (col("event_id") % N).as("j"))
-      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
-    val ij = s.range(N).select(col("id").as("i"))
-      .crossJoin(s.range(N).select(col("id").as("j")))
-    ij.join(cells, Seq("i", "j"), "left").na.fill(0.0, Seq("v"))
-  }
+  private def valueGrid(s: SparkSession, dir: String): DataFrame =
+    SharedInputs(s, dir, "valueGrid") {
+      val cells = T(s, dir, "events")
+        .groupBy((col("user_id") % N).as("i"), (col("event_id") % N).as("j"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val ij = s.range(N).select(col("id").as("i"))
+        .crossJoin(s.range(N).select(col("id").as("j")))
+      ij.join(cells, Seq("i", "j"), "left").na.fill(0.0, Seq("v"))
+    }
 
   private val valueGridCte =
     s"""cells AS (SELECT user_id % $N AS i, event_id % $N AS j, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS v
@@ -34,14 +35,15 @@ object QueriesGrid {
        |  LEFT JOIN cells c ON c.i = r1.i AND c.j = r2.j)""".stripMargin
 
   /** boolean grid: m(i,j) = any event with value > 300. */
-  private def maskGrid(s: SparkSession, dir: String): DataFrame = {
-    val cells = T(s, dir, "events")
-      .groupBy((col("user_id") % N).as("i"), (col("event_id") % N).as("j"))
-      .agg(max(when(col("value") > 300.0, 1).otherwise(0)).as("v"))
-    val ij = s.range(N).select(col("id").as("i"))
-      .crossJoin(s.range(N).select(col("id").as("j")))
-    ij.join(cells, Seq("i", "j"), "left").na.fill(0, Seq("v"))
-  }
+  private def maskGrid(s: SparkSession, dir: String): DataFrame =
+    SharedInputs(s, dir, "maskGrid") {
+      val cells = T(s, dir, "events")
+        .groupBy((col("user_id") % N).as("i"), (col("event_id") % N).as("j"))
+        .agg(max(when(col("value") > 300.0, 1).otherwise(0)).as("v"))
+      val ij = s.range(N).select(col("id").as("i"))
+        .crossJoin(s.range(N).select(col("id").as("j")))
+      ij.join(cells, Seq("i", "j"), "left").na.fill(0, Seq("v"))
+    }
 
   private val maskGridCte =
     s"""cells AS (SELECT user_id % $N AS i, event_id % $N AS j,

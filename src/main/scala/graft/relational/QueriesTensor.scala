@@ -26,18 +26,22 @@ object QueriesTensor {
 
   /** Per-order quantity arrays: WITH arr AS (...) on the oracle side. */
   private def arrDf(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem").groupBy(col("l_orderkey").as("id"))
-      .agg(transform(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))),
-        x => x.getField("l_quantity")).as("data"))
+    SharedInputs(s, dir, "arr") {
+      T(s, dir, "lineitem").groupBy(col("l_orderkey").as("id"))
+        .agg(transform(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))),
+          x => x.getField("l_quantity")).as("data"))
+    }
 
   private val arrCte =
     "WITH arr AS (SELECT l_orderkey AS id, list(l_quantity ORDER BY l_linenumber, l_quantity) AS data FROM lineitem GROUP BY l_orderkey)"
 
   /** Per-order boolean masks (quantity >= 25). */
   private def maskDf(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem").groupBy(col("l_orderkey").as("id"))
-      .agg(transform(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))),
-        x => x.getField("l_quantity") >= 25.0).as("mask"))
+    SharedInputs(s, dir, "mask") {
+      T(s, dir, "lineitem").groupBy(col("l_orderkey").as("id"))
+        .agg(transform(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))),
+          x => x.getField("l_quantity") >= 25.0).as("mask"))
+    }
 
   private val maskCte =
     "WITH m AS (SELECT l_orderkey AS id, list(l_quantity >= 25.0 ORDER BY l_linenumber, l_quantity) AS mask FROM lineitem GROUP BY l_orderkey)"
