@@ -50,6 +50,11 @@ object DistributedLabel {
     var labels = localized.select(col("rep")).distinct().as[Long].rdd
       .map(r => (r, r)).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
+    // `labels` becomes a mapValues VIEW of each iteration's persisted
+    // `updated` RDD, so eager cleanup must unpersist the live backing RDD
+    // itself — unpersisting the view is a no-op and would leak one
+    // checkpointed RDD per propagation round
+    var backing: org.apache.spark.rdd.RDD[_] = labels
     while (changed > 0) {
       // edges and labels share the partitioner: the join is narrow; only the
       // per-component min (O(components), not O(pixels)) shuffles
@@ -61,9 +66,9 @@ object DistributedLabel {
         .persist(StorageLevel.MEMORY_AND_DISK)
       updated.localCheckpoint()
       changed = updated.filter { case (_, (old, nl)) => old != nl }.count()
-      val prev = labels
       labels = updated.mapValues(_._2)
-      prev.unpersist(blocking = false)
+      backing.unpersist(blocking = false)
+      backing = updated
     }
     edges.unpersist(blocking = false)
     val roots = labels.values.distinct(part.numPartitions)

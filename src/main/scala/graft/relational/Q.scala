@@ -30,5 +30,10 @@ object SharedInputs {
   private val memo =
     scala.collection.mutable.Map[(SparkSession, String, String), DataFrame]()
   def apply(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    memo.synchronized(memo.getOrElseUpdate((s, dir, key), build.persist()))
+    memo.synchronized {
+      // evict entries of stopped sessions so test suites that create/stop
+      // many sessions don't retain dead cached plans for the JVM lifetime
+      memo.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+      memo.getOrElseUpdate((s, dir, key), build.persist())
+    }
 }

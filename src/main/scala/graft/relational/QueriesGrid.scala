@@ -273,6 +273,54 @@ object QueriesGrid {
               |WHERE cg.i >= lim.l AND cg.i < $N - lim.l
               |GROUP BY cg.j""".stripMargin)),
 
+    // forward radon across the full angle sweep (8 angles, 6 non-axis):
+    // the oracle re-derives the rotated-ray bilinear integral
+    // (/root/reference/imops/src/_radon.pyx:28-91) relationally — per
+    // (angle, offset) ray positions from DuckDB's own sin/cos, 4-corner
+    // lerp via LEFT JOINs (out-of-bounds -> 0), identical operand order to
+    // RadonKernel.interpolate2d; bilinear continuity makes 1-ulp libm
+    // differences vanish at round-4
+    Q("q_radon_multi",
+      (s, dir) => {
+        val circled = valueGrid(s, dir).select(col("i"), col("j"),
+          when((col("i") - 8) * (col("i") - 8) + (col("j") - 8) * (col("j") - 8) > 64, 0.0)
+            .otherwise(col("v")).as("v"))
+        toTensor(circled, asBool = false)
+          .select(radonUdf(col("data"), lit(N), ZoomSeqLit.thetaArray(8)).as("sino"))
+          .select(posexplode(col("sino")).as(Seq("pos", "val")))
+          .select((col("pos") / 8).cast("long").as("offset"),
+            (col("pos") % 8).cast("long").as("ang"),
+            round(col("val"), 4).as("val"))
+      },
+      Some(s"""WITH $valueGridCte,
+              |cg AS (SELECT i, j, CASE WHEN (i-8)*(i-8) + (j-8)*(j-8) > 64 THEN 0.0 ELSE v END AS v
+              |  FROM grid),
+              |ang AS (SELECT t.a AS a,
+              |  sin((180.0 * t.a / 8) / 180.0 * pi()) AS sn,
+              |  cos((180.0 * t.a / 8) / 180.0 * pi()) AS cs FROM range(8) t(a)),
+              |lim AS (SELECT r1.j AS j,
+              |  count(CASE WHEN (r2.x-8)*(r2.x-8) + (r1.j-8)*(r1.j-8) > 100 THEN 1 END) // 2 AS l
+              |  FROM range($N) r1(j) CROSS JOIN range($N) r2(x) GROUP BY r1.j),
+              |ray AS (SELECT a.a AS a, jj.j AS j, ii.i AS i,
+              |  jj.j * (-a.sn) + ii.i * a.cs - 8.0 * (a.cs - a.sn - 1.0) AS rr,
+              |  jj.j * a.cs + ii.i * a.sn - 8.0 * (a.cs + a.sn - 1.0) AS cc
+              |  FROM range($N) jj(j) JOIN lim ON lim.j = jj.j
+              |  CROSS JOIN range($N) ii(i) CROSS JOIN ang a
+              |  WHERE ii.i >= lim.l AND ii.i < $N - lim.l),
+              |bil AS (SELECT r.a AS a, r.j AS j,
+              |  r.rr - floor(r.rr) AS dr,
+              |  (1.0 - (r.cc - floor(r.cc))) * coalesce(p00.v, 0.0)
+              |    + (r.cc - floor(r.cc)) * coalesce(p01.v, 0.0) AS top,
+              |  (1.0 - (r.cc - floor(r.cc))) * coalesce(p10.v, 0.0)
+              |    + (r.cc - floor(r.cc)) * coalesce(p11.v, 0.0) AS bot
+              |  FROM ray r
+              |  LEFT JOIN cg p00 ON p00.i = CAST(floor(r.rr) AS INT) AND p00.j = CAST(floor(r.cc) AS INT)
+              |  LEFT JOIN cg p01 ON p01.i = CAST(floor(r.rr) AS INT) AND p01.j = CAST(ceil(r.cc) AS INT)
+              |  LEFT JOIN cg p10 ON p10.i = CAST(ceil(r.rr) AS INT) AND p10.j = CAST(floor(r.cc) AS INT)
+              |  LEFT JOIN cg p11 ON p11.i = CAST(ceil(r.rr) AS INT) AND p11.j = CAST(ceil(r.cc) AS INT))
+              |SELECT j AS offset, a AS ang, round(sum((1.0 - dr) * top + dr * bot), 4) AS val
+              |FROM bil GROUP BY j, a""".stripMargin)),
+
     // the custom TypedImperativeAggregate in the oracle gate: tensor-form
     // center of mass over the grid image vs the relational weighted mean
     Q("q_com_tensor",
@@ -282,6 +330,20 @@ object QueriesGrid {
           col("data"), lit(N), lit(N), col("id")).as("com"))
         .select(round(element_at(col("com"), 2), 4).as("com_i"),
                 round(element_at(col("com"), 3), 4).as("com_j")),
+      Some(s"""WITH $valueGridCte
+              |SELECT round(sum(v * i) / sum(v), 4) AS com_i,
+              |round(sum(v * j) / sum(v), 4) AS com_j FROM grid""".stripMargin)),
+
+    // same op through the vectorized path: codegen'd per-slice partial sums
+    // (ComPartialSums) + scalar hash agg — the whole-volume throughput API,
+    // gated against the identical oracle as the TypedImperativeAggregate
+    Q("q_com_vectorized",
+      (s, dir) => graft.exprs.ComPartialSums.centerOfMassVolume(
+          toTensor(valueGrid(s, dir), asBool = false)
+            .select(lit(0L).as("id"), col("data")),
+          col("data"), lit(N), lit(N), col("id"))
+        .select(round(col("com_i"), 4).as("com_i"),
+                round(col("com_j"), 4).as("com_j")),
       Some(s"""WITH $valueGridCte
               |SELECT round(sum(v * i) / sum(v), 4) AS com_i,
               |round(sum(v * j) / sum(v), 4) AS com_j FROM grid""".stripMargin)),

@@ -157,6 +157,37 @@ class CenterOfMassAggSpec extends AnyFunSuite {
       $"data", lit(2), lit(2), $"id")).collect()(0)
     assert(got.isNullAt(0))
   }
+
+  test("vectorized (ComPartialSums) and RDD (VolumeCom) paths match the typed agg") {
+    val rng = new scala.util.Random(11)
+    val (rows, cols, slices) = (6, 7, 5)
+    val data = Seq.tabulate(slices)(s => (s.toLong, Array.fill(rows * cols)(rng.nextDouble())))
+    val df = data.map { case (s, d) => (s, d.toSeq) }.toDF("id", "data")
+
+    val agg = df.agg(graft.exprs.CenterOfMassAgg.centerOfMass(
+      $"data", lit(rows), lit(cols), $"id")).as[Seq[Double]].head()
+    val vec = graft.exprs.ComPartialSums.centerOfMassVolume(
+      df, $"data", lit(rows), lit(cols), $"id")
+      .as[(Double, Double, Double)].head()
+    val rdd = graft.operators.VolumeCom.centerOfMass(
+      spark.sparkContext.parallelize(data, 2), rows, cols)
+
+    // per-slice partials are bit-identical across the three paths (see the
+    // com_partial test); the cross-partition merge order is scheduler-
+    // dependent, so the final sums may differ in the last ulp
+    for (k <- 0 until 3) {
+      assert(math.abs(vec.productElement(k).asInstanceOf[Double] - agg(k)) < 1e-12)
+      assert(math.abs(rdd(k) - agg(k)) < 1e-12)
+    }
+  }
+
+  test("com_partial per-row values equal the kernel partial") {
+    val d = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val df = Seq((3L, d.toSeq)).toDF("id", "data")
+    val got = df.select(graft.exprs.ComPartialSums.comPartial(
+      $"data", lit(2), lit(3), $"id")).as[Seq[Double]].head()
+    assert(got == graft.operators.VolumeCom.partial(3L, d, 2, 3).toSeq)
+  }
 }
 
 class ExtensionsSpec extends AnyFunSuite {
