@@ -110,6 +110,13 @@ object TensorFunctions {
   val dilateUdf = udf { (data: Array[Boolean], shape: Array[Int]) =>
     StencilKernel.dilateDefault(data, shape)
   }
+  /** boxed morphology: crop to the support bounding box + margin, run the
+    * op on the crop, paste back (/root/reference/imops/morphology.py:117-151). */
+  val boxedMorphUdf = udf { (data: Array[Boolean], shape: Array[Int], dilation: Boolean) =>
+    val (fp, fs) = StencilKernel.crossFootprint(shape.length)
+    StencilKernel.boxed(data, shape, fp, fs,
+      if (dilation) StencilKernel.dilate else StencilKernel.erode)
+  }
   val closeUdf = udf { (data: Array[Boolean], shape: Array[Int]) =>
     val (fp, fs) = StencilKernel.crossFootprint(shape.length)
     StencilKernel.close(data, shape, fp, fs)

@@ -53,6 +53,52 @@ object QueriesGrid {
        |  FROM range($N) r1(i) CROSS JOIN range($N) r2(j)
        |  LEFT JOIN cells c ON c.i = r1.i AND c.j = r2.j)""".stripMargin
 
+  /** 8x8x8 value volume from events: cell (i,j,k) =
+    * (user_id%8, event_id%8, (user_id div 8)%8), v = exact DECIMAL sum. */
+  private def value3Grid(s: SparkSession, dir: String): DataFrame =
+    SharedInputs(s, dir, "value3Grid") {
+      val cells = T(s, dir, "events")
+        .groupBy((col("user_id") % 8).as("i"), (col("event_id") % 8).as("j"),
+          expr("(user_id div 8) % 8").as("k"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val ijk = s.range(8).select(col("id").as("i"))
+        .crossJoin(s.range(8).select(col("id").as("j")))
+        .crossJoin(s.range(8).select(col("id").as("k")))
+      ijk.join(cells, Seq("i", "j", "k"), "left").na.fill(0.0, Seq("v"))
+    }
+
+  private val value3GridCte =
+    """cells3 AS (SELECT user_id % 8 AS i, event_id % 8 AS j, (user_id // 8) % 8 AS k,
+      |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2, 3),
+      |grid3 AS (SELECT r1.i AS i, r2.j AS j, r3.k AS k, coalesce(c.v, 0.0) AS v
+      |  FROM range(8) r1(i) CROSS JOIN range(8) r2(j) CROSS JOIN range(8) r3(k)
+      |  LEFT JOIN cells3 c ON c.i = r1.i AND c.j = r2.j AND c.k = r3.k)""".stripMargin
+
+  /** ~50%-density 3-D mask: nonzero cells with even floor(v). */
+  private def mask3(s: SparkSession, dir: String): DataFrame =
+    value3Grid(s, dir).select(col("i"), col("j"), col("k"),
+      when(col("v") > 0.0 && floor(col("v")) % 2 === 0, 1).otherwise(0).as("v"))
+
+  private val mask3Cte =
+    """m3 AS (SELECT i, j, k,
+      |  CASE WHEN v > 0.0 AND CAST(floor(v) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS v
+      |  FROM grid3)""".stripMargin
+
+  /** Assemble mask3 into 2x2x2 tiles of side ts=4 (row-major per tile). */
+  private def tiles3(s: SparkSession, dir: String, ts: Int) = {
+    import s.implicits._
+    mask3(s, dir)
+      .select((col("i") / ts).cast("int").as("ti"), (col("j") / ts).cast("int").as("tj"),
+        (col("k") / ts).cast("int").as("tk"),
+        (col("i") % ts).as("li"), (col("j") % ts).as("lj"), (col("k") % ts).as("lk"), col("v"))
+      .groupBy("ti", "tj", "tk")
+      .agg(transform(array_sort(collect_list(struct(col("li"), col("lj"), col("lk"), col("v")))),
+        x => x.getField("v") === 1).as("data"))
+      .select(lit(0L).as("id"), col("ti"), col("tj"), col("tk"), col("data"))
+      .as[graft.operators.TiledStencil.Tile3]
+  }
+
   /** Collapse a grid DF into one row: row-major array ordered by (i, j). */
   private def toTensor(grid: DataFrame, asBool: Boolean): DataFrame =
     grid.agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("v")))),
@@ -419,6 +465,112 @@ object QueriesGrid {
               |LEFT JOIN grid d ON d.i = g.i + 1 AND d.j = g.j
               |LEFT JOIN grid l ON l.i = g.i AND l.j = g.j - 1
               |LEFT JOIN grid r ON r.i = g.i AND r.j = g.j + 1""".stripMargin)),
+
+    // 3-D connected-component labeling through the distributed two-level
+    // scheme (local label + face-border union + min-propagation), gated
+    // against a recursive-CTE transitive closure under 6-adjacency; labels
+    // are scan-order dense ids on both sides
+    // (/root/reference/imops/measure.py:114-119)
+    Q("q_label3d",
+      (s, dir) => {
+        val ts = 4
+        graft.operators.DistributedLabel.apply3(tiles3(s, dir, ts), ts, Array(2, 2, 2))(s)
+          .select(col("g"), col("label"))
+      },
+      Some(s"""WITH RECURSIVE $value3GridCte, $mask3Cte,
+              |pts AS (SELECT (i * 8 + j) * 8 + k AS id, i, j, k FROM m3 WHERE v = 1),
+              |edge AS (SELECT a.id AS s, b.id AS t FROM pts a JOIN pts b
+              |  ON abs(a.i - b.i) + abs(a.j - b.j) + abs(a.k - b.k) = 1),
+              |reach(s, t) AS (SELECT id, id FROM pts
+              |  UNION SELECT r.s, e.t FROM reach r JOIN edge e ON e.s = r.t),
+              |comp AS (SELECT s AS id, min(t) AS rep FROM reach GROUP BY s),
+              |lab AS (SELECT rep, CAST(row_number() OVER (ORDER BY rep) AS BIGINT) AS label
+              |  FROM (SELECT DISTINCT rep FROM comp) d)
+              |SELECT c.id AS g, l.label FROM comp c JOIN lab l ON l.rep = c.rep""".stripMargin)),
+
+    // 3-D halo-exchange erosion over 2x2x2 tiles vs the 6-neighbor
+    // relational erosion (outside-the-volume counts as true, the same
+    // border rule as the 2-D tiled gate)
+    Q("q_tiled_erosion3d",
+      (s, dir) => {
+        val ts = 4
+        val eroded = graft.operators.TiledStencil.erode3(tiles3(s, dir, ts), ts, Array(2, 2, 2))(s)
+        eroded.toDF()
+          .select(col("ti"), col("tj"), col("tk"), posexplode(col("data")).as(Seq("pos", "out")))
+          .select((col("ti") * ts + (col("pos") / (ts * ts)).cast("int")).cast("long").as("i"),
+                  (col("tj") * ts + (col("pos") / ts).cast("int") % ts).cast("long").as("j"),
+                  (col("tk") * ts + col("pos") % ts).cast("long").as("k"),
+                  when(col("out"), 1).otherwise(0).as("e"))
+      },
+      Some(s"""WITH $value3GridCte, $mask3Cte
+              |SELECT g.i, g.j, g.k, CASE WHEN g.v = 1
+              |  AND coalesce(n1.v, 1) = 1 AND coalesce(n2.v, 1) = 1
+              |  AND coalesce(n3.v, 1) = 1 AND coalesce(n4.v, 1) = 1
+              |  AND coalesce(n5.v, 1) = 1 AND coalesce(n6.v, 1) = 1 THEN 1 ELSE 0 END AS e
+              |FROM m3 g
+              |LEFT JOIN m3 n1 ON n1.i = g.i - 1 AND n1.j = g.j AND n1.k = g.k
+              |LEFT JOIN m3 n2 ON n2.i = g.i + 1 AND n2.j = g.j AND n2.k = g.k
+              |LEFT JOIN m3 n3 ON n3.i = g.i AND n3.j = g.j - 1 AND n3.k = g.k
+              |LEFT JOIN m3 n4 ON n4.i = g.i AND n4.j = g.j + 1 AND n4.k = g.k
+              |LEFT JOIN m3 n5 ON n5.i = g.i AND n5.j = g.j AND n5.k = g.k - 1
+              |LEFT JOIN m3 n6 ON n6.i = g.i AND n6.j = g.j AND n6.k = g.k + 1""".stripMargin)),
+
+    // boxed morphology (crop-to-support pruning,
+    // /root/reference/imops/morphology.py:117-151) against the SAME
+    // relational oracle as the full-image erosion — one oracle, two
+    // execution paths; the mask's border ring is zeroed so the dilated
+    // support stays interior (the boxed precondition)
+    Q("q_erosion2d_boxed",
+      (s, dir) => {
+        val interior = maskGrid(s, dir).select(col("i"), col("j"),
+          when(col("i") === 0 || col("i") === N - 1 || col("j") === 0 || col("j") === N - 1, 0)
+            .otherwise(col("v")).as("v"))
+        explodeGrid(
+          toTensor(interior, asBool = true)
+            .select(boxedMorphUdf(col("data"), array(lit(N), lit(N)), lit(false)).as("e2")),
+          "e2", N)
+          .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("e"))
+      },
+      Some(s"""WITH $maskGridCte,
+              |ig AS (SELECT i, j, CASE WHEN i = 0 OR i = ${N - 1} OR j = 0 OR j = ${N - 1}
+              |  THEN 0 ELSE v END AS v FROM grid)
+              |SELECT g.i, g.j, CASE WHEN g.v = 1
+              |  AND coalesce(u.v, 1) = 1 AND coalesce(d.v, 1) = 1
+              |  AND coalesce(l.v, 1) = 1 AND coalesce(r.v, 1) = 1 THEN 1 ELSE 0 END AS e
+              |FROM ig g
+              |LEFT JOIN ig u ON u.i = g.i - 1 AND u.j = g.j
+              |LEFT JOIN ig d ON d.i = g.i + 1 AND d.j = g.j
+              |LEFT JOIN ig l ON l.i = g.i AND l.j = g.j - 1
+              |LEFT JOIN ig r ON r.i = g.i AND r.j = g.j + 1""".stripMargin)),
+
+    // rank-3 zoom through the gate: order-0 at scale 1.5 (8^3 -> 12^3) is
+    // exactly expressible in SQL by the nearest-index rule
+    // (/root/reference/imops/src/_zoom.pyx:146-149, 203-248): coordinate
+    // c = i * (7/11), pick floor+1 iff frac >= 0.5 and in range; values
+    // are copied exactly so no rounding is needed on either side
+    Q("q_zoom3d_nearest",
+      (s, dir) => {
+        val t3 = value3Grid(s, dir)
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("k"), col("v")))),
+            x => x.getField("v").cast("double")).as("data"))
+        t3.select(zoomUdf(col("data"), array(lit(8), lit(8), lit(8)),
+            array(lit(1.5), lit(1.5), lit(1.5)), lit(0), lit(0.0)).getField("_1").as("z"))
+          .select(posexplode(col("z")).as(Seq("pos", "v")))
+          .select((col("pos") / 144).cast("long").as("i"),
+            ((col("pos") / 12).cast("int") % 12).cast("long").as("j"),
+            (col("pos") % 12).cast("long").as("k"), col("v"))
+      },
+      Some {
+        def ni(x: String) = {
+          val c = s"($x * (7.0 / 11.0))"
+          s"(CASE WHEN ($c - floor($c)) >= 0.5 AND CAST(floor($c) AS INT) + 1 <= 7 " +
+            s"THEN CAST(floor($c) AS INT) + 1 ELSE CAST(floor($c) AS INT) END)"
+        }
+        s"""WITH $value3GridCte
+           |SELECT ra.a AS i, rb.b AS j, rc.c AS k, g.v AS v
+           |FROM range(12) ra(a) CROSS JOIN range(12) rb(b) CROSS JOIN range(12) rc(c)
+           |JOIN grid3 g ON g.i = ${ni("ra.a")} AND g.j = ${ni("rb.b")} AND g.k = ${ni("rc.c")}""".stripMargin
+      }),
 
     // convex_hull_image vs a from-scratch relational hull: candidate points
     // are the per-row bound pixels offset by +-0.5 (doubled to stay integer,
