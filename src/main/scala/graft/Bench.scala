@@ -145,10 +145,13 @@ object Bench {
     val interpInput = slices(65536, 256)
     bench("interp1d", c24, Some(interpInput)) {
       // 65536 rows of 256-point y-grids, 256 queries each (= 2^24 y cells)
-      val xs = array((0 until 256).map(i => lit(i.toDouble)): _*)
-      val xq = array((0 until 256).map(i => lit(i + 0.37)): _*)
+      // typedlit -> a single constant ArrayData, not a 256-child CreateArray
+      // re-evaluated per row
+      val xs = typedlit((0 until 256).map(_.toDouble).toArray)
+      val xq = typedlit((0 until 256).map(_ + 0.37).toArray)
       interpInput
-        .select(TensorFunctions.interp1dUdf(xs, col("data"), xq, lit(true), lit(0.0)).as("y"))
+        .select(graft.exprs.Interp1dExpr.interp1dArr(
+          xs, col("data"), xq, lit(true), lit(0.0)).as("y"))
         .agg(sum(get(col("y"), lit(0)))).collect()
     }
 

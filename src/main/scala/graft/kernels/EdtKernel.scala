@@ -94,7 +94,19 @@ object EdtKernel {
     * index of the nearest zero cell (ties: lexicographically smallest
     * coordinate vector read last-axis-first, the tie rule the separable
     * envelope composition produces), alongside the distances. Cells with no
-    * reachable zero (all-true mask) carry feature -1. */
+    * reachable zero (all-true mask) carry feature -1.
+    *
+    * Tie-rule caveat (round-2 advisory): the reference delegates to scipy's
+    * `distance_transform_edt(return_indices=True)`, whose tie resolution is
+    * an unspecified artifact of its own separable-pass order and was NOT
+    * cross-checked here (scipy is unavailable in this environment). When
+    * two zero cells are exactly equidistant, this kernel deterministically
+    * picks the parabola the lower-envelope scan keeps — the lexicographic
+    * rule above — which MAY differ from scipy's pick on tie-heavy masks.
+    * The distances are identical either way; only the reported index of
+    * the equidistant witness can differ. The q_edt2d_indices oracle encodes
+    * this kernel's rule (both sides computed from the same definition), so
+    * it verifies internal consistency, not scipy bit-parity on ties. */
   def edtFeature(mask: Array[Boolean], shape: Array[Int],
                  sampling: Array[Double]): (Array[Double], Array[Int]) = {
     val rank = shape.length

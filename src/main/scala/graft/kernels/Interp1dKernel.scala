@@ -69,6 +69,12 @@ object Interp1dKernel {
     nanPolicy(out)
   }
 
+  /** Plain-JVM entry point for generated-code call sites (static forwarder
+    * callable from Janino as `graft.kernels.Interp1dKernel.interp`). */
+  def interp(xs: Array[Double], ys: Array[Double], xq: Array[Double],
+             extrapolate: Boolean, fillValue: Double): Array[Double] =
+    apply(xs, ys, xq, Opts(extrapolate = extrapolate, fillValue = fillValue))
+
   /** The reference's output NaN/inf policy (interp1d.py:191-205): NaNs in
     * the output (e.g. from inf*0 in the lerp, or a NaN fill_value) are only
     * resolvable when the output also contains infinities of exactly one

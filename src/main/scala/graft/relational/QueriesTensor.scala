@@ -269,6 +269,26 @@ object QueriesTensor {
              |  ELSE ((yc-yd)/(xc-xd)) * xq + (yd - ((yc-yd)/(xc-xd)) * xd) END, 4) AS yq
              |FROM q, par""".stripMargin)),
 
+    // the whole-array interp1d hot path (codegen Interp1dExpr — the same
+    // kernel the UDF wraps, minus the per-element boxing): per-order ys on
+    // the integer grid 0..len-1, queried at half-points; out-of-range
+    // queries take the fill value. dd is exactly 0.5 so the lerp is
+    // ys[m]*0.5 + ys[m+1]*0.5 bit-for-bit on both sides
+    Q("q_interp1d_arr",
+      (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")) >= 2)
+        .select(col("id"), graft.exprs.Interp1dExpr.interp1dArr(
+            transform(sequence(lit(0), size(col("data")) - 1), x => x.cast("double")),
+            col("data"),
+            array(lit(0.5), lit(1.5), lit(2.5)),
+            lit(false), lit(-1.0)).as("raw"))
+        .select(col("id"), transform(col("raw"), x => round(x, 4)).as("data"))),
+      Some(explodeSql(arrCte,
+        """SELECT id, list_transform(range(0, 3), m ->
+          |CASE WHEN m + 1 <= len(data) - 1
+          |  THEN round(data[m + 1] * 0.5 + data[m + 2] * 0.5, 4)
+          |  ELSE -1.0 END) AS data
+          |FROM arr WHERE len(data) >= 2""".stripMargin))),
+
     // ---- zoom, 1-D oracle forms (/root/reference/imops/src/_zoom.pyx) ----
 
     Q("q_zoom1d_linear",

@@ -190,6 +190,40 @@ class CenterOfMassAggSpec extends AnyFunSuite {
   }
 }
 
+class Interp1dExprSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("expression output is bit-identical to the kernel (interior, fill, extrapolation)") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(20) { i =>
+      val n = 2 + rng.nextInt(8)
+      val xs = Array.tabulate(n)(_.toDouble)
+      val ys = Array.fill(n)(rng.nextDouble() * 10 - 5)
+      (i.toLong, xs.toSeq, ys.toSeq)
+    }
+    val xq = Array(-1.5, 0.0, 0.25, 1.75, 3.5, 9.5)
+    for (extrap <- Seq(true, false)) {
+      val got = rows.toDF("id", "xs", "ys")
+        .select($"id", graft.exprs.Interp1dExpr.interp1dArr(
+          $"xs", $"ys", array(xq.map(lit): _*), lit(extrap), lit(-7.0)).as("y"))
+        .as[(Long, Seq[Double])].collect().toMap
+      rows.foreach { case (id, xs, ys) =>
+        val want = graft.kernels.Interp1dKernel.interp(
+          xs.toArray, ys.toArray, xq, extrap, -7.0)
+        assert(got(id) == want.toSeq, s"row $id extrap=$extrap")
+      }
+    }
+  }
+
+  test("null input array yields null output") {
+    val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("xs", "ys")
+    val out = df.select(graft.exprs.Interp1dExpr.interp1dArr(
+      $"xs", $"ys", array(lit(0.5)), lit(false), lit(0.0))).collect()(0)
+    assert(out.isNullAt(0))
+  }
+}
+
 class ExtensionsSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
 
