@@ -61,12 +61,26 @@ object DistributedLabel {
       val nbrMin = edges.join(labels)
         .map { case (_, (dst, lbl)) => (dst, lbl) }
         .reduceByKey(part, math.min(_: Long, _: Long))
-      val updated = labels.leftOuterJoin(nbrMin, part)
+      val relaxed = labels.leftOuterJoin(nbrMin, part)
         .mapValues { case (old, nm) => (old, math.min(old, nm.getOrElse(old))) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer doubling: follow the relaxed label one extra hop
+      // (label(label(r))) so chain-shaped components collapse in O(log
+      // diameter) rounds instead of O(diameter). Valid because label values
+      // are always existing rep ids with label(x) <= x (identity init, min
+      // updates), so the hop stays within the component and is monotone.
+      // Costs two O(reps) shuffles per round — reps, not pixels.
+      val cur = relaxed.mapValues(_._2)
+      val hopped = cur.map { case (r, l) => (l, r) }
+        .join(cur, part)
+        .map { case (_, (r, l2)) => (r, l2) }
+      val updated = relaxed.join(hopped, part)
+        .mapValues { case ((old, _), l2) => (old, l2) }
         .persist(StorageLevel.MEMORY_AND_DISK)
       updated.localCheckpoint()
       changed = updated.filter { case (_, (old, nl)) => old != nl }.count()
       labels = updated.mapValues(_._2)
+      relaxed.unpersist(blocking = false)
       backing.unpersist(blocking = false)
       backing = updated
     }
