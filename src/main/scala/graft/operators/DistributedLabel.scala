@@ -42,50 +42,13 @@ object DistributedLabel {
   private def propagateAndDensify(localized: DataFrame, symEdges: DataFrame)
                                  (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.HashPartitioner
-    import org.apache.spark.storage.StorageLevel
-    val part = new HashPartitioner(spark.sparkContext.defaultParallelism)
-    val edges = symEdges.as[(Long, Long)].rdd
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = localized.select(col("rep")).distinct().as[Long].rdd
-      .map(r => (r, r)).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    // `labels` becomes a mapValues VIEW of each iteration's persisted
-    // `updated` RDD, so eager cleanup must unpersist the live backing RDD
-    // itself — unpersisting the view is a no-op and would leak one
-    // checkpointed RDD per propagation round
-    var backing: org.apache.spark.rdd.RDD[_] = labels
-    while (changed > 0) {
-      // edges and labels share the partitioner: the join is narrow; only the
-      // per-component min (O(components), not O(pixels)) shuffles
-      val nbrMin = edges.join(labels)
-        .map { case (_, (dst, lbl)) => (dst, lbl) }
-        .reduceByKey(part, math.min(_: Long, _: Long))
-      val relaxed = labels.leftOuterJoin(nbrMin, part)
-        .mapValues { case (old, nm) => (old, math.min(old, nm.getOrElse(old))) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // pointer doubling: follow the relaxed label one extra hop
-      // (label(label(r))) so chain-shaped components collapse in O(log
-      // diameter) rounds instead of O(diameter). Valid because label values
-      // are always existing rep ids with label(x) <= x (identity init, min
-      // updates), so the hop stays within the component and is monotone.
-      // Costs two O(reps) shuffles per round — reps, not pixels.
-      val cur = relaxed.mapValues(_._2)
-      val hopped = cur.map { case (r, l) => (l, r) }
-        .join(cur, part)
-        .map { case (_, (r, l2)) => (r, l2) }
-      val updated = relaxed.join(hopped, part)
-        .mapValues { case ((old, _), l2) => (old, l2) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      updated.localCheckpoint()
-      changed = updated.filter { case (_, (old, nl)) => old != nl }.count()
-      labels = updated.mapValues(_._2)
-      relaxed.unpersist(blocking = false)
-      backing.unpersist(blocking = false)
-      backing = updated
-    }
-    edges.unpersist(blocking = false)
-    val roots = labels.values.distinct(part.numPartitions)
+    // the min-label fixpoint (hash-partitioned once, pointer-doubled,
+    // localCheckpoint'ed rounds) lives in GraphCC, shared with the corpus
+    // dedup-cluster pipeline
+    val labels = GraphCC.minLabels(
+      localized.select(col("rep")).distinct().as[Long].rdd,
+      symEdges.as[(Long, Long)].rdd)
+    val roots = labels.values.distinct(spark.sparkContext.defaultParallelism)
       .sortBy(identity).zipWithIndex()
       .map { case (lbl, idx) => (lbl, idx + 1) }
     localized.join(labels.toDF("rep", "lbl"), Seq("rep"))

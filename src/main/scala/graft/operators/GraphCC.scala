@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+/** Min-id connected components over an undirected edge list — the
+  * propagation core shared by [[DistributedLabel]] (pixel-component reps)
+  * and the corpus dedup-cluster query (LSH candidate-pair graph).
+  *
+  * Scale shape: vertices and edges are hash-partitioned ONCE, so the
+  * per-round joins are narrow; only the per-component min (O(components))
+  * and the pointer-doubling hop (O(vertices)) shuffle. Each round relaxes
+  * labels over edges AND follows the relaxed label one extra hop
+  * (label(label(v))), collapsing chain-shaped components in
+  * O(log diameter) rounds. Rounds are localCheckpoint'ed (O(1) lineage)
+  * and superseded backing RDDs unpersisted eagerly.
+  */
+object GraphCC {
+
+  /** Returns (vertex, component-min-id). `edges` may be directed input;
+    * it is symmetrized here. Isolated vertices map to themselves. */
+  def minLabels(vertices: RDD[Long], edges0: RDD[(Long, Long)])
+               (implicit spark: SparkSession): RDD[(Long, Long)] = {
+    val part = new HashPartitioner(spark.sparkContext.defaultParallelism)
+    val edges = edges0.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .distinct(part.numPartitions)
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.distinct(part.numPartitions)
+      .map(v => (v, v)).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    // `labels` becomes a mapValues VIEW of each iteration's persisted
+    // `updated` RDD; cleanup must unpersist the live backing RDD itself
+    var backing: RDD[_] = labels
+    while (changed > 0) {
+      val nbrMin = edges.join(labels)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val relaxed = labels.leftOuterJoin(nbrMin, part)
+        .mapValues { case (old, nm) => (old, math.min(old, nm.getOrElse(old))) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer doubling: valid because label values are always existing
+      // vertex ids with label(x) <= x (identity init, monotone min updates)
+      val cur = relaxed.mapValues(_._2)
+      val hopped = cur.map { case (r, l) => (l, r) }
+        .join(cur, part)
+        .map { case (_, (r, l2)) => (r, l2) }
+      val updated = relaxed.join(hopped, part)
+        .mapValues { case ((old, _), l2) => (old, l2) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      updated.localCheckpoint()
+      changed = updated.filter { case (_, (old, nl)) => old != nl }.count()
+      labels = updated.mapValues(_._2)
+      relaxed.unpersist(blocking = false)
+      backing.unpersist(blocking = false)
+      backing = updated
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+}

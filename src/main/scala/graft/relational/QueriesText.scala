@@ -75,6 +75,45 @@ object QueriesText {
               |ON x.h = y.h AND x.band = y.band AND x.doc_id < y.doc_id
               |GROUP BY x.doc_id, y.doc_id""".stripMargin)),
 
+    // full corpus dedup-clustering: connected components over the LSH
+    // candidate-pair graph (GraphCC min-label fixpoint — the same engine
+    // as the distributed pixel labeling), each doc mapped to its cluster's
+    // min doc_id plus the cluster size; the oracle closes the identical
+    // pair graph with a recursive CTE. This is the "drop all but one per
+    // near-dup cluster" primitive of a training-data pipeline.
+    Q("q_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val bands = T(s, dir, "documents")
+          .select(col("doc_id"),
+            minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
+          .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+        val pairs = bands.as("x").join(bands.as("y"),
+            col("x.h") === col("y.h") && col("x.band") === col("y.band") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst")).distinct()
+        val labels = graft.operators.GraphCC.minLabels(
+          T(s, dir, "documents").select(col("doc_id")).as[Long].rdd,
+          pairs.as[(Long, Long)].rdd)(s)
+        val comp = labels.toDF("doc_id", "cluster")
+        comp.join(comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size")),
+            Seq("cluster"))
+          .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE sig AS (SELECT doc_id,
+              |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM documents),
+              |bands AS (${(0 until 4).map(k =>
+                 s"SELECT doc_id, $k AS band, mh$k AS h FROM sig").mkString(" UNION ALL ")}),
+              |e AS (SELECT DISTINCT x.doc_id AS s, y.doc_id AS t
+              |  FROM bands x JOIN bands y
+              |  ON x.h = y.h AND x.band = y.band AND x.doc_id <> y.doc_id),
+              |reach(s, t) AS (SELECT doc_id, doc_id FROM documents
+              |  UNION SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
+              |comp AS (SELECT s AS doc_id, min(t) AS cluster FROM reach GROUP BY s),
+              |sz AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+              |SELECT c.doc_id, c.cluster, sz.cluster_size
+              |FROM comp c JOIN sz ON sz.cluster = c.cluster""".stripMargin)),
+
     Q("q_ngram_jaccard",
       (s, dir) => {
         // block on the shingle-minhash (small buckets), then exact Jaccard

@@ -190,6 +190,21 @@ class CenterOfMassAggSpec extends AnyFunSuite {
   }
 }
 
+class GraphCCSpec extends AnyFunSuite {
+  test("min-label components over chains, cliques, and isolated vertices") {
+    implicit val s: org.apache.spark.sql.SparkSession = SharedSpark.spark
+    val verts = s.sparkContext.parallelize(0L to 9L)
+    // chain 0-1-2-3-4 (exercises pointer doubling), triangle 5-6-7,
+    // isolated 8 and 9
+    val edges = s.sparkContext.parallelize(
+      Seq((1L, 0L), (1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (7L, 5L)))
+    val got = graft.operators.GraphCC.minLabels(verts, edges).collect().toMap
+    assert((0L to 4L).forall(got(_) == 0L))
+    assert((5L to 7L).forall(got(_) == 5L))
+    assert(got(8L) == 8L && got(9L) == 9L)
+  }
+}
+
 class Interp1dExprSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
   import spark.implicits._
