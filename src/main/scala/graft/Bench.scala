@@ -95,13 +95,13 @@ object Bench {
     val slices256 = slices(256, 65536) // 256 slices of 256x256
     bench("zoom_o1", c24, Some(slices256)) {
       slices256
-        .select(TensorFunctions.zoomUdf(col("data"), array(lit(256), lit(256)),
+        .select(graft.exprs.ZoomExpr.zoomCol(col("data"), array(lit(256), lit(256)),
           array(lit(2.0), lit(2.0)), lit(1), lit(0.0)).getField("_1").as("z"))
         .agg(sum(get(col("z"), lit(0)))).collect()
     }
     bench("zoom_o0", c24, Some(slices256)) {
       slices256
-        .select(TensorFunctions.zoomUdf(col("data"), array(lit(256), lit(256)),
+        .select(graft.exprs.ZoomExpr.zoomCol(col("data"), array(lit(256), lit(256)),
           array(lit(2.0), lit(2.0)), lit(0), lit(0.0)).getField("_1").as("z"))
         .agg(sum(get(col("z"), lit(0)))).collect()
     }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Whole-array interp1d as a native Expression: bulk `toDoubleArray` reads
@@ -48,7 +49,7 @@ case class Interp1dExpr(xs: Expression, ys: Expression, xq: Expression,
     val a = xs.eval(input); val b = ys.eval(input); val c = xq.eval(input)
     val e = extrapolate.eval(input); val f = fillValue.eval(input)
     if (a == null || b == null || c == null || e == null || f == null) null
-    else new GenericArrayData(graft.kernels.Interp1dKernel.interp(
+    else UnsafeArrayData.fromPrimitiveArray(graft.kernels.Interp1dKernel.interp(
       a.asInstanceOf[ArrayData].toDoubleArray(),
       b.asInstanceOf[ArrayData].toDoubleArray(),
       c.asInstanceOf[ArrayData].toDoubleArray(),
@@ -68,8 +69,8 @@ case class Interp1dExpr(xs: Expression, ys: Expression, xq: Expression,
         boolean ${ev.isNull} = $nullCheck;
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
-          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-            graft.kernels.Interp1dKernel.interp(
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray(graft.kernels.Interp1dKernel.interp(
               ${gs(0).value}.toDoubleArray(), ${gs(1).value}.toDoubleArray(),
               ${gs(2).value}.toDoubleArray(), ${gs(3).value}, ${gs(4).value}));
         }

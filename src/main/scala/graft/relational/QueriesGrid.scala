@@ -273,7 +273,7 @@ object QueriesGrid {
     Q("q_zoom2d",
       (s, dir) => explodeGrid(
           toTensor(valueGrid(s, dir), asBool = false)
-            .select(zoomUdf(col("data"), array(lit(N), lit(N)),
+            .select(graft.exprs.ZoomExpr.zoomCol(col("data"), array(lit(N), lit(N)),
               array(lit(0.5), lit(0.5)), lit(1), lit(0.0)).as("z"))
             .select(col("z").getField("_1").as("zd")),
           "zd", N / 2)
@@ -553,7 +553,7 @@ object QueriesGrid {
         val t3 = value3Grid(s, dir)
           .agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("k"), col("v")))),
             x => x.getField("v").cast("double")).as("data"))
-        t3.select(zoomUdf(col("data"), array(lit(8), lit(8), lit(8)),
+        t3.select(graft.exprs.ZoomExpr.zoomCol(col("data"), array(lit(8), lit(8), lit(8)),
             array(lit(1.5), lit(1.5), lit(1.5)), lit(0), lit(0.0)).getField("_1").as("z"))
           .select(posexplode(col("z")).as(Seq("pos", "v")))
           .select((col("pos") / 144).cast("long").as("i"),
@@ -571,6 +571,29 @@ object QueriesGrid {
            |FROM range(12) ra(a) CROSS JOIN range(12) rb(b) CROSS JOIN range(12) rc(c)
            |JOIN grid3 g ON g.i = ${ni("ra.a")} AND g.j = ${ni("rb.b")} AND g.k = ${ni("rc.c")}""".stripMargin
       }),
+
+    // rank-3 EDT through the gate: the separable Felzenszwalb kernel on the
+    // 8^3 volume vs the brute-force min-euclidean SQL (exact integer
+    // squared distances, so sqrt+round(4) is bit-stable on both sides)
+    Q("q_edt3d",
+      (s, dir) => {
+        val t3 = mask3(s, dir)
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("k"), col("v")))),
+            x => x.getField("v") === 1).as("data"))
+        t3.select(edtUdf(col("data"), array(lit(8), lit(8), lit(8)),
+            array(lit(1.0), lit(1.0), lit(1.0))).as("e"))
+          .select(posexplode(col("e")).as(Seq("pos", "out")))
+          .select((col("pos") / 64).cast("long").as("i"),
+            ((col("pos") / 8).cast("int") % 8).cast("long").as("j"),
+            (col("pos") % 8).cast("long").as("k"),
+            round(col("out"), 4).as("dist"))
+      },
+      Some(s"""WITH $value3GridCte, $mask3Cte
+              |SELECT g.i, g.j, g.k, CASE WHEN g.v = 0 THEN 0.0 ELSE
+              |  round(sqrt(min((g.i - z.i)*(g.i - z.i) + (g.j - z.j)*(g.j - z.j)
+              |    + (g.k - z.k)*(g.k - z.k))), 4) END AS dist
+              |FROM m3 g JOIN m3 z ON z.v = 0
+              |GROUP BY g.i, g.j, g.k, g.v""".stripMargin)),
 
     // convex_hull_image vs a from-scratch relational hull: candidate points
     // are the per-row bound pixels offset by +-0.5 (doubled to stay integer,

@@ -293,7 +293,7 @@ object QueriesTensor {
 
     Q("q_zoom1d_linear",
       (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")) >= 2)
-        .withColumn("z", zoomUdf(col("data"), array(size(col("data"))),
+        .withColumn("z", graft.exprs.ZoomExpr.zoomCol(col("data"), array(size(col("data"))),
           array(lit(2.0)), lit(1), lit(0.0)))
         .select(col("id"), transform(col("z").getField("_1"), x => round(x, 4)).as("data"))),
       Some {
@@ -308,7 +308,7 @@ object QueriesTensor {
 
     Q("q_zoom1d_nearest",
       (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")) >= 2)
-        .withColumn("z", zoomUdf(col("data"), array(size(col("data"))),
+        .withColumn("z", graft.exprs.ZoomExpr.zoomCol(col("data"), array(size(col("data"))),
           array(lit(2.0)), lit(0), lit(0.0)))
         .select(col("id"), col("z").getField("_1").as("data"))),
       Some {
