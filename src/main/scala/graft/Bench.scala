@@ -109,12 +109,12 @@ object Bench {
     val masks512 = masks(512, 262144) // 512 slices of 512x512
     bench("binary_erosion", v512.toDouble, Some(masks512)) {
       masks512
-        .select(TensorFunctions.erodeUdf(col("mask"), array(lit(512), lit(512))).as("e"))
+        .select(graft.exprs.MorphExpr.erode(col("mask"), array(lit(512), lit(512))).as("e"))
         .agg(sum(when(get(col("e"), lit(0)), 1).otherwise(0))).collect()
     }
     bench("binary_dilation", v512.toDouble, Some(masks512)) {
       masks512
-        .select(TensorFunctions.dilateUdf(col("mask"), array(lit(512), lit(512))).as("e"))
+        .select(graft.exprs.MorphExpr.dilate(col("mask"), array(lit(512), lit(512))).as("e"))
         .agg(sum(when(get(col("e"), lit(0)), 1).otherwise(0))).collect()
     }
     // center_of_mass is pure memory bandwidth (one read + 3 FMAs per cell):

@@ -1,0 +1,90 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Default-footprint binary morphology as a native Expression over
+  * [[graft.kernels.StencilKernel]]: bulk `toBooleanArray`/`toIntArray`
+  * reads in, one `UnsafeArrayData.fromPrimitiveArray` out — the same
+  * boxing-elimination pattern as [[ZoomExpr]]/[[Interp1dExpr]], applied to
+  * the erosion/dilation hot path
+  * (/root/reference/imops/src/_morphology.pyx:313-329). `morphUdf` remains
+  * the arbitrary-footprint entry point.
+  */
+case class MorphExpr(data: Expression, shape: Expression, dilation: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(data, shape, dilation)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = ArrayType(BooleanType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = data.dataType == ArrayType(BooleanType, containsNull = false) ||
+      data.dataType == ArrayType(BooleanType, containsNull = true)
+    if (!ok)
+      TypeCheckResult.TypeCheckFailure(s"morph data must be array<boolean>, got ${data.dataType.sql}")
+    else if (shape.dataType != ArrayType(IntegerType, containsNull = false) &&
+             shape.dataType != ArrayType(IntegerType, containsNull = true))
+      TypeCheckResult.TypeCheckFailure(s"morph shape must be array<int>, got ${shape.dataType.sql}")
+    else if (dilation.dataType != BooleanType)
+      TypeCheckResult.TypeCheckFailure(s"morph dilation flag must be boolean, got ${dilation.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val d = data.eval(input); val sh = shape.eval(input); val dil = dilation.eval(input)
+    if (d == null || sh == null || dil == null) null
+    else MorphExpr.call(d.asInstanceOf[ArrayData], sh.asInstanceOf[ArrayData],
+      dil.asInstanceOf[Boolean])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gs = children.map(_.genCode(ctx))
+    val nullCheck = gs.map(_.isNull).mkString(" || ")
+    ev.copy(code =
+      code"""
+        ${gs(0).code}
+        ${gs(1).code}
+        ${gs(2).code}
+        boolean ${ev.isNull} = $nullCheck;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.exprs.MorphExpr.call(
+            ${gs(0).value}, ${gs(1).value}, ${gs(2).value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(data = c(0), shape = c(1), dilation = c(2))
+}
+
+object MorphExpr {
+  /** Plain-JVM bridge for generated code. */
+  def call(data: ArrayData, shape: ArrayData, dilation: Boolean): ArrayData = {
+    val d = data.toBooleanArray()
+    val sh = shape.toIntArray()
+    val out =
+      if (dilation) graft.kernels.StencilKernel.dilateDefault(d, sh)
+      else graft.kernels.StencilKernel.erodeDefault(d, sh)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def erode(data: Column, shape: Column): Column =
+    GraftColumnBridge.column(MorphExpr(GraftColumnBridge.expression(data),
+      GraftColumnBridge.expression(shape), GraftColumnBridge.expression(
+        org.apache.spark.sql.functions.lit(false))))
+
+  def dilate(data: Column, shape: Column): Column =
+    GraftColumnBridge.column(MorphExpr(GraftColumnBridge.expression(data),
+      GraftColumnBridge.expression(shape), GraftColumnBridge.expression(
+        org.apache.spark.sql.functions.lit(true))))
+}

@@ -114,7 +114,7 @@ object QueriesGrid {
     Q("q_erosion2d",
       (s, dir) => explodeGrid(
           toTensor(maskGrid(s, dir), asBool = true)
-            .select(erodeUdf(col("data"), array(lit(N), lit(N))).as("e")),
+            .select(graft.exprs.MorphExpr.erode(col("data"), array(lit(N), lit(N))).as("e")),
           "e", N)
         .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("e")),
       Some(s"""WITH $maskGridCte
@@ -130,7 +130,7 @@ object QueriesGrid {
     Q("q_dilation2d",
       (s, dir) => explodeGrid(
           toTensor(maskGrid(s, dir), asBool = true)
-            .select(dilateUdf(col("data"), array(lit(N), lit(N))).as("e")),
+            .select(graft.exprs.MorphExpr.dilate(col("data"), array(lit(N), lit(N))).as("e")),
           "e", N)
         .select(col("i"), col("j"), when(col("out"), 1).otherwise(0).as("e")),
       Some(s"""WITH $maskGridCte
