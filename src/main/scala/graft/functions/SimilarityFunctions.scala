@@ -84,4 +84,42 @@ object SimilarityFunctions {
       .where(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  /** IVF-style ANN top-k: the corpus is coarse-quantized into cells (each
+    * vector assigned to its max-cosine centroid), queries probe their
+    * `nprobe` nearest cells, and ranking runs only within probed cells —
+    * the inverted-file structure that bounds per-query work to
+    * O(corpus/cells * nprobe) at 100 TB, with the cell assignment
+    * precomputable and the probe join a broadcast equi-join on cell id.
+    *
+    * `centroids` is caller-supplied (real deployments train k-means
+    * offline; the gate query uses a deterministic id-sample so the DuckDB
+    * oracle can replicate it exactly). Assignment ties break to the lower
+    * centroid id on a cosine rounded to 6 places — deterministic across
+    * engines. Recall < 1 by design: more probes raise it. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int = 2,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cen = centroids.select(col(idCol).as("cid"), col(embCol).as("cemb"))
+    def assign(side: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
+      val scored = side.crossJoin(broadcast(cen))
+        .withColumn("ccos", round(cosine(col(emb), col("cemb")), 6))
+      val w = Window.partitionBy(id).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("cr", row_number().over(w)).where(col("cr") <= keep)
+        .drop("cemb", "ccos", "cr")
+    }
+    val cells = assign(corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")),
+      "vec_id", "ce", keep = 1)
+    val probes = assign(queries.select(col(idCol).as("qid"), col(embCol).as("qe")),
+      "qid", "qe", keep = nprobe)
+    val scored = cells.join(broadcast(probes), Seq("cid"))
+      .where(col("qid") =!= col("vec_id"))
+      // rank on the 6-place-rounded cosine (like the assignment) so result
+      // order is identical across engines/accumulation orders
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+  }
 }

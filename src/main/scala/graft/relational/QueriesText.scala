@@ -305,7 +305,45 @@ object QueriesText {
         scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
           .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
       },
-      Some(cosineSql(withBucket = true)))
+      Some(cosineSql(withBucket = true))),
+
+    // IVF-style ANN (the second named scale path next to LSH): corpus
+    // coarse-quantized to its max-cosine centroid cell, queries probe their
+    // 2 nearest cells, ranking runs only inside probed cells. Centroids are
+    // a deterministic id-sample (vec_id % 100 = 0) so the oracle replicates
+    // the quantizer exactly; real deployments would train k-means offline
+    // and pass the centroid table to SimilarityFunctions.ivfTopK unchanged.
+    Q("q_ann_ivf",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        graft.functions.SimilarityFunctions.ivfTopK(
+          e.where(col("vec_id") < 5), e,
+          e.where(col("vec_id") % 100 === 0), k = 3, nprobe = 2)
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |cen AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |casn AS (SELECT v.vec_id, cen.cid, ${cos("v.embedding", "cen.cemb")} AS ccos
+           |  FROM v CROSS JOIN cen),
+           |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr FROM casn)
+           |  WHERE cr = 1),
+           |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr
+           |  FROM casn WHERE vec_id < 5) WHERE cr <= 2),
+           |scored AS (SELECT p.qid, c.vec_id,
+           |  ${cos("q.embedding", "t.embedding")} AS cos
+           |  FROM probes p JOIN cells c ON c.cid = p.cid
+           |  JOIN v q ON q.vec_id = p.qid JOIN v t ON t.vec_id = c.vec_id
+           |  WHERE p.qid != c.vec_id),
+           |ranked AS (SELECT qid, vec_id, cos,
+           |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
+           |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin
+      })
   )
 
   // LSH geometry for the DECLARED demo queries: 4 bands x 8 sign bits.
