@@ -178,14 +178,14 @@ object Bench {
     val radonReady = radonInput.select(col("id"), circleMask(col("data"), lit(256)).as("data"))
     bench("radon", 32.0 * 256 * 180, Some(radonReady)) {
       radonReady
-        .select(TensorFunctions.radonUdf(col("data"), lit(256), theta180).as("s"))
+        .select(graft.exprs.RadonExpr.radon(col("data"), lit(256), theta180).as("s"))
         .agg(sum(get(col("s"), lit(0)))).collect()
     }
     val sinoInput = radonReady
-      .select(TensorFunctions.radonUdf(col("data"), lit(256), theta180).as("s"))
+      .select(graft.exprs.RadonExpr.radon(col("data"), lit(256), theta180).as("s"))
     bench("inverse_radon", 32.0 * 256 * 256, Some(sinoInput)) {
       sinoInput
-        .select(TensorFunctions.inverseRadonUdf(col("s"), lit(256), theta180, lit(0.0)).as("r"))
+        .select(graft.exprs.InverseRadonExpr.inverseRadon(col("s"), lit(256), theta180, lit(0.0)).as("r"))
         .agg(sum(get(col("r"), lit(0)))).collect()
     }
 

@@ -1,0 +1,113 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Forward radon as a native Expression over
+  * [[graft.kernels.RadonKernel.radonSlice]] — the bulk-array bridge
+  * pattern of [[ZoomExpr]] applied to the tomography path
+  * (/root/reference/imops/src/_radon.pyx:28-91). */
+case class RadonExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != ArrayType(DoubleType, false) && first.dataType != ArrayType(DoubleType, true))
+      TypeCheckResult.TypeCheckFailure(s"radon data must be array<double>, got ${first.dataType.sql}")
+    else if (second.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"radon size must be int, got ${second.dataType.sql}")
+    else if (third.dataType != ArrayType(DoubleType, false) && third.dataType != ArrayType(DoubleType, true))
+      TypeCheckResult.TypeCheckFailure(s"radon theta must be array<double>, got ${third.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(d: Any, n: Any, t: Any): Any =
+    RadonExpr.call(d.asInstanceOf[ArrayData], n.asInstanceOf[Int], t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, n, t) =>
+      s"${ev.value} = graft.exprs.RadonExpr.call($d, $n, $t);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+object RadonExpr {
+  def call(data: ArrayData, size: Int, theta: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(graft.kernels.RadonKernel.radonSlice(
+      data.toDoubleArray(), size, theta.toDoubleArray()))
+
+  def radon(data: Column, size: Column, theta: Column): Column =
+    GraftColumnBridge.column(RadonExpr(GraftColumnBridge.expression(data),
+      GraftColumnBridge.expression(size), GraftColumnBridge.expression(theta)))
+}
+
+/** Filtered backprojection as a native Expression over
+  * [[graft.kernels.RadonKernel.inverseRadonSlice]]
+  * (/root/reference/imops/src/_backprojection.pyx:22-79). */
+case class InverseRadonExpr(sino: Expression, size: Expression,
+                            theta: Expression, fill: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(sino, size, theta, fill)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (sino.dataType != ArrayType(DoubleType, false) && sino.dataType != ArrayType(DoubleType, true))
+      TypeCheckResult.TypeCheckFailure(s"iradon sinogram must be array<double>, got ${sino.dataType.sql}")
+    else if (size.dataType != IntegerType || fill.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"iradon size/fill must be int/double, got ${size.dataType.sql}/${fill.dataType.sql}")
+    else if (theta.dataType != ArrayType(DoubleType, false) && theta.dataType != ArrayType(DoubleType, true))
+      TypeCheckResult.TypeCheckFailure(s"iradon theta must be array<double>, got ${theta.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def eval(input: InternalRow): Any = {
+    val s = sino.eval(input); val n = size.eval(input)
+    val t = theta.eval(input); val f = fill.eval(input)
+    if (s == null || n == null || t == null || f == null) null
+    else InverseRadonExpr.call(s.asInstanceOf[ArrayData], n.asInstanceOf[Int],
+      t.asInstanceOf[ArrayData], f.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gs = children.map(_.genCode(ctx))
+    val nullCheck = gs.map(_.isNull).mkString(" || ")
+    ev.copy(code =
+      code"""
+        ${gs(0).code}
+        ${gs(1).code}
+        ${gs(2).code}
+        ${gs(3).code}
+        boolean ${ev.isNull} = $nullCheck;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.exprs.InverseRadonExpr.call(
+            ${gs(0).value}, ${gs(1).value}, ${gs(2).value}, ${gs(3).value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(sino = c(0), size = c(1), theta = c(2), fill = c(3))
+}
+
+object InverseRadonExpr {
+  def call(sino: ArrayData, size: Int, theta: ArrayData, fill: Double): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(graft.kernels.RadonKernel.inverseRadonSlice(
+      sino.toDoubleArray(), size, theta.toDoubleArray(), fill))
+
+  def inverseRadon(sino: Column, size: Column, theta: Column, fill: Column): Column =
+    GraftColumnBridge.column(InverseRadonExpr(GraftColumnBridge.expression(sino),
+      GraftColumnBridge.expression(size), GraftColumnBridge.expression(theta),
+      GraftColumnBridge.expression(fill)))
+}

@@ -305,7 +305,7 @@ object QueriesGrid {
           when((col("i") - 8) * (col("i") - 8) + (col("j") - 8) * (col("j") - 8) > 64, 0.0)
             .otherwise(col("v")).as("v"))
         toTensor(circled, asBool = false)
-          .select(radonUdf(col("data"), lit(N), array(lit(0.0))).as("sino"))
+          .select(graft.exprs.RadonExpr.radon(col("data"), lit(N), array(lit(0.0))).as("sino"))
           .select(posexplode(col("sino")).as(Seq("offset", "val")))
           .select(col("offset").cast("long").as("offset"), round(col("val"), 4).as("val"))
       },
@@ -332,7 +332,7 @@ object QueriesGrid {
           when((col("i") - 8) * (col("i") - 8) + (col("j") - 8) * (col("j") - 8) > 64, 0.0)
             .otherwise(col("v")).as("v"))
         toTensor(circled, asBool = false)
-          .select(radonUdf(col("data"), lit(N), ZoomSeqLit.thetaArray(8)).as("sino"))
+          .select(graft.exprs.RadonExpr.radon(col("data"), lit(N), ZoomSeqLit.thetaArray(8)).as("sino"))
           .select(posexplode(col("sino")).as(Seq("pos", "val")))
           .select((col("pos") / 8).cast("long").as("offset"),
             (col("pos") % 8).cast("long").as("ang"),
@@ -413,7 +413,7 @@ object QueriesGrid {
         grid.groupBy("event_type")
           .agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("v")))),
             x => x.getField("v").cast("double")).as("data"))
-          .select(col("event_type"), radonUdf(col("data"), lit(N), array(lit(0.0))).as("sino"))
+          .select(col("event_type"), graft.exprs.RadonExpr.radon(col("data"), lit(N), array(lit(0.0))).as("sino"))
           .select(col("event_type"), posexplode(col("sino")).as(Seq("offset", "val")))
           .select(col("event_type"), col("offset").cast("long").as("offset"),
             round(col("val"), 4).as("val"))
@@ -771,7 +771,7 @@ object QueriesGrid {
       (s, dir) => {
         val theta = ZoomSeqLit.thetaArray(16)
         toTensor(valueGrid(s, dir), asBool = false)
-          .select(inverseRadonUdf(col("data"), lit(N), theta, lit(0.0)).as("rec"))
+          .select(graft.exprs.InverseRadonExpr.inverseRadon(col("data"), lit(N), theta, lit(0.0)).as("rec"))
           .select(posexplode(col("rec")).as(Seq("pos", "out")))
           .select((col("pos") / N).cast("long").as("i"), (col("pos") % N).cast("long").as("j"),
             round(col("out"), 2).as("v"))
