@@ -54,7 +54,12 @@ object Bench {
     }
 
     // ---- matched-work kernel benches (force full evaluation via an agg
-    // over the produced arrays; count() alone would prune the projection) ----
+    // over the produced arrays; count() alone would prune the projection).
+    // AQE off for this section: at op-bench row counts (256-65536 rows,
+    // one global agg over cached input) adaptive re-planning only adds a
+    // per-pass stage-materialization floor that dwarfs several ops' actual
+    // work; the query sweep above keeps it on. ----
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
