@@ -255,6 +255,24 @@ class ExtensionsSpec extends AnyFunSuite {
     // weights (1,3) at cols (0,1): col com = 3/4
     assert(math.abs(com(2) - 0.75) < 1e-12)
   }
+
+  test("kernel-bridge expressions are callable from SQL") {
+    GraftExtensions.register(spark)
+    val z = spark.sql(
+      "SELECT graft_zoom(array(1.0d, 2.0d), array(2), array(2.0d), 0, 0.0d)._1 AS z")
+      .collect()(0).getSeq[Double](0)
+    assert(z == Seq(1.0, 1.0, 2.0, 2.0))
+    val y = spark.sql(
+      """SELECT graft_interp1d(array(0.0d, 1.0d), array(10.0d, 20.0d),
+        |array(0.5d), false, -1.0d) AS y""".stripMargin)
+      .collect()(0).getSeq[Double](0)
+    assert(y == Seq(15.0))
+    val m = spark.sql(
+      "SELECT graft_morph(array(true, true, false), array(3), false) AS m")
+      .collect()(0).getSeq[Boolean](0)
+    assert(m == graft.kernels.StencilKernel.erodeDefault(
+      Array(true, true, false), Array(3)).toSeq)
+  }
 }
 
 class TensorSourceSpec extends AnyFunSuite {
