@@ -42,6 +42,19 @@ object QueriesText {
       Some("""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
              |string_split(text, ' '))), ' ')) AS fp FROM documents""".stripMargin)),
 
+    // Rabin-Karp-style polynomial content fingerprint: fold
+    // h = (h*31 + codepoint) mod 1e9+7 over the document's characters —
+    // exact integer math, identical fold order on both engines (the
+    // windowed/rolling variant reuses the same recurrence per window)
+    Q("q_rolling_hash",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+            lit(0L), (h, c) => (h * 31 + c) % 1000000007L).as("rh")),
+      Some("""SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+             |list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+             |(h, c) -> (h * 31 + c) % 1000000007) AS rh FROM documents""".stripMargin)),
+
     Q("q_minhash",
       (s, dir) => T(s, dir, "documents")
         .select(col("doc_id"), minhashSigUdf(col("text"), lit(4), lit(3)).as("sig"))
