@@ -23,7 +23,16 @@ object GraphCC {
     * it is symmetrized here. Isolated vertices map to themselves. */
   def minLabels(vertices: RDD[Long], edges0: RDD[(Long, Long)])
                (implicit spark: SparkSession): RDD[(Long, Long)] = {
-    val part = new HashPartitioner(spark.sparkContext.defaultParallelism)
+    // size the partitioner to the graph: every propagation round pays
+    // per-partition task overhead across several stages, so a small graph
+    // (thousands of vertices) on the full default parallelism spends more
+    // time scheduling than computing. ~50k vertices per partition, capped
+    // at the session's parallelism for the 100 TB case; the one count()
+    // is a narrow job over the (usually cached) vertex source.
+    val n = vertices.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (n / 50000L).toInt + 1))
+    val part = new HashPartitioner(parts)
     val edges = edges0.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .distinct(part.numPartitions)
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
