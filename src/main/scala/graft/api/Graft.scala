@@ -24,7 +24,7 @@ object Graft {
            scaleFactor: Either[Double, Seq[Double]], axis: Seq[Int] = Seq(),
            order: Int = 1, fillValue: Double = 0.0): Column = {
     val scales = NdTensor.broadcastParam(rank, scaleFactor, axis, default = 1.0)
-    TensorFunctions.zoomUdf(data, shape, array(scales.map(lit): _*), lit(order), lit(fillValue))
+    graft.exprs.ZoomExpr.zoomCol(data, shape, array(scales.map(lit): _*), lit(order), lit(fillValue))
   }
 
   /** zoom_to_shape (/root/reference/imops/zoom.py:129-188). */
@@ -48,8 +48,8 @@ object Graft {
   def cropToShape(data: Column, target: Int, ratio: Double = 0.5): Column =
     TensorFunctions.cropToShape(data, target, ratio)
 
-  def binaryErosion(mask: Column, shape: Column): Column = TensorFunctions.erodeUdf(mask, shape)
-  def binaryDilation(mask: Column, shape: Column): Column = TensorFunctions.dilateUdf(mask, shape)
+  def binaryErosion(mask: Column, shape: Column): Column = graft.exprs.MorphExpr.erode(mask, shape)
+  def binaryDilation(mask: Column, shape: Column): Column = graft.exprs.MorphExpr.dilate(mask, shape)
   def binaryClosing(mask: Column, shape: Column): Column = TensorFunctions.closeUdf(mask, shape)
   def binaryOpening(mask: Column, shape: Column): Column = TensorFunctions.openUdf(mask, shape)
   def distanceTransformEdt(mask: Column, shape: Column, sampling: Seq[Double]): Column =
@@ -58,9 +58,9 @@ object Graft {
   def label(data: Column, shape: Column, background: Double = 0.0, connectivity: Int = -1): Column =
     TensorFunctions.labelUdf(data, shape, lit(background), lit(connectivity))
   def radon(data: Column, size: Int, thetaDeg: Seq[Double]): Column =
-    TensorFunctions.radonUdf(data, lit(size), array(thetaDeg.map(lit): _*))
+    graft.exprs.RadonExpr.radon(data, lit(size), array(thetaDeg.map(lit): _*))
   def inverseRadon(sino: Column, size: Int, thetaDeg: Seq[Double], fillValue: Double = 0.0): Column =
-    TensorFunctions.inverseRadonUdf(sino, lit(size), array(thetaDeg.map(lit): _*), lit(fillValue))
+    graft.exprs.InverseRadonExpr.inverseRadon(sino, lit(size), array(thetaDeg.map(lit): _*), lit(fillValue))
 
   /** MinHash signature with backend dispatch: `builtin` uses the codegen'd
     * expression chain, `kernel` the single-pass JVM implementation — the
