@@ -58,23 +58,31 @@ case class Interp1dExpr(xs: Expression, ys: Expression, xq: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gs = children.map(_.genCode(ctx))
-    val nullCheck = gs.map(_.isNull).mkString(" || ")
-    ev.copy(code =
-      code"""
-        ${gs(0).code}
-        ${gs(1).code}
-        ${gs(2).code}
-        ${gs(3).code}
-        ${gs(4).code}
-        boolean ${ev.isNull} = $nullCheck;
-        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
-        if (!${ev.isNull}) {
-          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val call = s"""org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
             .fromPrimitiveArray(graft.kernels.Interp1dKernel.interp(
               ${gs(0).value}.toDoubleArray(), ${gs(1).value}.toDoubleArray(),
-              ${gs(2).value}.toDoubleArray(), ${gs(3).value}, ${gs(4).value}));
-        }
-      """)
+              ${gs(2).value}.toDoubleArray(), ${gs(3).value}, ${gs(4).value}))"""
+    val childCode = code"${gs(0).code}\n${gs(1).code}\n${gs(2).code}\n${gs(3).code}\n${gs(4).code}"
+    // when no child is nullable, ev.isNull is the FalseLiteral "false" and
+    // must not be redeclared as a boolean variable
+    if (nullable) {
+      val nullCheck = gs.map(_.isNull).mkString(" || ")
+      ev.copy(code =
+        code"""
+          $childCode
+          boolean ${ev.isNull} = $nullCheck;
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+          if (!${ev.isNull}) {
+            ${ev.value} = $call;
+          }
+        """)
+    } else {
+      ev.copy(code =
+        code"""
+          $childCode
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $call;
+        """)
+    }
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =

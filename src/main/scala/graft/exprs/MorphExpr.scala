@@ -48,19 +48,29 @@ case class MorphExpr(data: Expression, shape: Expression, dilation: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gs = children.map(_.genCode(ctx))
-    val nullCheck = gs.map(_.isNull).mkString(" || ")
-    ev.copy(code =
-      code"""
-        ${gs(0).code}
-        ${gs(1).code}
-        ${gs(2).code}
-        boolean ${ev.isNull} = $nullCheck;
-        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
-        if (!${ev.isNull}) {
-          ${ev.value} = graft.exprs.MorphExpr.call(
-            ${gs(0).value}, ${gs(1).value}, ${gs(2).value});
-        }
-      """)
+    val call = s"""graft.exprs.MorphExpr.call(
+            ${gs(0).value}, ${gs(1).value}, ${gs(2).value})"""
+    val childCode = code"${gs(0).code}\n${gs(1).code}\n${gs(2).code}"
+    // when no child is nullable, ev.isNull is the FalseLiteral "false" and
+    // must not be redeclared as a boolean variable
+    if (nullable) {
+      val nullCheck = gs.map(_.isNull).mkString(" || ")
+      ev.copy(code =
+        code"""
+          $childCode
+          boolean ${ev.isNull} = $nullCheck;
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+          if (!${ev.isNull}) {
+            ${ev.value} = $call;
+          }
+        """)
+    } else {
+      ev.copy(code =
+        code"""
+          $childCode
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $call;
+        """)
+    }
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =

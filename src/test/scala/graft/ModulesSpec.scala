@@ -237,6 +237,22 @@ class Interp1dExprSpec extends AnyFunSuite {
       $"xs", $"ys", array(lit(0.5)), lit(false), lit(0.0))).collect()(0)
     assert(out.isNullAt(0))
   }
+
+  test("all-literal (non-nullable) children take the FalseLiteral codegen branch") {
+    // with no nullable child, ev.isNull is the literal "false" — the
+    // generated code must not redeclare it as a variable
+    val df = spark.range(3).select(
+      graft.exprs.Interp1dExpr.interp1dArr(
+        typedlit(Array(0.0, 1.0)), typedlit(Array(5.0, 7.0)), typedlit(Array(0.5)),
+        lit(false), lit(0.0)).as("y"),
+      graft.exprs.MorphExpr.erode(
+        typedlit(Array(true, true, true)), typedlit(Array(3))).as("m"),
+      graft.exprs.ZoomExpr.zoomCol(typedlit(Array(1.0, 2.0)), typedlit(Array(2)),
+        typedlit(Array(2.0)), lit(0), lit(0.0)).getField("_1").as("z"))
+    val r = df.collect()
+    assert(r.forall(_.getSeq[Double](0) == Seq(6.0)))
+    assert(r.forall(_.getSeq[Double](2) == Seq(1.0, 1.0, 2.0, 2.0)))
+  }
 }
 
 class ExtensionsSpec extends AnyFunSuite {
