@@ -45,9 +45,13 @@ object VolumeCom {
     * index, each a row-major rows×cols array. One map + one reduce — no
     * shuffle (reduce merges 4-double partials at the driver). */
   def centerOfMass(slices: RDD[(Long, Array[Double])], rows: Int, cols: Int): Array[Double] = {
+    // fold, not reduce: an empty volume folds to the zero partial (-> null
+    // result) instead of throwing; adding the 0.0 seed is FP-exact
     val p = slices
       .map { case (s, d) => partial(s, d, rows, cols) }
-      .reduce { (a, b) => var i = 0; while (i < 4) { a(i) += b(i); i += 1 }; a }
+      .fold(new Array[Double](4)) { (a, b) =>
+        var i = 0; while (i < 4) { a(i) += b(i); i += 1 }; a
+      }
     if (p(0) == 0.0) null
     else Array(p(1) / p(0), p(2) / p(0), p(3) / p(0))
   }
