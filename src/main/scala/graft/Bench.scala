@@ -142,6 +142,16 @@ object Bench {
       graft.operators.VolumeCom.centerOfMass(comRdd, 512, 512)
     }
     comRdd.unpersist()
+    // the SQL-facing DataFrame path (ComPartialSums inside WholeStageCodegen
+    // over the columnar cache) reported under its own name so cross-round
+    // comparisons against the r1/r2 "center_of_mass" series stay direct
+    // (ADVICE r3); the cache's array re-materialization floor (~0.16 s/pass
+    // on 512^3) is part of what this number measures
+    val comDf = slices(512, 262144)
+    bench("center_of_mass_sql", v512.toDouble, Some(comDf)) {
+      graft.exprs.ComPartialSums.centerOfMassVolume(
+        comDf, col("data"), lit(512), lit(512), col("id")).collect()
+    }
     bench("pointwise_add", c24, Some(slices256)) {
       slices256
         .select(transform(col("data"), x => x + lit(1.0)).as("d"))
@@ -217,13 +227,19 @@ object Bench {
         .toDF().agg(count(lit(1))).collect()
     }
 
+    // Locale.ROOT formatting: the line is parsed as JSON by the driver, and
+    // f"%.4f" under a comma-decimal default locale would emit "0,1234"
+    def fmt4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def fmt0(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
     def j(d: Iterable[(String, Double)]) =
-      d.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      d.map { case (k, v) => "\"" + k + "\":" + fmt4(v) }.mkString("{", ",", "}")
     val qs = j(results)
     val opsJson = ops.map { case (k, (sec, thr)) =>
-      "\"" + k + "\":{\"sec\":" + f"$sec%.4f" + ",\"cells_per_s\":" + f"$thr%.0f" + "}"
+      "\"" + k + "\":{\"sec\":" + fmt4(sec) + ",\"cells_per_s\":" + fmt0(thr) + "}"
     }.mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.4f"
+    val total = fmt4(results.map(_._2).sum)
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$opsJson,"sf":"$sfDir"}"""
     // The driver keeps only the last 2000 chars of stdout and parses the

@@ -61,6 +61,11 @@ case class ComPartialSums(first: Expression, second: Expression,
     val arr = d.asInstanceOf[ArrayData]
     val nr = r.asInstanceOf[Number].intValue()
     val nc = c.asInstanceOf[Number].intValue()
+    // ArrayData.getDouble on UnsafeArrayData is an unchecked off-heap read:
+    // rows/cols inconsistent with the array length must fail, not read garbage
+    if (nr.toLong * nc > arr.numElements())
+      throw new IllegalArgumentException(
+        s"com_partial: rows*cols = ${nr.toLong * nc} exceeds array length ${arr.numElements()}")
     val sl = s.asInstanceOf[Number].longValue().toDouble
     val canBeNull = data.dataType.asInstanceOf[ArrayType].containsNull
     var sw = 0.0; var swi = 0.0; var swj = 0.0
@@ -96,6 +101,10 @@ case class ComPartialSums(first: Expression, second: Expression,
       s"""
          |int $nr = (int) $r;
          |int $nc = (int) $c;
+         |if ((long) $nr * $nc > $arr.numElements()) {
+         |  throw new IllegalArgumentException("com_partial: rows*cols = " +
+         |    ((long) $nr * $nc) + " exceeds array length " + $arr.numElements());
+         |}
          |double $sl = (double) $s;
          |double $sw = 0.0; double $swi = 0.0; double $swj = 0.0;
          |int $p = 0;

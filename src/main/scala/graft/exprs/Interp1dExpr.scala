@@ -45,14 +45,20 @@ case class Interp1dExpr(xs: Expression, ys: Expression, xq: Expression,
     else TypeCheckResult.TypeCheckSuccess
   }
 
+  // fail fast on null elements when the static schema allows them (ADVICE
+  // r3); dense schemas compile to the unguarded bulk read
+  private lazy val xsElemNullable = ExprGuards.elemNullable(xs.dataType)
+  private lazy val ysElemNullable = ExprGuards.elemNullable(ys.dataType)
+  private lazy val xqElemNullable = ExprGuards.elemNullable(xq.dataType)
+
   override def eval(input: InternalRow): Any = {
     val a = xs.eval(input); val b = ys.eval(input); val c = xq.eval(input)
     val e = extrapolate.eval(input); val f = fillValue.eval(input)
     if (a == null || b == null || c == null || e == null || f == null) null
     else UnsafeArrayData.fromPrimitiveArray(graft.kernels.Interp1dKernel.interp(
-      a.asInstanceOf[ArrayData].toDoubleArray(),
-      b.asInstanceOf[ArrayData].toDoubleArray(),
-      c.asInstanceOf[ArrayData].toDoubleArray(),
+      ExprGuards.evalGuard(a.asInstanceOf[ArrayData], xsElemNullable, "interp1d xs").toDoubleArray(),
+      ExprGuards.evalGuard(b.asInstanceOf[ArrayData], ysElemNullable, "interp1d ys").toDoubleArray(),
+      ExprGuards.evalGuard(c.asInstanceOf[ArrayData], xqElemNullable, "interp1d xq").toDoubleArray(),
       e.asInstanceOf[Boolean], f.asInstanceOf[Double]))
   }
 
@@ -60,8 +66,10 @@ case class Interp1dExpr(xs: Expression, ys: Expression, xq: Expression,
     val gs = children.map(_.genCode(ctx))
     val call = s"""org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
             .fromPrimitiveArray(graft.kernels.Interp1dKernel.interp(
-              ${gs(0).value}.toDoubleArray(), ${gs(1).value}.toDoubleArray(),
-              ${gs(2).value}.toDoubleArray(), ${gs(3).value}, ${gs(4).value}))"""
+              ${ExprGuards.genGuard(gs(0).value.toString, xsElemNullable, "interp1d xs")}.toDoubleArray(),
+              ${ExprGuards.genGuard(gs(1).value.toString, ysElemNullable, "interp1d ys")}.toDoubleArray(),
+              ${ExprGuards.genGuard(gs(2).value.toString, xqElemNullable, "interp1d xq")}.toDoubleArray(),
+              ${gs(3).value}, ${gs(4).value}))"""
     val childCode = code"${gs(0).code}\n${gs(1).code}\n${gs(2).code}\n${gs(3).code}\n${gs(4).code}"
     // when no child is nullable, ev.isNull is the FalseLiteral "false" and
     // must not be redeclared as a boolean variable

@@ -39,17 +39,27 @@ case class MorphExpr(data: Expression, shape: Expression, dilation: Expression)
     else TypeCheckResult.TypeCheckSuccess
   }
 
+  // null-element policy is decided by the STATIC type, not the physical
+  // representation: nullable element schemas get an explicit fail-fast scan
+  // (ADVICE r3), dense schemas compile to the unguarded bulk read
+  private lazy val dataElemNullable = ExprGuards.elemNullable(data.dataType)
+  private lazy val shapeElemNullable = ExprGuards.elemNullable(shape.dataType)
+
   override def eval(input: InternalRow): Any = {
     val d = data.eval(input); val sh = shape.eval(input); val dil = dilation.eval(input)
     if (d == null || sh == null || dil == null) null
-    else MorphExpr.call(d.asInstanceOf[ArrayData], sh.asInstanceOf[ArrayData],
+    else MorphExpr.call(
+      ExprGuards.evalGuard(d.asInstanceOf[ArrayData], dataElemNullable, "morph data"),
+      ExprGuards.evalGuard(sh.asInstanceOf[ArrayData], shapeElemNullable, "morph shape"),
       dil.asInstanceOf[Boolean])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gs = children.map(_.genCode(ctx))
     val call = s"""graft.exprs.MorphExpr.call(
-            ${gs(0).value}, ${gs(1).value}, ${gs(2).value})"""
+            ${ExprGuards.genGuard(gs(0).value.toString, dataElemNullable, "morph data")},
+            ${ExprGuards.genGuard(gs(1).value.toString, shapeElemNullable, "morph shape")},
+            ${gs(2).value})"""
     val childCode = code"${gs(0).code}\n${gs(1).code}\n${gs(2).code}"
     // when no child is nullable, ev.isNull is the FalseLiteral "false" and
     // must not be redeclared as a boolean variable

@@ -29,12 +29,22 @@ case class RadonExpr(first: Expression, second: Expression, third: Expression)
       TypeCheckResult.TypeCheckFailure(s"radon theta must be array<double>, got ${third.dataType.sql}")
     else TypeCheckResult.TypeCheckSuccess
 
+  // fail fast on null elements when the static schema allows them (ADVICE
+  // r3); dense schemas compile to the unguarded bulk read
+  private lazy val dataElemNullable = ExprGuards.elemNullable(first.dataType)
+  private lazy val thetaElemNullable = ExprGuards.elemNullable(third.dataType)
+
   override protected def nullSafeEval(d: Any, n: Any, t: Any): Any =
-    RadonExpr.call(d.asInstanceOf[ArrayData], n.asInstanceOf[Int], t.asInstanceOf[ArrayData])
+    RadonExpr.call(
+      ExprGuards.evalGuard(d.asInstanceOf[ArrayData], dataElemNullable, "radon data"),
+      n.asInstanceOf[Int],
+      ExprGuards.evalGuard(t.asInstanceOf[ArrayData], thetaElemNullable, "radon theta"))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (d, n, t) =>
-      s"${ev.value} = graft.exprs.RadonExpr.call($d, $n, $t);")
+      s"""${ev.value} = graft.exprs.RadonExpr.call(
+         |${ExprGuards.genGuard(d, dataElemNullable, "radon data")}, $n,
+         |${ExprGuards.genGuard(t, thetaElemNullable, "radon theta")});""".stripMargin)
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
@@ -71,18 +81,29 @@ case class InverseRadonExpr(sino: Expression, size: Expression,
       TypeCheckResult.TypeCheckFailure(s"iradon theta must be array<double>, got ${theta.dataType.sql}")
     else TypeCheckResult.TypeCheckSuccess
 
+  // fail fast on null elements when the static schema allows them (ADVICE
+  // r3); dense schemas compile to the unguarded bulk read
+  private lazy val sinoElemNullable = ExprGuards.elemNullable(sino.dataType)
+  private lazy val thetaElemNullable = ExprGuards.elemNullable(theta.dataType)
+
   override def eval(input: InternalRow): Any = {
     val s = sino.eval(input); val n = size.eval(input)
     val t = theta.eval(input); val f = fill.eval(input)
     if (s == null || n == null || t == null || f == null) null
-    else InverseRadonExpr.call(s.asInstanceOf[ArrayData], n.asInstanceOf[Int],
-      t.asInstanceOf[ArrayData], f.asInstanceOf[Double])
+    else InverseRadonExpr.call(
+      ExprGuards.evalGuard(s.asInstanceOf[ArrayData], sinoElemNullable, "iradon sinogram"),
+      n.asInstanceOf[Int],
+      ExprGuards.evalGuard(t.asInstanceOf[ArrayData], thetaElemNullable, "iradon theta"),
+      f.asInstanceOf[Double])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gs = children.map(_.genCode(ctx))
     val call = s"""graft.exprs.InverseRadonExpr.call(
-            ${gs(0).value}, ${gs(1).value}, ${gs(2).value}, ${gs(3).value})"""
+            ${ExprGuards.genGuard(gs(0).value.toString, sinoElemNullable, "iradon sinogram")},
+            ${gs(1).value},
+            ${ExprGuards.genGuard(gs(2).value.toString, thetaElemNullable, "iradon theta")},
+            ${gs(3).value})"""
     val childCode = code"${gs(0).code}\n${gs(1).code}\n${gs(2).code}\n${gs(3).code}"
     // when no child is nullable, ev.isNull is the FalseLiteral "false" and
     // must not be redeclared as a boolean variable

@@ -50,19 +50,30 @@ case class ZoomExpr(data: Expression, shape: Expression, scale: Expression,
     else TypeCheckResult.TypeCheckSuccess
   }
 
+  // fail fast on null elements when the static schema allows them (ADVICE
+  // r3); dense schemas compile to the unguarded bulk read
+  private lazy val dataElemNullable = ExprGuards.elemNullable(data.dataType)
+  private lazy val shapeElemNullable = ExprGuards.elemNullable(shape.dataType)
+  private lazy val scaleElemNullable = ExprGuards.elemNullable(scale.dataType)
+
   override def eval(input: InternalRow): Any = {
     val d = data.eval(input); val sh = shape.eval(input); val sc = scale.eval(input)
     val o = order.eval(input); val c = cval.eval(input)
     if (d == null || sh == null || sc == null || o == null || c == null) null
     else ZoomExpr.call(
-      d.asInstanceOf[ArrayData], sh.asInstanceOf[ArrayData], sc.asInstanceOf[ArrayData],
+      ExprGuards.evalGuard(d.asInstanceOf[ArrayData], dataElemNullable, "zoom data"),
+      ExprGuards.evalGuard(sh.asInstanceOf[ArrayData], shapeElemNullable, "zoom shape"),
+      ExprGuards.evalGuard(sc.asInstanceOf[ArrayData], scaleElemNullable, "zoom scale"),
       o.asInstanceOf[Int], c.asInstanceOf[Double])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gs = children.map(_.genCode(ctx))
     val call = s"""graft.exprs.ZoomExpr.call(
-            ${gs(0).value}, ${gs(1).value}, ${gs(2).value}, ${gs(3).value}, ${gs(4).value})"""
+            ${ExprGuards.genGuard(gs(0).value.toString, dataElemNullable, "zoom data")},
+            ${ExprGuards.genGuard(gs(1).value.toString, shapeElemNullable, "zoom shape")},
+            ${ExprGuards.genGuard(gs(2).value.toString, scaleElemNullable, "zoom scale")},
+            ${gs(3).value}, ${gs(4).value})"""
     val childCode = code"${gs(0).code}\n${gs(1).code}\n${gs(2).code}\n${gs(3).code}\n${gs(4).code}"
     // when no child is nullable, ev.isNull is the FalseLiteral "false" and
     // must not be redeclared as a boolean variable

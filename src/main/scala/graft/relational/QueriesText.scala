@@ -45,14 +45,22 @@ object QueriesText {
     // Rabin-Karp-style polynomial content fingerprint: fold
     // h = (h*31 + codepoint) mod 1e9+7 over the document's characters —
     // exact integer math, identical fold order on both engines (the
-    // windowed/rolling variant reuses the same recurrence per window)
+    // windowed/rolling variant reuses the same recurrence per window).
+    // The fold input is constrained to ASCII by construction (non-ASCII
+    // stripped on BOTH sides): per-character split + ascii() have
+    // codepoint-vs-byte and surrogate-pair differences between Spark and
+    // DuckDB above U+007F, so the hash is only engine-independent on an
+    // ASCII sequence (ADVICE r3)
     Q("q_rolling_hash",
       (s, dir) => T(s, dir, "documents")
         .select(col("doc_id"),
-          aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          aggregate(
+            transform(split(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""), ""),
+              c => ascii(c).cast("long")),
             lit(0L), (h, c) => (h * 31 + c) % 1000000007L).as("rh")),
       Some("""SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-             |list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+             |list_transform(string_split(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), ''),
+             |c -> ascii(c)::BIGINT)),
              |(h, c) -> (h * 31 + c) % 1000000007) AS rh FROM documents""".stripMargin)),
 
     Q("q_minhash",

@@ -376,3 +376,53 @@ class BucketedJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
+
+class ExprGuardsSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def rootMessage(t: Throwable): String = {
+    var c: Throwable = t
+    while (c.getCause != null) c = c.getCause
+    Option(c.getMessage).getOrElse("")
+  }
+
+  test("null array element fails fast with a clear error (nullable schema)") {
+    // Seq[Option[Double]] -> ArrayType(DoubleType, containsNull = true)
+    val df = Seq((1L, Seq(Option(1.0), None, Option(3.0))))
+      .toDF("id", "ys")
+    val ex = intercept[Exception] {
+      df.select(graft.exprs.Interp1dExpr.interp1dArr(
+        typedlit(Array(0.0, 1.0, 2.0)), $"ys", typedlit(Array(0.5)),
+        lit(false), lit(0.0))).collect()
+    }
+    assert(rootMessage(ex).contains("null element"), rootMessage(ex))
+  }
+
+  test("nullable schema without actual nulls passes the guard unchanged") {
+    val df = Seq((1L, Seq(Option(5.0), Option(7.0))))
+      .toDF("id", "ys")
+    val out = df.select(graft.exprs.Interp1dExpr.interp1dArr(
+      typedlit(Array(0.0, 1.0)), $"ys", typedlit(Array(0.5)),
+      lit(false), lit(0.0)).as("y")).as[Seq[Double]].head()
+    assert(out == Seq(6.0))
+  }
+
+  test("morph rejects null mask elements instead of reading them as false") {
+    val df = Seq((1L, Seq(Option(true), None, Option(true))))
+      .toDF("id", "mask")
+    val ex = intercept[Exception] {
+      df.select(graft.exprs.MorphExpr.dilate($"mask", typedlit(Array(3)))).collect()
+    }
+    assert(rootMessage(ex).contains("null element"), rootMessage(ex))
+  }
+
+  test("com_partial rejects rows*cols larger than the array") {
+    val df = Seq((0L, Seq(1.0, 2.0, 3.0))).toDF("id", "data")
+    val ex = intercept[Exception] {
+      df.select(graft.exprs.ComPartialSums.comPartial(
+        $"data", lit(2), lit(3), $"id")).collect()
+    }
+    assert(rootMessage(ex).contains("exceeds array length"), rootMessage(ex))
+  }
+}
