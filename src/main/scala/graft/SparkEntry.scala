@@ -18,7 +18,7 @@ object SparkEntry {
 
   val all: Seq[Q] =
     QueriesRelational.queries ++ QueriesTensor.queries ++
-      QueriesGrid.queries ++ QueriesText.queries
+      QueriesGrid.queries ++ QueriesText.queries ++ QueriesStreaming.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

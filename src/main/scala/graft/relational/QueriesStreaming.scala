@@ -1,0 +1,92 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Declared queries that drive the Structured Streaming surface through the
+  * oracle gate. Each runs a real streaming query (file source → stateful
+  * aggregation → sink) drained with `Trigger.AvailableNow`, so the result is
+  * deterministic and comparable to the equivalent batch SQL in DuckDB.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.8) — these are the
+  * beyond-reference ops a continuously-ingesting training-data pipeline
+  * needs: windowed rollups with late-data handling, gap-based sessions, and
+  * streaming exact dedup. At 100 TB the same plans run unchanged against a
+  * directory/Kafka source with a file sink; only the AvailableNow drain and
+  * the memory sink here are verification harness.
+  */
+object QueriesStreaming {
+
+  val queries: Seq[Q] = Seq(
+
+    // Tumbling 1-hour windowed counts + value rollup per event type, as a
+    // real streaming aggregation (complete mode: every window emitted).
+    // ts is ns-since-epoch long (nanosAsLong); us-aligned by construction.
+    Q("q_stream_window",
+      (s, dir) => {
+        val schema = T(s, dir, "events").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val agg = src
+          .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("tsc", "1 hour")
+          .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .select((unix_micros(col("window.start")) * 1000).as("w_start"),
+                  col("event_type"), col("n"), col("total_value"))
+        StreamingOps.runAvailableNow(agg, "q_stream_window")
+      },
+      Some("""SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS w_start,
+             |event_type, count(*) AS n,
+             |cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Streaming exact dedup: group documents by content hash (the streaming
+    // form of q_dedup_exact — state is the distinct-hash set).
+    Q("q_stream_dedup",
+      (s, dir) => {
+        val schema = T(s, dir, "documents").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val agg = src
+          .withColumn("h", md5(col("text")))
+          .groupBy(col("lang"), col("h"))
+          .agg(count(lit(1)).as("n_copies"))
+        StreamingOps.runAvailableNow(agg, "q_stream_dedup")
+      },
+      Some("""SELECT lang, md5(text) AS h, count(*) AS n_copies
+             |FROM documents GROUP BY 1, 2""".stripMargin)),
+
+    // Gap-based session windows as a streaming merging-window aggregation.
+    // Spark only supports append mode for session windows, so with a
+    // 0-second watermark exactly the sessions whose end (last event +
+    // 30 min) is <= the global max event time are closed and emitted; the
+    // oracle applies the same closure rule. New session when the gap to the
+    // previous event is >= the 30-minute gap (end is exclusive).
+    Q("q_stream_session",
+      (s, dir) => {
+        val schema = T(s, dir, "events").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val agg = src
+          .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("tsc", "0 seconds")
+          .groupBy(session_window(col("tsc"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select((unix_micros(col("session_window.start")) * 1000).as("s_start"),
+                  col("user_id"), col("n_events"))
+        StreamingOps.runAvailableNow(agg, "q_stream_session", outputMode = "append")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
+             |g AS (SELECT user_id, t,
+             |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000000
+             |       THEN 1 ELSE 0 END AS new_s FROM e),
+             |s AS (SELECT user_id, t,
+             |  sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+             |SELECT min(t) AS s_start, user_id, count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |HAVING max(t) + 1800000000000 <= (SELECT max(epoch_ns(ts)) FROM events)""".stripMargin))
+  )
+}

@@ -35,4 +35,34 @@ object StreamingOps {
       .withColumn("h", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicates("h")
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drains a streaming DataFrame with `Trigger.AvailableNow` into a memory
+    * sink and returns the result as a batch DataFrame. This is the
+    * verification harness for the streaming surface: AvailableNow processes
+    * everything currently in the source and terminates, so the result is
+    * comparable to the equivalent batch query — which is exactly what the
+    * declared-query oracle gate needs. The memory sink is driver-local and
+    * used only because the compared result is small (a windowed rollup);
+    * production pipelines point the same plan at a file/Kafka sink.
+    *
+    * `outputMode` is "complete" for plain/tumbling-window aggregations;
+    * session windows require append + watermark (Spark disallows complete
+    * for merging windows), in which case only windows closed by the final
+    * watermark are emitted — the oracle mirrors that closure rule.
+    */
+  def runAvailableNow(stream: DataFrame, name: String,
+                      outputMode: String = "complete"): DataFrame = {
+    val spark = stream.sparkSession
+    val table = s"${name}_${runSeq.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+  }
 }
