@@ -453,6 +453,37 @@ object QueriesTensor {
         """SELECT id, list_transform(range(0, len(mask)), i ->
           |CASE WHEN mask[i+1] THEN list_min(list_transform(zpos, j -> abs(i - j)))
           |     ELSE 0 END) AS data FROM f""".stripMargin,
-        castTo = "DOUBLE")))
+        castTo = "DOUBLE"))),
+
+    // ---- build_slices (/root/reference/imops/utils.py:172-199) ----
+    // Routes each aggregated bounding box through the Box smart constructor
+    // and Box.buildSlices in a typed Dataset map — the gate entry for the
+    // slice-construction component (previously ScalaTest-only).
+    Q("q_build_slices",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "lineitem").where(col("l_quantity") >= 25)
+          .groupBy("l_returnflag")
+          .agg(min("l_linenumber").cast("int").as("i0"),
+               (max("l_linenumber") + 1).cast("int").as("i1"),
+               min(col("l_partkey") % 20).cast("int").as("j0"),
+               (max(col("l_partkey") % 20) + 1).cast("int").as("j1"))
+          .as[(String, Int, Int, Int, Int)]
+          .flatMap { case (flag, i0, i1, j0, j1) =>
+            graft.core.Box(Seq(i0, j0), Seq(i1, j1)).buildSlices(Seq(2, 3))
+              .zipWithIndex.map { case ((a, b, st), ax) =>
+                (flag, ax.toLong, a.toLong, b.toLong, st.toLong)
+              }
+          }
+          .toDF("l_returnflag", "axis", "s_start", "s_stop", "s_step")
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+             |  min(l_linenumber) AS i0, max(l_linenumber)+1 AS i1,
+             |  min(l_partkey % 20) AS j0, max(l_partkey % 20)+1 AS j1
+             |  FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag)
+             |SELECT l_returnflag, 0::BIGINT AS axis, i0::BIGINT AS s_start,
+             |  i1::BIGINT AS s_stop, 2::BIGINT AS s_step FROM b
+             |UNION ALL
+             |SELECT l_returnflag, 1::BIGINT, j0::BIGINT, j1::BIGINT, 3::BIGINT FROM b""".stripMargin))
   )
 }

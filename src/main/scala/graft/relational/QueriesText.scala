@@ -364,7 +364,30 @@ object QueriesText {
            |ranked AS (SELECT qid, vec_id, cos,
            |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
            |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin
-      })
+      }),
+
+    // ---- backend dispatch (/root/reference/imops/backend.py:7-95) ----
+    // The same minhash signature computed through BOTH execution backends
+    // via the facade's conf-scoped dispatch (`withBackend` = the
+    // imops_backend context manager): `builtin` is the codegen'd expression
+    // chain, `kernel` the single-pass JVM implementation. The gate hashes
+    // both columns against one oracle, so the two backends agreeing
+    // byte-for-byte IS the verified property.
+    Q("q_backend_dispatch",
+      (s, dir) => {
+        val b = graft.core.Backend.withBackend(s, graft.core.Backend.Builtin)(
+          graft.api.Graft.minhashSignature(s, col("text"), 2))
+        val k = graft.core.Backend.withBackend(s, graft.core.Backend.Kernel)(
+          graft.api.Graft.minhashSignature(s, col("text"), 2))
+        T(s, dir, "documents").select(
+          col("doc_id") +:
+            (b.zipWithIndex.map { case (c, i) => c.as(s"builtin_mh$i") } ++
+             k.zipWithIndex.map { case (c, i) => c.as(s"kernel_mh$i") }): _*)
+      },
+      Some(s"""SELECT doc_id,
+              |${(0 until 2).map(k => s"${mhSql(k)} AS builtin_mh$k").mkString(", ")},
+              |${(0 until 2).map(k => s"${mhSql(k)} AS kernel_mh$k").mkString(", ")}
+              |FROM documents""".stripMargin))
   )
 
   // LSH geometry for the DECLARED demo queries: 4 bands x 8 sign bits.
