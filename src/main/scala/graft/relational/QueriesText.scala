@@ -387,7 +387,46 @@ object QueriesText {
       Some(s"""SELECT doc_id,
               |${(0 until 2).map(k => s"${mhSql(k)} AS builtin_mh$k").mkString(", ")},
               |${(0 until 2).map(k => s"${mhSql(k)} AS kernel_mh$k").mkString(", ")}
-              |FROM documents""".stripMargin))
+              |FROM documents""".stripMargin)),
+
+    // ---- sketches & deterministic sampling (beyond-reference) ----
+
+    // KMV distinct-count sketch per order status: k smallest distinct
+    // md5-derived 60-bit key hashes; estimate = (k-1)/kth-min normalized.
+    Q("q_kmv_distinct",
+      (s, dir) => graft.functions.SketchFunctions.kmvEstimate(
+        T(s, dir, "orders"), col("o_custkey"), 64, Seq(col("o_orderstatus"))),
+      Some("""WITH h AS (SELECT DISTINCT o_orderstatus,
+             |  ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h FROM orders),
+             |r AS (SELECT o_orderstatus, h,
+             |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS r FROM h),
+             |k AS (SELECT * FROM r WHERE r <= 64)
+             |SELECT o_orderstatus, max(h) AS kth, count(*) AS k_actual,
+             |CASE WHEN count(*) = 64
+             |     THEN round(63.0 * 1152921504606846976 / max(h), 4)
+             |     ELSE count(*)::DOUBLE END AS est_distinct
+             |FROM k GROUP BY o_orderstatus""".stripMargin)),
+
+    // Deterministic 10% Bernoulli sample keyed on (orderkey, linenumber):
+    // re-runs (and the oracle) select the identical sample.
+    Q("q_sample_bernoulli",
+      (s, dir) => graft.functions.SketchFunctions.bernoulliSample(
+          T(s, dir, "lineitem"),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")), 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE ('0x'||substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR),1,4))::BIGINT % 100 < 10""".stripMargin)),
+
+    // Deterministic stratified sample: mixture weighting by language
+    // (keep 10% of English, 50% of everything else).
+    Q("q_sample_stratified",
+      (s, dir) => graft.functions.SketchFunctions.stratifiedSample(
+          T(s, dir, "documents"), col("doc_id"),
+          when(col("lang") === "en", 10).otherwise(50))
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,4))::BIGINT % 100 <
+             |  CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin))
   )
 
   // LSH geometry for the DECLARED demo queries: 4 bands x 8 sign bits.

@@ -426,3 +426,38 @@ class ExprGuardsSpec extends AnyFunSuite {
     assert(rootMessage(ex).contains("exceeds array length"), rootMessage(ex))
   }
 }
+
+class SketchFunctionsSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("KMV estimate is within 25% of the true distinct count when filled") {
+    val df = (1 to 20000).map(i => (i % 3, i % 5000)).toDF("g", "key")
+    val out = graft.functions.SketchFunctions
+      .kmvEstimate(df, col("key"), 256, Seq(col("g")))
+      .collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      // each group sees ~1667 distinct keys of the 5000 (i%3 x i%5000 cycle)
+      val truth = (1 to 20000).filter(_ % 3 == r.getAs[Int]("g")).map(_ % 5000).distinct.size
+      assert(math.abs(est - truth) / truth < 0.25, s"est $est vs truth $truth")
+    }
+  }
+
+  test("KMV falls back to the exact count when the sketch is not filled") {
+    val df = Seq.tabulate(10)(i => (0, i)).toDF("g", "key")
+    val r = graft.functions.SketchFunctions
+      .kmvEstimate(df, col("key"), 64, Seq(col("g"))).collect().head
+    assert(r.getAs[Long]("k_actual") == 10L)
+    assert(r.getAs[Double]("est_distinct") == 10.0)
+  }
+
+  test("hash sampling is deterministic and near the target rate") {
+    val df = (1 to 10000).map(i => Tuple1(i.toLong)).toDF("k")
+    val a = graft.functions.SketchFunctions.bernoulliSample(df, col("k"), 10).count()
+    val b = graft.functions.SketchFunctions.bernoulliSample(df, col("k"), 10).count()
+    assert(a == b)
+    assert(a > 700 && a < 1300, s"10% of 10000 sampled $a")
+  }
+}
