@@ -426,7 +426,97 @@ object QueriesText {
         .select("doc_id", "lang"),
       Some("""SELECT doc_id, lang FROM documents
              |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,4))::BIGINT % 100 <
-             |  CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin))
+             |  CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin)),
+
+    // ---- relevance scoring (beyond-reference text analysis) ----
+
+    // TF-IDF per (doc, term) with +1-smoothed idf. ln() may differ by an
+    // ulp between engines, so scores are rounded to 6 places on both sides;
+    // tf/df are exact integers.
+    Q("q_tfidf",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.where(col("doc_id") < 25)
+          .join(broadcast(dfc), "term")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            round(col("tf").cast("double") *
+              log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 6)
+              .as("tfidf"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT t.doc_id, t.term, t.tf, d.df,
+             |round(t.tf::DOUBLE * ln((n_docs + 1)::DOUBLE / (d.df + 1)::DOUBLE), 6) AS tfidf
+             |FROM tf t JOIN df d USING (term), n WHERE t.doc_id < 25""".stripMargin)),
+
+    // BM25 top-20 for the fixed query {join, hash, scan}, k1=1.2 b=0.75.
+    // Per-term contributions are summed in a FIXED order (one conditional
+    // agg per term, then a literal 3-term add) because FP aggregation
+    // merge order is scheduler-dependent; both engines evaluate the exact
+    // same expression tree, so only the final ln/÷ rounding needs the
+    // 6-place guard.
+    Q("q_bm25",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+        val qterms = Seq("join", "hash", "scan")
+        val tf = toks.where(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+        val idf = log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0)
+        val contrib = idf * (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        val perTerm = tf.join(broadcast(dfc), "term").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("term"), contrib.as("c"))
+        val termCol = (t: String) =>
+          coalesce(sum(when(col("term") === t, col("c"))), lit(0.0))
+        val scored = perTerm.groupBy("doc_id")
+          .agg(termCol("join").as("c_join"), termCol("hash").as("c_hash"),
+               termCol("scan").as("c_scan"))
+          .select(col("doc_id"),
+            round(col("c_join") + col("c_hash") + col("c_scan"), 6).as("score"))
+        val top = scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+        top.withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT sum(dl)::BIGINT AS sum_dl, count(*) AS n_docs FROM dl),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             |  WHERE term IN ('join', 'hash', 'scan') GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |per AS (SELECT t.doc_id, t.term,
+             |  ln((n_docs::DOUBLE - d.df::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5) + 1.0) *
+             |  (t.tf::DOUBLE * 2.2) /
+             |  (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (l.dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))) AS c
+             |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id), stats),
+             |scored AS (SELECT doc_id,
+             |  round(coalesce(sum(CASE WHEN term = 'join' THEN c END), 0.0)
+             |      + coalesce(sum(CASE WHEN term = 'hash' THEN c END), 0.0)
+             |      + coalesce(sum(CASE WHEN term = 'scan' THEN c END), 0.0), 6) AS score
+             |  FROM per GROUP BY doc_id),
+             |ranked AS (SELECT doc_id, score,
+             |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored)
+             |SELECT doc_id, score, rank FROM ranked WHERE rank <= 20""".stripMargin))
   )
 
   // LSH geometry for the DECLARED demo queries: 4 bands x 8 sign bits.
