@@ -44,7 +44,15 @@ object Bench {
     // best-of-2 per query: the box runs other load and single-shot wall
     // times recorded 3-8x phantom regressions in past rounds that identical
     // -build re-runs did not reproduce; min of two runs is load-robust
-    val results = if (onlyOps.isDefined) Seq.empty[(String, Double)] else SparkEntry.all.map { q =>
+    // dev hook: SPARK_GRAFT_BENCH_QUERIES=q_a,q_b times just those declared
+    // queries (ops still run unless SPARK_GRAFT_BENCH_ONLY also filters)
+    val onlyQueries = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val queryList = onlyQueries match {
+      case Some(sel) => SparkEntry.all.filter(q => sel(q.name))
+      case None => SparkEntry.all
+    }
+    val results = if (onlyOps.isDefined) Seq.empty[(String, Double)] else queryList.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -56,13 +56,26 @@ object StreamingOps {
                       outputMode: String = "complete"): DataFrame = {
     val spark = stream.sparkSession
     val table = s"${name}_${runSeq.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful operators allocate one state-store instance per shuffle
+    // partition per micro-batch; the verification streams carry small
+    // state, so 8 partitions cuts fixed store setup 4x vs the session's
+    // batch setting. Production sizing is data-dependent — this scoped
+    // override applies only while the drain runs (the partition count is
+    // pinned into the query's checkpoint at first batch).
+    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(table)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+      case None => spark.conf.unset("spark.sql.shuffle.partitions")
+    }
     spark.table(table)
   }
 }
