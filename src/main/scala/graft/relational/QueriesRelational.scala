@@ -135,6 +135,22 @@ object QueriesRelational {
              |cast(1 + sum(CASE WHEN gap > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
              |FROM g GROUP BY user_id""".stripMargin)),
 
+    // Banded range join (time-proximity self-join): pairs of events by the
+    // same user within 5 minutes, via RangeJoin's bucketed equi-join (the
+    // naive inequality join is a nested loop — see RangeJoin scaladoc).
+    Q("q_range_join",
+      (s, dir) => {
+        val e = T(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"))
+        graft.operators.RangeJoin(e, e, Seq("user_id"), "ts", 300000000000L)
+          .where(col("l_event_id") < col("r_event_id"))
+          .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""SELECT a.user_id, count(*) AS n_pairs
+             |FROM events a JOIN events b
+             |ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |AND abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 300000000000
+             |GROUP BY a.user_id""".stripMargin)),
+
     Q("q_asof_join",
       (s, dir) => AsOfJoin(
           // ts arrives as ns-long (nanosAsLong); values are us-aligned

@@ -461,3 +461,31 @@ class SketchFunctionsSpec extends AnyFunSuite {
     assert(a > 700 && a < 1300, s"10% of 10000 sampled $a")
   }
 }
+
+class RangeJoinSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("banded range join matches brute force and never duplicates a pair") {
+    val rows = for (k <- 0 to 2; i <- 0 until 40)
+      yield (k.toLong, (k * 1000 + i).toLong, (i * 37L % 100) * 3L)
+    val df = rows.toDF("k", "id", "t")
+    val out = graft.operators.RangeJoin(df, df, Seq("k"), "t", 10L)
+      .where($"l_id" < $"r_id")
+      .select($"k", $"l_id", $"r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = for {
+      (k1, i1, t1) <- rows; (k2, i2, t2) <- rows
+      if k1 == k2 && i1 < i2 && math.abs(t1 - t2) <= 10
+    } yield (k1, i1, i2)
+    assert(out.length == out.distinct.length, "duplicate pairs from bucket explode")
+    assert(out.toSet == brute.toSet)
+  }
+
+  test("range join rejects a non-positive window") {
+    val df = Seq((1L, 1L, 1L)).toDF("k", "id", "t")
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin(df, df, Seq("k"), "t", 0L)
+    }
+  }
+}
