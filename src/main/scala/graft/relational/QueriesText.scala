@@ -18,6 +18,16 @@ import graft.functions.SimilarityFunctions._
   */
 object QueriesText {
 
+  // (doc_id, term) token stream shared by the relevance-scoring queries —
+  // tokenization is the dominant cost and both tf-idf and BM25 fan the
+  // same stream into several aggregation branches, so it is persisted
+  // once per session like the grid inputs
+  private def docTokens(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedInputs(s, dir, "docTokens") {
+      T(s, dir, "documents").select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+    }
+
   // shingle-based minhash: min md5 over distinct word 3-grams (seed-prefixed)
   private val mhSql = (k: Int) =>
     "list_min(list_transform(list_distinct(list_transform(" +
@@ -436,8 +446,7 @@ object QueriesText {
     Q("q_tfidf",
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-          explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+        val toks = docTokens(s, dir)
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -467,9 +476,7 @@ object QueriesText {
     // 6-place guard.
     Q("q_bm25",
       (s, dir) => {
-        val docs = T(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-          explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+        val toks = docTokens(s, dir)
         val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
         val qterms = Seq("join", "hash", "scan")
