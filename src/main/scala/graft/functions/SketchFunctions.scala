@@ -55,4 +55,32 @@ object SketchFunctions {
     * strata column (training-data mixture weighting). */
   def stratifiedSample(df: DataFrame, key: Column, rate: Column): DataFrame =
     df.where(hashPct(key) < rate)
+
+  /** Count-min sketch build: a depth×width counter grid where every key
+    * occurrence increments one counter per row (seeded md5 hashes). The
+    * result is `depth*width` rows regardless of input size — the classic
+    * mergeable frequency summary for heavy-hitter queries over corpora too
+    * large to group exactly. One shuffle on (row, col). */
+  def cmsBuild(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
+    df.select(key.cast("string").as("k"))
+      .select(col("k"), explode(array((0 until depth).map(lit): _*)).as("i"))
+      .select(col("i"),
+        (conv(substring(md5(concat_ws("|", col("i"), col("k"))), 1, 4), 16, 10)
+          .cast("long") % width).as("c"))
+      .groupBy("i", "c").agg(count(lit(1)).as("cnt"))
+
+  /** Point-query the sketch: estimate(key) = min over rows of the counter
+    * the key hashes to. One-sided error: est >= true count, with
+    * overestimate bounded by collisions (~2N/width at depth 2). */
+  def cmsEstimate(sketch: DataFrame, keys: Seq[String], depth: Int, width: Int): DataFrame = {
+    val probes = sketch.sparkSession.range(1)
+      .select(explode(typedlit(keys)).as("term"))
+      .select(col("term"), explode(array((0 until depth).map(lit): _*)).as("i"))
+      .select(col("term"), col("i"),
+        (conv(substring(md5(concat_ws("|", col("i"), col("term"))), 1, 4), 16, 10)
+          .cast("long") % width).as("c"))
+    probes.join(sketch, Seq("i", "c"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

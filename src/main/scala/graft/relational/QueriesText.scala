@@ -438,6 +438,29 @@ object QueriesText {
              |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,4))::BIGINT % 100 <
              |  CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin)),
 
+    // Count-min sketch over the corpus token stream (depth 4 × width 256),
+    // point-queried for four terms. The sketch is O(d·w) state however
+    // large the corpus; estimates are integer-exact on both engines.
+    Q("q_cms_freq",
+      (s, dir) => {
+        val sketch = graft.functions.SketchFunctions.cmsBuild(
+          docTokens(s, dir), col("term"), 4, 256)
+        graft.functions.SketchFunctions.cmsEstimate(
+          sketch, Seq("join", "hash", "scan", "vector"), 4, 256)
+      },
+      Some("""WITH toks AS (SELECT
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+             |cells AS (SELECT i,
+             |  ('0x'||substr(md5(i::VARCHAR || '|' || term), 1, 4))::BIGINT % 256 AS c,
+             |  count(*) AS cnt FROM toks, rows_ GROUP BY 1, 2),
+             |probes AS (SELECT t AS term, i,
+             |  ('0x'||substr(md5(i::VARCHAR || '|' || t), 1, 4))::BIGINT % 256 AS c
+             |  FROM (SELECT unnest(['join', 'hash', 'scan', 'vector']) AS t), rows_)
+             |SELECT term, min(coalesce(cnt, 0)) AS est
+             |FROM probes LEFT JOIN cells USING (i, c) GROUP BY term""".stripMargin)),
+
     // ---- relevance scoring (beyond-reference text analysis) ----
 
     // TF-IDF per (doc, term) with +1-smoothed idf. ln() may differ by an

@@ -489,3 +489,26 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 }
+
+class CountMinSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("count-min estimates are one-sided and near-exact at low load") {
+    val keys = (1 to 2000).map(i => s"k${i % 50}")  // 50 distinct, 40 each
+    val df = keys.map(Tuple1(_)).toDF("key")
+    val sketch = graft.functions.SketchFunctions.cmsBuild(df, $"key", 4, 256)
+    val est = graft.functions.SketchFunctions
+      .cmsEstimate(sketch, Seq("k0", "k7", "nope"), 4, 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("k0") >= 40 && est("k0") <= 120, s"k0 -> ${est("k0")}")
+    assert(est("k7") >= 40 && est("k7") <= 120)
+    assert(est("nope") <= 80)  // absent key reads collision noise only
+  }
+
+  test("sketch size is depth*width regardless of input") {
+    val df = (1 to 5000).map(i => Tuple1(s"t$i")).toDF("key")
+    val n = graft.functions.SketchFunctions.cmsBuild(df, $"key", 2, 64).count()
+    assert(n <= 2 * 64)
+  }
+}
