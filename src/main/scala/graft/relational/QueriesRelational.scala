@@ -172,6 +172,42 @@ object QueriesRelational {
         .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
                 substring(md5(col("text")), 1, 8).as("checksum")),
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-             |substring(md5(text), 1, 8) AS checksum FROM documents""".stripMargin))
+             |substring(md5(text), 1, 8) AS checksum FROM documents""".stripMargin)),
+
+    // Multimodal decode plumbing through the gate: the per-partition decode
+    // path (Multimodal.decode -> stub codec) runs for real; the stub's
+    // pixels are a deterministic function of the payload bytes (byte i%len
+    // cycled into an 8x8 gray frame), so the DuckDB oracle recomputes them
+    // from the same ASCII text payload. mean = integer-sum / 2^6 — exact.
+    Q("q_multimodal_decode",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val payload = T(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        graft.multimodal.Multimodal.decode(payload, "doc_id", "payload")
+          .map { d =>
+            var acc = 0.0; var i = 0
+            while (i < d.pixels.length) { acc += d.pixels(i); i += 1 }
+            (d.id, d.meta.width, d.meta.height, acc / 64.0)
+          }
+          .toDF("doc_id", "width", "height", "mean_px")
+      },
+      Some("""SELECT doc_id, 8 AS width, 8 AS height,
+             |list_sum(list_transform(range(0, 64),
+             |  i -> ascii(substr(text, (i % len(text))::INT + 1, 1))))::DOUBLE / 64.0 AS mean_px
+             |FROM documents""".stripMargin)),
+
+    // Frame-sampling plumbing: payload split into 16-byte "frames", every
+    // 3rd kept; the kept-count is pure integer arithmetic on byte length.
+    Q("q_multimodal_frames",
+      (s, dir) => graft.multimodal.Multimodal.sampleFrames(
+          T(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload", 16, 3)
+        .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"), col("n_frames")),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |((ceil(octet_length(encode(text)) / 16.0)::INT + 2) // 3) AS n_frames
+             |FROM documents""".stripMargin))
   )
 }
