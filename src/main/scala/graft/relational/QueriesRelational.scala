@@ -208,6 +208,40 @@ object QueriesRelational {
         .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"), col("n_frames")),
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              |((ceil(octet_length(encode(text)) / 16.0)::INT + 2) // 3) AS n_frames
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Ordered aggregation: exact linearly-interpolated quantiles (Spark
+    // `percentile` == DuckDB `quantile_cont`), rounded to absorb the
+    // interpolation's division.
+    Q("q_quantiles",
+      (s, dir) => T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+             round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+             round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price")),
+      Some("""SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             |round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+             |round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Source/sink round-trip beyond parquet: nation is written to CSV and
+    // JSON under java.io.tmpdir, read back through the csv/json sources
+    // (schema re-inferred for CSV), and aggregated; the oracle runs the
+    // same rollup on the parquet original — header/type round-trip is the
+    // verified property.
+    Q("q_source_roundtrip",
+      (s, dir) => {
+        val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_roundtrip").getPath
+        val nation = T(s, dir, "nation")
+        nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+        nation.coalesce(1).write.mode("overwrite").json(s"$base/json")
+        val fromCsv = s.read.option("header", "true").option("inferSchema", "true").csv(s"$base/csv")
+        val fromJson = s.read.json(s"$base/json")
+        fromCsv.groupBy("n_regionkey").agg(count(lit(1)).as("n_csv"))
+          .join(fromJson.groupBy("n_regionkey").agg(count(lit(1)).as("n_json")), "n_regionkey")
+          .select(col("n_regionkey").cast("long"), col("n_csv"), col("n_json"))
+      },
+      Some("""SELECT n_regionkey, count(*) AS n_csv, count(*) AS n_json
+             |FROM nation GROUP BY n_regionkey""".stripMargin))
   )
 }
