@@ -235,13 +235,30 @@ object QueriesRelational {
         val nation = T(s, dir, "nation")
         nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$base/csv")
         nation.coalesce(1).write.mode("overwrite").json(s"$base/json")
+        nation.coalesce(1).write.mode("overwrite").orc(s"$base/orc")
         val fromCsv = s.read.option("header", "true").option("inferSchema", "true").csv(s"$base/csv")
         val fromJson = s.read.json(s"$base/json")
+        val fromOrc = s.read.orc(s"$base/orc")
         fromCsv.groupBy("n_regionkey").agg(count(lit(1)).as("n_csv"))
           .join(fromJson.groupBy("n_regionkey").agg(count(lit(1)).as("n_json")), "n_regionkey")
-          .select(col("n_regionkey").cast("long"), col("n_csv"), col("n_json"))
+          .join(fromOrc.groupBy("n_regionkey").agg(count(lit(1)).as("n_orc")), "n_regionkey")
+          .select(col("n_regionkey").cast("long"), col("n_csv"), col("n_json"), col("n_orc"))
       },
-      Some("""SELECT n_regionkey, count(*) AS n_csv, count(*) AS n_json
-             |FROM nation GROUP BY n_regionkey""".stripMargin))
+      Some("""SELECT n_regionkey, count(*) AS n_csv, count(*) AS n_json, count(*) AS n_orc
+             |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
+    // Skew-aware aggregation through the gate: the salted two-phase
+    // sum/count (operators.SkewedAgg) over the 5-value event_type key —
+    // the 100 TB answer to a hot grouping key. DECIMAL sums make the
+    // two-phase merge order-insensitive, so the result hash-matches the
+    // plain GROUP BY oracle.
+    Q("q_skewed_agg",
+      (s, dir) => graft.operators.SkewedAgg.sumCount(
+          T(s, dir, "events").withColumn("v", col("value").cast("decimal(18,2)")),
+          "event_type", "v", salts = 16)
+        .select(col("event_type"), col("sum").cast("double").as("total_value"),
+                col("cnt").as("n")),
+      Some("""SELECT event_type, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             |count(*) AS n FROM events GROUP BY event_type""".stripMargin))
   )
 }
