@@ -117,6 +117,26 @@ object QueriesRelational {
              |cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // Window-function spread: offset (lag/lead), ranking (rank/dense_rank)
+    // and distribution (ntile) functions in one frame.
+    Q("q_window_funcs",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        T(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |lag(o_totalprice, 1) OVER w AS prev_price,
+             |lead(o_totalprice, 1) OVER w AS next_price,
+             |rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+             |cast(ntile(4) OVER w AS INT) AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
     Q("q_sessionize",
       (s, dir) => {
         // ts is read as ns-since-epoch long (nanosAsLong)

@@ -438,6 +438,36 @@ object QueriesText {
              |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,4))::BIGINT % 100 <
              |  CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin)),
 
+    // Edit-distance fuzzy dedup: LSH-blocked candidate pairs scored with
+    // levenshtein on the 64-char prefix (O(n·m) per pair is only paid on
+    // candidates, never all-pairs — the same blocking that makes n-gram
+    // Jaccard scale). Integer-exact on both engines.
+    Q("q_edit_distance",
+      (s, dir) => {
+        val bands = T(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"),
+            minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
+          .select(col("doc_id"), col("prefix"), posexplode(col("sig")).as(Seq("band", "h")))
+        bands.as("x").join(bands.as("y"),
+            col("x.h") === col("y.h") && col("x.band") === col("y.band") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+            col("x.prefix").as("p1"), col("y.prefix").as("p2"))
+          .distinct()
+          .select(col("id1"), col("id2"), levenshtein(col("p1"), col("p2")).as("dist"))
+          .where(col("dist") <= 20)
+      },
+      Some(s"""WITH sig AS (SELECT doc_id, substr(text, 1, 64) AS prefix,
+              |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM documents),
+              |bands AS (${(0 until 4).map(k =>
+                 s"SELECT doc_id, prefix, $k AS band, mh$k AS h FROM sig").mkString(" UNION ALL ")}),
+              |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+              |  x.prefix AS p1, y.prefix AS p2
+              |  FROM bands x JOIN bands y
+              |  ON x.h = y.h AND x.band = y.band AND x.doc_id < y.doc_id)
+              |SELECT id1, id2, cast(levenshtein(p1, p2) AS INT) AS dist
+              |FROM cand WHERE levenshtein(p1, p2) <= 20""".stripMargin)),
+
     // Count-min sketch over the corpus token stream (depth 4 × width 256),
     // point-queried for four terms. The sketch is O(d·w) state however
     // large the corpus; estimates are integer-exact on both engines.
