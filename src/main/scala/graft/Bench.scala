@@ -204,6 +204,16 @@ object Bench {
         .select(graft.exprs.RadonExpr.radon(col("data"), lit(256), theta180).as("s"))
         .agg(sum(get(col("s"), lit(0)))).collect()
     }
+    // angle-sharded variant: same work, finer tasks (32 rows x 6 theta
+    // chunks = 192 tasks) — the path that stays packed when rows < cores
+    // or the host steals cores mid-task; ShardedRadonSpec asserts the
+    // stitched sinogram is bit-identical to the single-call path
+    bench("radon_sharded", 32.0 * 256 * 180, Some(radonReady)) {
+      implicit val sp: org.apache.spark.sql.SparkSession = spark
+      graft.operators.ShardedRadon(radonReady, col("id"), col("data"), 256,
+          (0 until 180).map(_.toDouble), 6)
+        .agg(sum(get(col("sino"), lit(0)))).collect()
+    }
     val sinoInput = radonReady
       .select(graft.exprs.RadonExpr.radon(col("data"), lit(256), theta180).as("s"))
     bench("inverse_radon", 32.0 * 256 * 256, Some(sinoInput)) {

@@ -512,3 +512,31 @@ class CountMinSpec extends AnyFunSuite {
     assert(n <= 2 * 64)
   }
 }
+
+class ShardedRadonSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("angle-sharded radon is bit-identical to the single-call sinogram") {
+    implicit val s = spark
+    val size = 32
+    val thetas = (0 until 24).map(_ * 7.5)
+    val imgs = Seq.tabulate(3) { r =>
+      (r.toLong, Array.tabulate(size * size) { i =>
+        val (y, x) = (i / size, i % size)
+        val (dy, dx) = (y - size / 2 + 0.5, x - size / 2 + 0.5)
+        if (dy * dy + dx * dx < (size / 3) * (size / 3)) (i % 7 + r).toDouble else 0.0
+      })
+    }
+    val df = imgs.toDF("id", "data")
+    val direct = df.select($"id", graft.exprs.RadonExpr.radon(
+        $"data", lit(size), typedlit(thetas.toArray)).as("sino"))
+      .as[(Long, Array[Double])].collect().toMap
+    val sharded = graft.operators.ShardedRadon(df, $"id", $"data", size, thetas, 5)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(direct.keySet == sharded.keySet)
+    direct.foreach { case (id, full) =>
+      assert(java.util.Arrays.equals(full, sharded(id)), s"sinogram mismatch for id $id")
+    }
+  }
+}
