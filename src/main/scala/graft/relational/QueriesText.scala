@@ -28,6 +28,13 @@ object QueriesText {
         explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
     }
 
+  // 16-bit simhash as SQL: per-bit majority vote over word md5 digests
+  private val simhashSql: String = (0 until 16).map { b =>
+    s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
+       |w -> CASE WHEN substring(md5(w), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+       |THEN ${1 << b} ELSE 0 END""".stripMargin
+  }.mkString(" + ")
+
   // shingle-based minhash: min md5 over distinct word 3-grams (seed-prefixed)
   private val mhSql = (k: Int) =>
     "list_min(list_transform(list_distinct(list_transform(" +
@@ -177,14 +184,38 @@ object QueriesText {
     Q("q_simhash",
       (s, dir) => T(s, dir, "documents")
         .select(col("doc_id"), simhash16Udf(col("text")).as("sh")),
-      Some {
-        val bits = (0 until 16).map { b =>
-          s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
-             |w -> CASE WHEN substring(md5(w), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
-             |THEN ${1 << b} ELSE 0 END""".stripMargin
-        }.mkString(" + ")
-        s"SELECT doc_id, $bits AS sh FROM documents"
-      }),
+      Some(s"SELECT doc_id, $simhashSql AS sh FROM documents")),
+
+    // SimHash hamming-distance near-dup: pigeonhole band blocking — with
+    // the 16-bit signature split into two 8-bit bands, any pair at hamming
+    // distance <= 1 shares at least one band verbatim, so the candidate
+    // set is two equi-joins (never all-pairs); the exact popcount(xor)
+    // filter then keeps true near-dups. Integer-exact on both engines.
+    Q("q_simhash_pairs",
+      (s, dir) => {
+        val sh = T(s, dir, "documents")
+          .select(col("doc_id"), simhash16Udf(col("text")).as("sh"))
+        val bands = sh.select(col("doc_id"), col("sh"),
+          explode(array(
+            struct(lit(0).as("band"), (col("sh") % 256).as("key")),
+            struct(lit(1).as("band"), expr("sh div 256").as("key")))).as("bk"))
+          .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+        bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+            bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("int").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 1)
+      },
+      Some(s"""WITH sig AS (SELECT doc_id, $simhashSql AS sh FROM documents),
+              |bands AS (SELECT doc_id, sh, 0 AS band, sh % 256 AS key FROM sig
+              |  UNION ALL SELECT doc_id, sh, 1 AS band, sh // 256 AS key FROM sig),
+              |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+              |  cast(bit_count(xor(x.sh::BIGINT, y.sh::BIGINT)) AS INT) AS hamming
+              |  FROM bands x JOIN bands y
+              |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+              |SELECT id1, id2, hamming FROM cand WHERE hamming <= 1""".stripMargin)),
 
     // composed training-data pipeline: exact-dedup (keep min doc_id) ->
     // quality gate (length + stopword ratio) -> language-ID rollup per
