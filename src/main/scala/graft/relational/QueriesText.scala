@@ -485,8 +485,13 @@ object QueriesText {
           .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
             col("x.prefix").as("p1"), col("y.prefix").as("p2"))
           .distinct()
-          .select(col("id1"), col("id2"), levenshtein(col("p1"), col("p2")).as("dist"))
-          .where(col("dist") <= 20)
+          // equal-prefix short-circuit (exact dups are the common LSH
+          // candidate) + bounded DP via the threshold form (O(k·n), -1
+          // when above) — both value-preserving vs plain levenshtein<=20
+          .select(col("id1"), col("id2"),
+            when(col("p1") === col("p2"), 0)
+              .otherwise(levenshtein(col("p1"), col("p2"), 20)).as("dist"))
+          .where(col("dist") >= 0)
       },
       Some(s"""WITH sig AS (SELECT doc_id, substr(text, 1, 64) AS prefix,
               |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM documents),
