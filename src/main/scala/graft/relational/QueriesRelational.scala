@@ -96,6 +96,30 @@ object QueriesRelational {
              |cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // Semi-structured parsing: extract a typed field from the JSON props
+    // column and aggregate on it.
+    Q("q_json_extract",
+      (s, dir) => T(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").cast("long").as("sum_k"),
+             count(when(col("k") > 50, 1)).as("n_high")),
+      Some("""SELECT event_type,
+             |cast(sum(cast(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |count(CASE WHEN cast(props->>'k' AS BIGINT) > 50 THEN 1 END) AS n_high
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // Grouping sets beyond rollup: full CUBE over two dimensions.
+    Q("q_cube",
+      (s, dir) => T(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
     Q("q_pivot_events",
       (s, dir) => T(s, dir, "events")
         .groupBy("user_id")
