@@ -37,6 +37,14 @@ object TensorFunctions {
   def fullArray(size: Column, value: Double): Column =
     array_repeat(lit(value), size.cast("int"))
 
+  /** Sink-side dtype-tag cast (SURVEY §1.4): apply the logical dtype's
+    * truncation/saturation (unsigned/int tags) or quantization (fp16) to a
+    * physically-Double scalar column — the reference's fp16/uint support
+    * (/root/reference/imops/numeric.py:41-42, 182-187) on the JVM. */
+  private val castDtypeUdf =
+    udf((v: Double, dtype: String) => graft.core.NdTensor.castToDtype(v, dtype))
+  def castDtype(v: Column, dtype: String): Column = castDtypeUdf(v, lit(dtype))
+
   /** isin mask over an array column (/root/reference/imops/utils.py:213-251). */
   def isinArray(data: Column, testElements: Seq[Double]): Column =
     transform(data, x => x.isin(testElements: _*))

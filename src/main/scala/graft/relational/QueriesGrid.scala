@@ -85,6 +85,40 @@ object QueriesGrid {
       |  CASE WHEN v > 0.0 AND CAST(floor(v) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS v
       |  FROM grid3)""".stripMargin
 
+  /** 4^4 value tensor from events: cell (i,j,k,l) =
+    * (user_id%4, event_id%4, (user_id div 4)%4, (event_id div 4)%4),
+    * v = exact DECIMAL sum — the rank-4 analog of value3Grid, feeding the
+    * zoom4/pointwise rank-4 kernel paths (reference supports ndim<=4,
+    * /root/reference/imops/src/_zoom.pyx:432-527). */
+  private def value4Grid(s: SparkSession, dir: String): DataFrame =
+    SharedInputs(s, dir, "value4Grid") {
+      val cells = T(s, dir, "events")
+        .groupBy((col("user_id") % 4).as("i"), (col("event_id") % 4).as("j"),
+          expr("(user_id div 4) % 4").as("k"), expr("(event_id div 4) % 4").as("l"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val ijkl = s.range(4).select(col("id").as("i"))
+        .crossJoin(s.range(4).select(col("id").as("j")))
+        .crossJoin(s.range(4).select(col("id").as("k")))
+        .crossJoin(s.range(4).select(col("id").as("l")))
+      ijkl.join(cells, Seq("i", "j", "k", "l"), "left").na.fill(0.0, Seq("v"))
+    }
+
+  private val value4GridCte =
+    """cells4 AS (SELECT user_id % 4 AS i, event_id % 4 AS j, (user_id // 4) % 4 AS k,
+      |  (event_id // 4) % 4 AS l,
+      |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2, 3, 4),
+      |grid4 AS (SELECT r1.i AS i, r2.j AS j, r3.k AS k, r4.l AS l, coalesce(c.v, 0.0) AS v
+      |  FROM range(4) r1(i) CROSS JOIN range(4) r2(j)
+      |  CROSS JOIN range(4) r3(k) CROSS JOIN range(4) r4(l)
+      |  LEFT JOIN cells4 c ON c.i = r1.i AND c.j = r2.j AND c.k = r3.k AND c.l = r4.l)""".stripMargin
+
+  /** Collapse grid4 into one row-major rank-4 tensor row. */
+  private def toTensor4(s: SparkSession, dir: String): DataFrame =
+    value4Grid(s, dir)
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("k"), col("l"), col("v")))),
+        x => x.getField("v").cast("double")).as("data"))
+
   /** Assemble mask3 into 2x2x2 tiles of side ts=4 (row-major per tile). */
   private def tiles3(s: SparkSession, dir: String, ts: Int) = {
     import s.implicits._
@@ -571,6 +605,53 @@ object QueriesGrid {
            |FROM range(12) ra(a) CROSS JOIN range(12) rb(b) CROSS JOIN range(12) rc(c)
            |JOIN grid3 g ON g.i = ${ni("ra.a")} AND g.j = ${ni("rb.b")} AND g.k = ${ni("rc.c")}""".stripMargin
       }),
+
+    // rank-4 zoom through the gate: order-0 at scale 1.5 (4^4 -> 6^4) on the
+    // events-derived 4-D tensor — the zoom4 kernel path
+    // (/root/reference/imops/src/_zoom.pyx:432-527); nearest-index rule
+    // c = i*(3/5), pick floor+1 iff frac >= 0.5 and in range, values copied
+    // exactly so no rounding on either side
+    Q("q_zoom4d_nearest",
+      (s, dir) => {
+        toTensor4(s, dir)
+          .select(graft.exprs.ZoomExpr.zoomCol(col("data"), array(lit(4), lit(4), lit(4), lit(4)),
+            array(lit(1.5), lit(1.5), lit(1.5), lit(1.5)), lit(0), lit(0.0)).getField("_1").as("z"))
+          .select(posexplode(col("z")).as(Seq("pos", "v")))
+          .select((col("pos") / 216).cast("long").as("i"),
+            ((col("pos") / 36).cast("int") % 6).cast("long").as("j"),
+            ((col("pos") / 6).cast("int") % 6).cast("long").as("k"),
+            (col("pos") % 6).cast("long").as("l"), col("v"))
+      },
+      Some {
+        def ni(x: String) = {
+          val c = s"($x * (3.0 / 5.0))"
+          s"(CASE WHEN ($c - floor($c)) >= 0.5 AND CAST(floor($c) AS INT) + 1 <= 3 " +
+            s"THEN CAST(floor($c) AS INT) + 1 ELSE CAST(floor($c) AS INT) END)"
+        }
+        s"""WITH $value4GridCte
+           |SELECT ra.a AS i, rb.b AS j, rc.c AS k, rd.d AS l, g.v AS v
+           |FROM range(6) ra(a) CROSS JOIN range(6) rb(b)
+           |CROSS JOIN range(6) rc(c) CROSS JOIN range(6) rd(d)
+           |JOIN grid4 g ON g.i = ${ni("ra.a")} AND g.j = ${ni("rb.b")}
+           |  AND g.k = ${ni("rc.c")} AND g.l = ${ni("rd.d")}""".stripMargin
+      }),
+
+    // rank-4 pointwise through the gate: scalar add on the same 4-D tensor
+    // (/root/reference/imops/numeric.py:99-192 supports ndim<=4); +2.5 is an
+    // exactly-representable double so the add is a single rounding on both
+    // engines — bit-exact, no rounding needed
+    Q("q_pointwise4d",
+      (s, dir) => {
+        toTensor4(s, dir)
+          .select(graft.functions.TensorFunctions.pointwiseAdd(col("data"), 2.5).as("d"))
+          .select(posexplode(col("d")).as(Seq("pos", "v")))
+          .select((col("pos") / 64).cast("long").as("i"),
+            ((col("pos") / 16).cast("int") % 4).cast("long").as("j"),
+            ((col("pos") / 4).cast("int") % 4).cast("long").as("k"),
+            (col("pos") % 4).cast("long").as("l"), col("v"))
+      },
+      Some(s"""WITH $value4GridCte
+              |SELECT i, j, k, l, v + 2.5 AS v FROM grid4""".stripMargin)),
 
     // rank-3 EDT through the gate: the separable Felzenszwalb kernel on the
     // 8^3 volume vs the brute-force min-euclidean SQL (exact integer

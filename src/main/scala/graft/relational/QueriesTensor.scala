@@ -484,6 +484,42 @@ object QueriesTensor {
              |SELECT l_returnflag, 0::BIGINT AS axis, i0::BIGINT AS s_start,
              |  i1::BIGINT AS s_stop, 2::BIGINT AS s_step FROM b
              |UNION ALL
-             |SELECT l_returnflag, 1::BIGINT, j0::BIGINT, j1::BIGINT, 3::BIGINT FROM b""".stripMargin))
+             |SELECT l_returnflag, 1::BIGINT, j0::BIGINT, j1::BIGINT, 3::BIGINT FROM b""".stripMargin)),
+
+    // ---- dtype-tag cast-back (/root/reference/imops/numeric.py:41-42,
+    // 182-187; SURVEY §1.4) ----
+    // The sink-side castToDtype path under the oracle: uint8/int8 saturation
+    // (quantity*10-120 spans [-110, 380] — clamps both ends), uint16
+    // truncate+saturate on prices (max ~104950 > 65535), and the IEEE-half
+    // round-trip on price/4 (< fp16 max 65504, so always finite). The fp16
+    // oracle emulates round-to-nearest-even at the half's 10-bit significand:
+    // step = 2^(floor(log2 x)-10); x/step and x+0.5 are exact power-of-two
+    // scalings of the same double, so the half-point test and the tie pick
+    // are bit-identical to the JVM bit-twiddling kernel. Integer truncation
+    // is toward zero on both engines (Scala toLong, DuckDB trunc — memory
+    // rule: never bare CAST(DOUBLE AS INT), DuckDB rounds).
+    Q("q_dtype_cast",
+      (s, dir) => {
+        import graft.functions.TensorFunctions.castDtype
+        val spread = col("l_quantity") * 10.0 - 120.0
+        T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            castDtype(spread, "uint8").as("u8"),
+            castDtype(spread, "int8").as("i8"),
+            castDtype(col("l_extendedprice"), "uint16").as("u16"),
+            castDtype(col("l_extendedprice") / 4.0, "float16").as("h16"))
+      },
+      Some("""WITH h AS (SELECT *,
+             |  pow(2.0, floor(log2(l_extendedprice / 4.0)) - 10) AS step,
+             |  (l_extendedprice / 4.0) / pow(2.0, floor(log2(l_extendedprice / 4.0)) - 10) AS q
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber,
+             |  least(greatest(CAST(trunc(l_quantity * 10.0 - 120.0) AS BIGINT), 0), 255)::DOUBLE AS u8,
+             |  least(greatest(CAST(trunc(l_quantity * 10.0 - 120.0) AS BIGINT), -128), 127)::DOUBLE AS i8,
+             |  least(greatest(CAST(trunc(l_extendedprice) AS BIGINT), 0), 65535)::DOUBLE AS u16,
+             |  (CASE WHEN q - floor(q) = 0.5
+             |        THEN floor(q) + (CAST(floor(q) AS BIGINT) % 2)
+             |        ELSE floor(q + 0.5) END) * step AS h16
+             |FROM h""".stripMargin))
   )
 }
