@@ -5,24 +5,32 @@ import org.apache.spark.sql.functions._
 import graft.kernels.ZoomKernel
 
 /** Multimodal columns for training-data pipelines: image/audio/video as
-  * opaque `binary` payloads plus typed metadata, with the decode step
-  * STUBBED (this container has no codec libraries) behind a deterministic
-  * fake, and the Spark-side plumbing — schema, batched per-partition
-  * execution, resize via the real zoom kernel — fully real and tested.
+  * opaque `binary` payloads plus typed metadata. Decode is REAL for the
+  * formats the JDK ships codecs for (PNG/JPEG/BMP/GIF via `javax.imageio`,
+  * zero extra dependencies); payloads no installed codec recognizes fall
+  * back to a deterministic stub backend — the same two-backends-one-
+  * semantics dispatch the engine uses elsewhere (graft.core.Backend).
   *
   * At scale: payload rows are processed with `mapPartitions` so decode
-  * state (a real codec context) is allocated once per partition, not per
-  * row; rows stay narrow (no shuffle) until an explicit aggregation.
+  * state (codec instances, scratch buffers) is allocated once per
+  * partition, not per row; rows stay narrow (no shuffle) until an explicit
+  * aggregation.
   */
 object Multimodal {
+
+  // imageio's default disk-backed stream cache would add a temp-file write
+  // per decode on the executor hot path; decode inputs are already in-heap
+  // byte arrays, so cache in memory
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaMeta(format: String, width: Int, height: Int, channels: Int)
   final case class Decoded(id: Long, meta: MediaMeta, pixels: Array[Double])
 
-  /** STUB decode: a real implementation would call an image codec here.
-    * The fake is deterministic in the payload bytes: an 8x8 single-channel
-    * "image" whose pixels are byte values cycled through the buffer —
-    * stable across runs and partitions, so downstream ops are testable. */
+  /** Fallback decode for payloads no installed codec recognizes: an 8x8
+    * single-channel "image" whose pixels are byte values cycled through the
+    * buffer — deterministic in the payload bytes, stable across runs and
+    * partitions, so pipelines over mixed/corrupt corpora keep flowing
+    * (the real-corpus analog: quarantine rows instead of failing the job). */
   def decodeStub(payload: Array[Byte]): (MediaMeta, Array[Double]) = {
     val (w, h) = (8, 8)
     val px = Array.tabulate(w * h) { i =>
@@ -31,17 +39,72 @@ object Multimodal {
     (MediaMeta("stub-gray8", w, h, 1), px)
   }
 
-  /** Decode a binary column per partition (codec state amortized). */
+  /** Real image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF/
+    * WBMP readers ship with the JRE). Returns None when no installed reader
+    * recognizes the payload. Pixels are raster samples in row-major
+    * (y, x, band) interleaved order, one Double per sample — band count is
+    * preserved (gray=1, RGB=3, RGBA=4). */
+  def decodeImage(payload: Array[Byte]): Option[(MediaMeta, Array[Double])] = {
+    if (payload == null || payload.length < 8) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val img = reader.read(0)
+          val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val ch = raster.getNumBands
+          val px = new Array[Double](w * h * ch)
+          var p = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < ch) { px(p) = raster.getSampleDouble(x, y, b); p += 1; b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          Some((MediaMeta(fmt, w, h, ch), px))
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  /** Encode an 8-bit grayscale image to PNG bytes (test/round-trip helper;
+    * PNG gray8 is lossless so decode(encode(px)) == px exactly). */
+  def encodeGrayPng(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixels(y * w + x) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a binary column per partition (codec state amortized): real
+    * imageio decode first, stub fallback for unrecognized payloads. */
   def decode(df: DataFrame, idCol: String, payloadCol: String)
             (implicit spark: SparkSession): Dataset[Decoded] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition: open codec once (stub has no state, but the shape
-        // of the loop is the real one)
         it.map { case (id, payload) =>
-          val (meta, px) = decodeStub(payload)
+          val (meta, px) = decodeImage(payload).getOrElse(decodeStub(payload))
           Decoded(id, meta, px)
         }
       }

@@ -218,11 +218,13 @@ object QueriesRelational {
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              |substring(md5(text), 1, 8) AS checksum FROM documents""".stripMargin)),
 
-    // Multimodal decode plumbing through the gate: the per-partition decode
-    // path (Multimodal.decode -> stub codec) runs for real; the stub's
-    // pixels are a deterministic function of the payload bytes (byte i%len
-    // cycled into an 8x8 gray frame), so the DuckDB oracle recomputes them
-    // from the same ASCII text payload. mean = integer-sum / 2^6 — exact.
+    // Multimodal decode, fallback backend: text bytes are not a
+    // recognizable image, so Multimodal.decode routes them through the
+    // deterministic stub codec (the quarantine path for corrupt payloads);
+    // the stub's pixels are a deterministic function of the payload bytes
+    // (byte i%len cycled into an 8x8 gray frame), so the DuckDB oracle
+    // recomputes them from the same ASCII text payload.
+    // mean = integer-sum / 2^6 — exact.
     Q("q_multimodal_decode",
       (s, dir) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
@@ -238,6 +240,38 @@ object QueriesRelational {
           .toDF("doc_id", "width", "height", "mean_px")
       },
       Some("""SELECT doc_id, 8 AS width, 8 AS height,
+             |list_sum(list_transform(range(0, 64),
+             |  i -> ascii(substr(text, (i % len(text))::INT + 1, 1))))::DOUBLE / 64.0 AS mean_px
+             |FROM documents""".stripMargin)),
+
+    // Multimodal decode, REAL codec path: each doc's text bytes are drawn
+    // into an 8x8 gray image, PNG-encoded in-query, and decoded back through
+    // javax.imageio (the JDK's PNG codec — no external deps). PNG gray8 is
+    // lossless, so decoded pixels equal the source bytes exactly and the
+    // oracle recomputes the mean from the same ASCII payload; the fmt/ch
+    // columns prove the imageio path ran (the stub would report
+    // 'stub-gray8'). mean = integer-sum / 2^6 — exact.
+    Q("q_multimodal_decode_png",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val payload = T(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val bytes = text.getBytes("UTF-8")
+            val px = Array.tabulate(64)(i =>
+              if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff)
+            (id, graft.multimodal.Multimodal.encodeGrayPng(8, 8, px))
+          }.toDF("doc_id", "payload")
+        graft.multimodal.Multimodal.decode(payload, "doc_id", "payload")
+          .map { d =>
+            var acc = 0.0; var i = 0
+            while (i < d.pixels.length) { acc += d.pixels(i); i += 1 }
+            (d.id, d.meta.format, d.meta.width, d.meta.height, d.meta.channels, acc / 64.0)
+          }
+          .toDF("doc_id", "fmt", "width", "height", "channels", "mean_px")
+      },
+      Some("""SELECT doc_id, 'png' AS fmt, 8 AS width, 8 AS height, 1 AS channels,
              |list_sum(list_transform(range(0, 64),
              |  i -> ascii(substr(text, (i % len(text))::INT + 1, 1))))::DOUBLE / 64.0 AS mean_px
              |FROM documents""".stripMargin)),

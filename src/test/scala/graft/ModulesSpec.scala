@@ -95,6 +95,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.forall(x => x.pixels.length == 16 && x.meta.width == 4))
   }
 
+  test("real imageio decode: PNG gray8 round-trip is lossless") {
+    val px = Array.tabulate(64)(i => (i * 37 + 11) % 256)
+    val png = Multimodal.encodeGrayPng(8, 8, px)
+    // PNG magic present, and the real decoder (not the stub) handles it
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val (meta, decoded) = Multimodal.decodeImage(png).get
+    assert(meta == Multimodal.MediaMeta("png", 8, 8, 1))
+    assert(decoded.sameElements(px.map(_.toDouble)))
+    // the Dataset decode path routes recognized payloads to imageio
+    val df = Seq((7L, png)).toDF("id", "payload")
+    val d = Multimodal.decode(df, "id", "payload").collect().head
+    assert(d.meta.format == "png" && d.pixels.sameElements(px.map(_.toDouble)))
+  }
+
+  test("real imageio decode: RGB PNG keeps 3 interleaved bands") {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0x102030)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (meta, px) = Multimodal.decodeImage(bos.toByteArray).get
+    assert(meta.width == 2 && meta.height == 2 && meta.channels == 3)
+    assert(px.length == 12)
+    // row-major (y, x, band): first pixel pure red, second pure green
+    assert(px.slice(0, 3).sameElements(Array(255.0, 0.0, 0.0)))
+    assert(px.slice(3, 6).sameElements(Array(0.0, 255.0, 0.0)))
+    assert(px.slice(9, 12).sameElements(Array(16.0, 32.0, 48.0)))
+  }
+
+  test("unrecognized payloads fall back to the stub backend") {
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    val (meta, _) = Multimodal.decodeStub("x".getBytes("UTF-8"))
+    assert(meta.format == "stub-gray8")
+  }
+
   test("frame sampling and metadata") {
     val df = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("id", "payload")
     val sampled = Multimodal.sampleFrames(df, "payload", frameBytes = 10, everyK = 2)
