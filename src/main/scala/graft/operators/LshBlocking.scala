@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for LSH-style banded self-joins — the candidate
+  * generation behind minhash/simhash/edit-distance near-dup queries.
+  *
+  * Two guards make the band join safe on a 100 TB boilerplate-heavy corpus
+  * (where thousands of byte-identical or near-identical docs share a
+  * shingle-min and a naive `bands ⋈ bands ON h=h` goes quadratic inside
+  * one bucket):
+  *
+  *  1. [[collapseExact]] — byte-identical documents collapse to one
+  *     representative (min id per content hash) BEFORE signatures are
+  *     computed: exact dups are the most common near-dup candidate and
+  *     contribute nothing but bucket blowup (they pair with everything
+  *     their content pairs with). The exact-dup groups are recovered
+  *     relationally afterwards (join on the content hash), so no
+  *     information is lost — only the quadratic is gone.
+  *  2. [[cappedBands]] — buckets wider than `cap` are dropped entirely,
+  *     the standard recall-vs-blowup dial (a bucket shared by B docs
+  *     yields B·(B-1)/2 candidates; a cap bounds per-bucket work to
+  *     cap²/2). [[droppedBuckets]] reports what the cap discarded so
+  *     callers can log it — a silent cap would read as full recall.
+  *
+  * Deterministic by construction (count-based cap, no sampling), so the
+  * capped plans stay oracle-gateable.
+  */
+object LshBlocking {
+
+  /** One representative row (min `idCol`) per distinct `textCol` content.
+    * The semi-join keeps the full row of each representative; at scale this
+    * is a shuffle on the content hash then on the id — both narrow. */
+  def collapseExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val kept = docs.groupBy(md5(col(textCol)).as("content_h"))
+      .agg(min(col(idCol)).as(idCol))
+    docs.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
+  /** `(idCol -> representative idCol)` mapping for every input row — the
+    * re-expansion side of [[collapseExact]]. */
+  def repMapping(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val kept = docs.groupBy(md5(col(textCol)).as("content_h"))
+      .agg(min(col(idCol)).as("rep_id"))
+    docs.select(col(idCol), md5(col(textCol)).as("content_h"))
+      .join(kept, Seq("content_h"))
+      .select(col(idCol), col("rep_id"))
+  }
+
+  /** Band rows with buckets wider than `cap` removed. One extra (tiny)
+    * aggregation shuffle buys a hard bound on the self-join's per-bucket
+    * quadratic. */
+  def cappedBands(bands: DataFrame, bandCol: String, hCol: String, cap: Int): DataFrame = {
+    val sizes = bands.groupBy(col(bandCol), col(hCol))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= cap)
+    bands.join(sizes, Seq(bandCol, hCol)).drop("bucket_n")
+  }
+
+  /** The buckets a given `cap` would discard, with their widths — count or
+    * collect this and log it next to the capped join (no silent caps). */
+  def droppedBuckets(bands: DataFrame, bandCol: String, hCol: String, cap: Int): DataFrame =
+    bands.groupBy(col(bandCol), col(hCol))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > cap)
+
+  /** Banded self-join over cap-filtered buckets: one output row per
+    * (band, bucket) co-occurrence with `id1 < id2`; `carry` columns are
+    * duplicated as `<c>_1` / `<c>_2`. Callers `groupBy(id1, id2)` to count
+    * shared bands or `.distinct()` for the candidate set. */
+  def candidatePairs(bands: DataFrame, bandCol: String, hCol: String, idCol: String,
+                     cap: Int, carry: Seq[String] = Nil): DataFrame = {
+    val kept = cappedBands(bands, bandCol, hCol, cap)
+    val joined = kept.as("x").join(kept.as("y"),
+      col(s"x.$hCol") === col(s"y.$hCol") && col(s"x.$bandCol") === col(s"y.$bandCol") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+    val cols = Seq(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2")) ++
+      carry.flatMap(c => Seq(col(s"x.$c").as(s"${c}_1"), col(s"y.$c").as(s"${c}_2")))
+    joined.select(cols: _*)
+  }
+}

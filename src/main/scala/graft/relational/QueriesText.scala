@@ -87,29 +87,36 @@ object QueriesText {
       Some(s"""SELECT doc_id, ${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")}
               |FROM documents""".stripMargin)),
 
+    // LSH candidate pairs over distinct content: byte-identical docs are
+    // collapsed to one representative BEFORE banding (exact dups are the
+    // classic hot-bucket quadratic on a boilerplate-heavy corpus) and
+    // buckets wider than 64 are dropped (LshBlocking cap — the
+    // recall-vs-blowup dial, mirrored in the oracle's HAVING).
+    // One signature pass, bands by posexplode (single scan per side); the
+    // signature UDF is marked nondeterministic purely as an anti-CSE fence
+    // so the optimizer cannot duplicate it into inferred Generate filters.
     Q("q_lsh_pairs",
       (s, dir) => {
-        // one signature pass, bands by posexplode (single scan per side)
-        // no explicit h-null filter: inner equi-join drops null keys anyway.
-        // The signature application is marked nondeterministic so the
-        // optimizer cannot duplicate it into inferred Generate filters
-        // (it is in fact deterministic — this is purely an anti-CSE fence).
-        val bands = T(s, dir, "documents")
+        val reps = graft.operators.LshBlocking.collapseExact(
+          T(s, dir, "documents"), "doc_id", "text")
+        val bands = reps
           .select(col("doc_id"),
             minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
           .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
-        bands.as("x").join(bands.as("y"),
-            col("x.h") === col("y.h") && col("x.band") === col("y.band") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        graft.operators.LshBlocking.candidatePairs(bands, "band", "h", "doc_id", cap = 64)
+          .groupBy("id1", "id2")
           .agg(count(lit(1)).as("n_shared"))
       },
-      Some(s"""WITH sig AS (SELECT doc_id,
-              |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM documents),
+      Some(s"""WITH rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+              |sig AS (SELECT doc_id,
+              |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM rep),
               |bands AS (${(0 until 4).map(k =>
-                 s"SELECT doc_id, $k AS band, mh$k AS h FROM sig").mkString(" UNION ALL ")})
+                 s"SELECT doc_id, $k AS band, mh$k AS h FROM sig").mkString(" UNION ALL ")}),
+              |keptb AS (SELECT band, h FROM bands GROUP BY band, h HAVING count(*) <= 64),
+              |kb AS (SELECT b.doc_id, b.band, b.h FROM bands b
+              |  JOIN keptb ON keptb.band = b.band AND keptb.h = b.h)
               |SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_shared
-              |FROM bands x JOIN bands y
+              |FROM kb x JOIN kb y
               |ON x.h = y.h AND x.band = y.band AND x.doc_id < y.doc_id
               |GROUP BY x.doc_id, y.doc_id""".stripMargin)),
 
@@ -122,60 +129,100 @@ object QueriesText {
     Q("q_dedup_clusters",
       (s, dir) => {
         import s.implicits._
-        val bands = T(s, dir, "documents")
+        // exact dups collapse to their representative before banding (their
+        // cluster membership is recovered through the rep mapping below —
+        // identical text implies identical signature, so nothing is lost);
+        // hot buckets are capped at 64 like every LSH band join here
+        val docs = T(s, dir, "documents")
+        val reps = graft.operators.LshBlocking.collapseExact(docs, "doc_id", "text")
+        val docRep = graft.operators.LshBlocking.repMapping(docs, "doc_id", "text")
+        val bands = reps
           .select(col("doc_id"),
             minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
           .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
-        val pairs = bands.as("x").join(bands.as("y"),
-            col("x.h") === col("y.h") && col("x.band") === col("y.band") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst")).distinct()
+        val pairs = graft.operators.LshBlocking
+          .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
+          .select(col("id1").as("src"), col("id2").as("dst")).distinct()
         val labels = graft.operators.GraphCC.minLabels(
-          T(s, dir, "documents").select(col("doc_id")).as[Long].rdd,
+          reps.select(col("doc_id")).as[Long].rdd,
           pairs.as[(Long, Long)].rdd)(s)
-        val comp = labels.toDF("doc_id", "cluster")
-        comp.join(comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size")),
+        val comp = labels.toDF("rep_id", "cluster")
+        // every doc inherits its representative's cluster; sizes count docs,
+        // not reps (cluster label = min rep id = min doc id in the cluster)
+        val docComp = docRep.join(comp, Seq("rep_id"))
+          .select(col("doc_id"), col("cluster"))
+        docComp.join(docComp.groupBy("cluster").agg(count(lit(1)).as("cluster_size")),
             Seq("cluster"))
           .select(col("doc_id"), col("cluster"), col("cluster_size"))
       },
-      Some(s"""WITH RECURSIVE sig AS (SELECT doc_id,
-              |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM documents),
+      Some(s"""WITH RECURSIVE rep AS (SELECT min(doc_id) AS doc_id, text
+              |  FROM documents GROUP BY text),
+              |sig AS (SELECT doc_id,
+              |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM rep),
               |bands AS (${(0 until 4).map(k =>
                  s"SELECT doc_id, $k AS band, mh$k AS h FROM sig").mkString(" UNION ALL ")}),
+              |keptb AS (SELECT band, h FROM bands GROUP BY band, h HAVING count(*) <= 64),
+              |kb AS (SELECT b.doc_id, b.band, b.h FROM bands b
+              |  JOIN keptb ON keptb.band = b.band AND keptb.h = b.h),
               |e AS (SELECT DISTINCT x.doc_id AS s, y.doc_id AS t
-              |  FROM bands x JOIN bands y
+              |  FROM kb x JOIN kb y
               |  ON x.h = y.h AND x.band = y.band AND x.doc_id <> y.doc_id),
-              |reach(s, t) AS (SELECT doc_id, doc_id FROM documents
+              |reach(s, t) AS (SELECT doc_id, doc_id FROM rep
               |  UNION SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
-              |comp AS (SELECT s AS doc_id, min(t) AS cluster FROM reach GROUP BY s),
-              |sz AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
-              |SELECT c.doc_id, c.cluster, sz.cluster_size
-              |FROM comp c JOIN sz ON sz.cluster = c.cluster""".stripMargin)),
+              |comp AS (SELECT s AS rep_id, min(t) AS cluster FROM reach GROUP BY s),
+              |dmap AS (SELECT d.doc_id, r.doc_id AS rep_id
+              |  FROM documents d JOIN rep r ON r.text = d.text),
+              |dc AS (SELECT dmap.doc_id, comp.cluster
+              |  FROM dmap JOIN comp ON comp.rep_id = dmap.rep_id),
+              |sz AS (SELECT cluster, count(*) AS cluster_size FROM dc GROUP BY cluster)
+              |SELECT dc.doc_id, dc.cluster, sz.cluster_size
+              |FROM dc JOIN sz ON sz.cluster = dc.cluster""".stripMargin)),
 
     Q("q_ngram_jaccard",
       (s, dir) => {
-        // block on the shingle-minhash (small buckets), then exact Jaccard
-        // via hash-set array_intersect — O(|A|+|B|) per candidate pair
-        val d = T(s, dir, "documents").select(col("doc_id"),
-          minhashSigUdf(col("text"), lit(1), lit(3)).getItem(0).as("mh0"),
+        // 4-band LSH blocking (same posexplode pattern as q_lsh_pairs —
+        // single-band blocking made the most common shingle-min the hottest
+        // bucket with worse recall), exact dups collapsed and buckets
+        // capped; the exact Jaccard via hash-set array_intersect —
+        // O(|A|+|B|) per candidate — runs only on the deduped candidate
+        // set, with the (heavy) shingle arrays joined back AFTER candidate
+        // dedup so they move once per pair, not once per band match
+        val reps = graft.operators.LshBlocking.collapseExact(
+          T(s, dir, "documents"), "doc_id", "text")
+        val d = reps.select(col("doc_id"),
+          minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"),
           shinglesUdf(col("text"), lit(3)).as("sh"))
-        val x = d.select(col("doc_id").as("id1"), col("mh0"), col("sh").as("sa"))
-        val y = d.select(col("doc_id").as("id2"), col("mh0"), col("sh").as("sb"))
+        val bands = d.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+        val cand = graft.operators.LshBlocking
+          .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
+          .distinct()
         val inter = size(array_intersect(col("sa"), col("sb")))
-        x.join(y, Seq("mh0")).where(col("id1") < col("id2"))
+        cand
+          .join(d.select(col("doc_id").as("id1"), col("sh").as("sa")), Seq("id1"))
+          .join(d.select(col("doc_id").as("id2"), col("sh").as("sb")), Seq("id2"))
           .withColumn("inter", inter)
           .withColumn("jacc", col("inter").cast("double") /
             (size(col("sa")) + size(col("sb")) - col("inter")))
           .where(col("jacc") >= 0.5)
           .select(col("id1"), col("id2"), round(col("jacc"), 4).as("jacc"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, ${mhSql(0)} AS mh0,
+      Some(s"""WITH rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+              |d AS (SELECT doc_id,
+              |  ${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")},
               |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
               |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
               |         || ' ' || string_split(text, ' ')[i+2])) AS sh
-              |  FROM documents),
-              |p AS (SELECT x.doc_id AS id1, y.doc_id AS id2, x.sh AS sa, y.sh AS sb
-              |  FROM d x JOIN d y ON x.mh0 = y.mh0 AND x.doc_id < y.doc_id),
+              |  FROM rep),
+              |bands AS (${(0 until 4).map(k =>
+                 s"SELECT doc_id, $k AS band, mh$k AS h FROM d").mkString(" UNION ALL ")}),
+              |keptb AS (SELECT band, h FROM bands GROUP BY band, h HAVING count(*) <= 64),
+              |kb AS (SELECT b.doc_id, b.band, b.h FROM bands b
+              |  JOIN keptb ON keptb.band = b.band AND keptb.h = b.h),
+              |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+              |  FROM kb x JOIN kb y
+              |  ON x.h = y.h AND x.band = y.band AND x.doc_id < y.doc_id),
+              |p AS (SELECT c.id1, c.id2, a.sh AS sa, b.sh AS sb FROM cand c
+              |  JOIN d a ON a.doc_id = c.id1 JOIN d b ON b.doc_id = c.id2),
               |j AS (SELECT id1, id2, len(list_intersect(sa, sb)) AS inter,
               |  len(sa) AS la, len(sb) AS lb FROM p)
               |SELECT id1, id2, round(cast(inter AS DOUBLE) / (la + lb - inter), 4) AS jacc
@@ -475,34 +522,67 @@ object QueriesText {
     // Jaccard scale). Integer-exact on both engines.
     Q("q_edit_distance",
       (s, dir) => {
-        val bands = T(s, dir, "documents")
+        // exact dups collapsed + 64-cap like every LSH band join (the DP is
+        // the expensive verifier — the cap bounds how many times it runs
+        // per bucket); the 64-char prefixes ride through the band join
+        // (cheap), unlike q_ngram_jaccard's heavy shingle arrays
+        val reps = graft.operators.LshBlocking.collapseExact(
+          T(s, dir, "documents"), "doc_id", "text")
+        val bands = reps
           .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"),
             minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
           .select(col("doc_id"), col("prefix"), posexplode(col("sig")).as(Seq("band", "h")))
-        bands.as("x").join(bands.as("y"),
-            col("x.h") === col("y.h") && col("x.band") === col("y.band") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
-            col("x.prefix").as("p1"), col("y.prefix").as("p2"))
+        graft.operators.LshBlocking
+          .candidatePairs(bands, "band", "h", "doc_id", cap = 64, carry = Seq("prefix"))
           .distinct()
-          // equal-prefix short-circuit (exact dups are the common LSH
-          // candidate) + bounded DP via the threshold form (O(k·n), -1
-          // when above) — both value-preserving vs plain levenshtein<=20
+          // equal-prefix short-circuit (distinct docs can still share the
+          // first 64 chars) + bounded DP via the threshold form (O(k·n),
+          // -1 when above) — both value-preserving vs plain levenshtein<=20
           .select(col("id1"), col("id2"),
-            when(col("p1") === col("p2"), 0)
-              .otherwise(levenshtein(col("p1"), col("p2"), 20)).as("dist"))
+            when(col("prefix_1") === col("prefix_2"), 0)
+              .otherwise(levenshtein(col("prefix_1"), col("prefix_2"), 20)).as("dist"))
           .where(col("dist") >= 0)
       },
-      Some(s"""WITH sig AS (SELECT doc_id, substr(text, 1, 64) AS prefix,
-              |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM documents),
+      Some(s"""WITH rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+              |sig AS (SELECT doc_id, substr(text, 1, 64) AS prefix,
+              |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM rep),
               |bands AS (${(0 until 4).map(k =>
                  s"SELECT doc_id, prefix, $k AS band, mh$k AS h FROM sig").mkString(" UNION ALL ")}),
+              |keptb AS (SELECT band, h FROM bands GROUP BY band, h HAVING count(*) <= 64),
+              |kb AS (SELECT b.doc_id, b.prefix, b.band, b.h FROM bands b
+              |  JOIN keptb ON keptb.band = b.band AND keptb.h = b.h),
               |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
               |  x.prefix AS p1, y.prefix AS p2
-              |  FROM bands x JOIN bands y
+              |  FROM kb x JOIN kb y
               |  ON x.h = y.h AND x.band = y.band AND x.doc_id < y.doc_id)
               |SELECT id1, id2, cast(levenshtein(p1, p2) AS INT) AS dist
               |FROM cand WHERE levenshtein(p1, p2) <= 20""".stripMargin)),
+
+    // The cap gate itself: quantized doc length is a deliberately
+    // pathological blocking key (hundreds of docs per bucket at any SF).
+    // The capped join must (a) drop every bucket wider than 16 and
+    // (b) produce exactly bucket_n·(bucket_n-1)/2 pairs for the kept ones —
+    // the oracle asserts the closed form against the join's actual output,
+    // proving the candidate count is bounded by cap²/2 per bucket.
+    Q("q_lsh_bucket_cap",
+      (s, dir) => {
+        val bands = T(s, dir, "documents")
+          .select(col("doc_id"), lit(0).as("band"),
+            expr("n_chars div 10").cast("long").as("h"))
+        val kept = graft.operators.LshBlocking.cappedBands(bands, "band", "h", cap = 16)
+        val pairs = graft.operators.LshBlocking
+          .candidatePairs(bands, "band", "h", "doc_id", cap = 16)
+          .join(kept.select(col("doc_id").as("id1"), col("h")), Seq("id1"))
+          .groupBy("h").agg(count(lit(1)).as("n_pairs"))
+        kept.groupBy("h").agg(count(lit(1)).as("bucket_n"))
+          .join(pairs, Seq("h"), "left")
+          .select(col("h"), col("bucket_n"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      },
+      Some("""SELECT (n_chars // 10)::BIGINT AS h, count(*) AS bucket_n,
+             |CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+             |FROM documents GROUP BY (n_chars // 10)::BIGINT
+             |HAVING count(*) <= 16""".stripMargin)),
 
     // Count-min sketch over the corpus token stream (depth 4 × width 256),
     // point-queried for four terms. The sketch is O(d·w) state however

@@ -233,3 +233,43 @@ class TriGridSpec extends AnyFunSuite {
     }
   }
 }
+
+class LshBlockingSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.LshBlocking
+
+  test("collapseExact keeps exactly one min-id representative per content") {
+    val docs = Seq((1L, "aa"), (5L, "aa"), (3L, "aa"), (2L, "bb"), (9L, "cc"))
+      .toDF("doc_id", "text")
+    val reps = LshBlocking.collapseExact(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(reps.toSeq == Seq((1L, "aa"), (2L, "bb"), (9L, "cc")))
+    val mapping = LshBlocking.repMapping(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(mapping.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L), (5L, 1L), (9L, 9L)))
+  }
+
+  test("cappedBands drops hot buckets and candidatePairs stays bounded") {
+    // bucket h=0 has 5 members (hot), h=1 has 3, h=2 has 1
+    val bands = ((0 until 5).map(i => (i.toLong, 0, "h0")) ++
+      (10 until 13).map(i => (i.toLong, 0, "h1")) :+ (20L, 0, "h2"))
+      .toDF("doc_id", "band", "h")
+    val kept = LshBlocking.cappedBands(bands, "band", "h", cap = 4)
+    assert(kept.select("h").distinct().as[String].collect().toSet == Set("h1", "h2"))
+    val dropped = LshBlocking.droppedBuckets(bands, "band", "h", cap = 4)
+      .as[(Int, String, Long)].collect()
+    assert(dropped.toSeq == Seq((0, "h0", 5L)))
+    // capped join: only h1's 3*(3-1)/2 pairs survive
+    val pairs = LshBlocking.candidatePairs(bands, "band", "h", "doc_id", cap = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    // carry columns duplicate per side
+    val withCarry = LshBlocking.candidatePairs(
+      bands.withColumn("p", concat(lit("x"), col("doc_id"))),
+      "band", "h", "doc_id", cap = 4, carry = Seq("p"))
+    assert(withCarry.columns.toSeq == Seq("id1", "id2", "p_1", "p_2"))
+    assert(withCarry.count() == 3)
+  }
+}
