@@ -143,6 +143,46 @@ object QueriesGrid {
     t.select(posexplode(col(valueCol)).as(Seq("pos", "out")))
       .select((col("pos") / n).cast("long").as("i"), (col("pos") % n).cast("long").as("j"), col("out"))
 
+  // global-Delaunay oracle shared by q_interp2d (driver-triangulated
+  // broadcast path) and q_interp2d_tiled (per-tile executor
+  // triangulation): brute-force O(n^3) circumcircle-empty Delaunay in
+  // SQL + barycentric lerp, fill -1 outside the hull
+  private val interp2dOracleSql: String =
+    """WITH pts0 AS (SELECT user_id % 5 AS gi, event_id % 5 AS gj,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+             |  FROM events GROUP BY user_id % 5, event_id % 5),
+             |pts AS (SELECT row_number() OVER (ORDER BY gi, gj) AS id,
+             |  gi * 3.0 + (v - floor(v)) AS x,
+             |  gj * 3.0 + (v * 7.0 - floor(v * 7.0)) AS y, v FROM pts0),
+             |tri0 AS (SELECT a.id AS ia, b.id AS ib, c.id AS ic,
+             |  a.x AS ax, a.y AS ay, b.x AS bx, b.y AS b_y, c.x AS cx, c.y AS cy,
+             |  a.v AS va, b.v AS vb, c.v AS vc,
+             |  2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y) + c.x * (a.y - b.y)) AS dd
+             |  FROM pts a JOIN pts b ON a.id < b.id JOIN pts c ON b.id < c.id),
+             |circ AS (SELECT *,
+             |  ((ax*ax + ay*ay) * (b_y - cy) + (bx*bx + b_y*b_y) * (cy - ay)
+             |   + (cx*cx + cy*cy) * (ay - b_y)) / dd AS ux,
+             |  ((ax*ax + ay*ay) * (cx - bx) + (bx*bx + b_y*b_y) * (ax - cx)
+             |   + (cx*cx + cy*cy) * (bx - ax)) / dd AS uy
+             |  FROM tri0 WHERE abs(dd) > 1e-12),
+             |tri AS (SELECT *,
+             |  (b_y - cy) * (ax - cx) + (cx - bx) * (ay - cy) AS det
+             |  FROM (SELECT *, (ux - ax)*(ux - ax) + (uy - ay)*(uy - ay) AS rr FROM circ) t
+             |  WHERE NOT EXISTS (SELECT 1 FROM pts p WHERE p.id NOT IN (t.ia, t.ib, t.ic)
+             |    AND (p.x - t.ux)*(p.x - t.ux) + (p.y - t.uy)*(p.y - t.uy) < t.rr)),
+             |q AS (SELECT r1.qi AS qi, r2.qj AS qj,
+             |  r1.qi * 1.1 + 0.05 AS qx, r2.qj * 1.1 + 0.05 AS qy
+             |  FROM range(12) r1(qi) CROSS JOIN range(12) r2(qj)),
+             |qa AS (SELECT q.qi, q.qj, t.va, t.vb, t.vc,
+             |  ((t.b_y - t.cy) * (q.qx - t.cx) + (t.cx - t.bx) * (q.qy - t.cy)) / t.det AS w0,
+             |  ((t.cy - t.ay) * (q.qx - t.cx) + (t.ax - t.cx) * (q.qy - t.cy)) / t.det AS w1
+             |  FROM q CROSS JOIN tri t WHERE abs(t.det) >= 1e-12),
+             |cand AS (SELECT qi, qj, w0 * va + w1 * vb + (1.0 - w0 - w1) * vc AS val
+             |  FROM qa WHERE w0 >= -1e-9 AND w1 >= -1e-9 AND (1.0 - w0 - w1) >= -1e-9)
+             |SELECT q.qi, q.qj, round(coalesce(m.val, -1.0), 4) AS val
+             |FROM q LEFT JOIN (SELECT qi, qj, min(val) AS val FROM cand GROUP BY qi, qj) m
+             |ON m.qi = q.qi AND m.qj = q.qj""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     Q("q_erosion2d",
@@ -752,40 +792,32 @@ object QueriesGrid {
         graft.operators.ScatteredInterp(pts, "px", "py", "v", q, "qx", "qy", "val", fill = -1.0)
           .select(col("qi"), col("qj"), round(col("val"), 4).as("val"))
       },
-      Some("""WITH pts0 AS (SELECT user_id % 5 AS gi, event_id % 5 AS gj,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
-             |  FROM events GROUP BY user_id % 5, event_id % 5),
-             |pts AS (SELECT row_number() OVER (ORDER BY gi, gj) AS id,
-             |  gi * 3.0 + (v - floor(v)) AS x,
-             |  gj * 3.0 + (v * 7.0 - floor(v * 7.0)) AS y, v FROM pts0),
-             |tri0 AS (SELECT a.id AS ia, b.id AS ib, c.id AS ic,
-             |  a.x AS ax, a.y AS ay, b.x AS bx, b.y AS b_y, c.x AS cx, c.y AS cy,
-             |  a.v AS va, b.v AS vb, c.v AS vc,
-             |  2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y) + c.x * (a.y - b.y)) AS dd
-             |  FROM pts a JOIN pts b ON a.id < b.id JOIN pts c ON b.id < c.id),
-             |circ AS (SELECT *,
-             |  ((ax*ax + ay*ay) * (b_y - cy) + (bx*bx + b_y*b_y) * (cy - ay)
-             |   + (cx*cx + cy*cy) * (ay - b_y)) / dd AS ux,
-             |  ((ax*ax + ay*ay) * (cx - bx) + (bx*bx + b_y*b_y) * (ax - cx)
-             |   + (cx*cx + cy*cy) * (bx - ax)) / dd AS uy
-             |  FROM tri0 WHERE abs(dd) > 1e-12),
-             |tri AS (SELECT *,
-             |  (b_y - cy) * (ax - cx) + (cx - bx) * (ay - cy) AS det
-             |  FROM (SELECT *, (ux - ax)*(ux - ax) + (uy - ay)*(uy - ay) AS rr FROM circ) t
-             |  WHERE NOT EXISTS (SELECT 1 FROM pts p WHERE p.id NOT IN (t.ia, t.ib, t.ic)
-             |    AND (p.x - t.ux)*(p.x - t.ux) + (p.y - t.uy)*(p.y - t.uy) < t.rr)),
-             |q AS (SELECT r1.qi AS qi, r2.qj AS qj,
-             |  r1.qi * 1.1 + 0.05 AS qx, r2.qj * 1.1 + 0.05 AS qy
-             |  FROM range(12) r1(qi) CROSS JOIN range(12) r2(qj)),
-             |qa AS (SELECT q.qi, q.qj, t.va, t.vb, t.vc,
-             |  ((t.b_y - t.cy) * (q.qx - t.cx) + (t.cx - t.bx) * (q.qy - t.cy)) / t.det AS w0,
-             |  ((t.cy - t.ay) * (q.qx - t.cx) + (t.ax - t.cx) * (q.qy - t.cy)) / t.det AS w1
-             |  FROM q CROSS JOIN tri t WHERE abs(t.det) >= 1e-12),
-             |cand AS (SELECT qi, qj, w0 * va + w1 * vb + (1.0 - w0 - w1) * vc AS val
-             |  FROM qa WHERE w0 >= -1e-9 AND w1 >= -1e-9 AND (1.0 - w0 - w1) >= -1e-9)
-             |SELECT q.qi, q.qj, round(coalesce(m.val, -1.0), 4) AS val
-             |FROM q LEFT JOIN (SELECT qi, qj, min(val) AS val FROM cand GROUP BY qi, qj) m
-             |ON m.qi = q.qi AND m.qj = q.qj""".stripMargin)),
+      Some(interp2dOracleSql)),
+
+    // same surface + queries through the TILED path (per-tile executor
+    // triangulation with halo replication — the no-driver-cap plan for
+    // sample sets past ScatteredInterp.MaxDriverPoints), held to the SAME
+    // global-Delaunay oracle: with halo covering every local circumradius
+    // the tile answers are exactly the global ones, including at seams
+    Q("q_interp2d_tiled",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val pts = T(s, dir, "events")
+          .groupBy((col("user_id") % 5).as("gi"), (col("event_id") % 5).as("gj"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+          .select((col("gi") * lit(3.0) + (col("v") - floor(col("v")))).as("px"),
+                  (col("gj") * lit(3.0) + (col("v") * lit(7.0) - floor(col("v") * lit(7.0)))).as("py"),
+                  col("v"))
+        val q = s.range(12).select(col("id").as("qi"))
+          .crossJoin(s.range(12).select(col("id").as("qj")))
+          .select(col("qi"), col("qj"), (col("qi") * lit(12) + col("qj")).as("qid"),
+            (col("qi") * lit(1.1) + lit(0.05)).as("qx"),
+            (col("qj") * lit(1.1) + lit(0.05)).as("qy"))
+        graft.operators.TiledScatteredInterp(pts, "px", "py", "v",
+            q, "qid", "qx", "qy", "val", fill = -1.0, tileSize = 4.0, halo = 16.0)
+          .select(col("qi"), col("qj"), round(col("val"), 4).as("val"))
+      },
+      Some(interp2dOracleSql)),
 
     // connectivity-2 (8-neighbor) components via a recursive-CTE transitive
     // closure: each true cell reaches every cell of its component, the

@@ -273,3 +273,48 @@ class LshBlockingSpec extends AnyFunSuite {
     assert(withCarry.count() == 3)
   }
 }
+
+class TiledScatteredInterpSpec extends AnyFunSuite {
+  private implicit val spark: org.apache.spark.sql.SparkSession = SharedSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("tiled interpolation equals the global triangulation away from hull boundaries") {
+    val rng = new scala.util.Random(41)
+    val n = 250
+    val px = Array.fill(n)(rng.nextDouble() * 20)
+    val py = Array.fill(n)(rng.nextDouble() * 20)
+    val pv = Array.fill(n)(rng.nextDouble() * 100)
+    val pts = (0 until n).map(i => (px(i), py(i), pv(i))).toDF("x", "y", "v")
+    // queries well inside the sampled square (margin 3 from the hull rim)
+    val qs = (0 until 300).map { k =>
+      (k.toLong, 3.0 + rng.nextDouble() * 14, 3.0 + rng.nextDouble() * 14)
+    }.toDF("qid", "qx", "qy")
+    val global = graft.operators.ScatteredInterp(
+        pts, "x", "y", "v", qs, "qx", "qy", "g", fill = -999.0)
+      .select("qid", "g")
+    // tile 5, halo 6: interior circumradii at this density are ~1, so every
+    // containing triangle's witnesses are inside the halo box -> exact
+    val tiled = graft.operators.TiledScatteredInterp(
+      pts, "x", "y", "v", qs, "qid", "qx", "qy", "t", fill = -999.0,
+      tileSize = 5.0, halo = 6.0)
+    val joined = global.join(tiled.select("qid", "t"), "qid")
+      .as[(Long, Double, Double)].collect()
+    assert(joined.length == 300)
+    val bad = joined.filter { case (_, g, t) => math.abs(g - t) > 1e-9 }
+    assert(bad.isEmpty, s"${bad.length} seam mismatches, first: ${bad.take(3).toSeq}")
+    // none of the interior queries fell to fill on either path
+    assert(joined.forall(_._2 != -999.0))
+  }
+
+  test("tile with too few points fills; queries outside every tile fill") {
+    val pts = Seq((0.0, 0.0, 1.0), (1.0, 0.0, 2.0), (0.0, 1.0, 3.0)).toDF("x", "y", "v")
+    val qs = Seq((1L, 0.25, 0.25), (2L, 500.0, 500.0)).toDF("qid", "qx", "qy")
+    val out = graft.operators.TiledScatteredInterp(
+        pts, "x", "y", "v", qs, "qid", "qx", "qy", "o", fill = -5.0,
+        tileSize = 10.0, halo = 2.0)
+      .orderBy("qid").select("o").as[Double].collect()
+    assert(out(0) != -5.0) // inside the little triangle
+    assert(out(1) == -5.0) // far tile, no points
+  }
+}
