@@ -104,6 +104,32 @@ object Bench {
       ops(name) = (sec, work / sec)
     }
 
+    // effective-core probe (ROUND_NOTES r4: host weather once cut 32
+    // configured cores to ~11 effective and masqueraded as a 4.5x op
+    // regression): measure single-thread FLOP rate, then aggregate rate
+    // with `cpus` burner threads — the ratio is how many cores this run
+    // actually got. Recorded next to `ops` so a loaded host is visible in
+    // the round artifact instead of inferred post-hoc.
+    def effectiveCores(threads: Int): Double = {
+      def burn(iters: Long): Double = {
+        var x = 1.0; var i = 0L
+        while (i < iters) { x = (x * 1.0000001 + 1e-9) % 10.0; i += 1 }
+        x
+      }
+      val iters = 30000000L
+      burn(iters / 3) // JIT warmup
+      val t1 = System.nanoTime(); burn(iters)
+      val singleRate = iters.toDouble / (System.nanoTime() - t1)
+      val ts = Array.tabulate(threads)(_ => new Thread(new Runnable {
+        def run(): Unit = { burn(iters) }
+      }))
+      val t2 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val aggRate = threads * iters.toDouble / (System.nanoTime() - t2)
+      aggRate / singleRate
+    }
+    val effCores = effectiveCores(cpus.toInt)
+
     val c24 = 1 << 24 // BASELINE zoom/pointwise/interp1d workload: 2^24 f64 cells
     val slices256 = slices(256, 65536) // 256 slices of 256x256
     bench("zoom_o1", c24, Some(slices256)) {
@@ -259,8 +285,9 @@ object Bench {
       "\"" + k + "\":{\"sec\":" + fmt4(sec) + ",\"cells_per_s\":" + fmt0(thr) + "}"
     }.mkString("{", ",", "}")
     val total = fmt4(results.map(_._2).sum)
+    val eff = s""""eff_cores":${fmt4(effCores)},"conf_cores":$cpus"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$opsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$opsJson,$eff,"sf":"$sfDir"}"""
     // The driver keeps only the last 2000 chars of stdout and parses the
     // LAST line as JSON. The full record (74+ per-query entries, ~3KB) goes
     // to an earlier stdout line and a file; the final line stays compact
@@ -271,7 +298,7 @@ object Bench {
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(fullLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ops":$opsJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ops":$opsJson,$eff,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

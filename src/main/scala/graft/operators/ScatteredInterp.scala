@@ -27,7 +27,8 @@ object ScatteredInterp {
     // limit-probe short-circuits: no full scan of an oversized table
     require(points.limit(MaxDriverPoints + 1).count() <= MaxDriverPoints,
       s"ScatteredInterp collects the sample points to the driver; got more than " +
-        s"$MaxDriverPoints rows — pre-aggregate the surface or tile the interpolation")
+        s"$MaxDriverPoints rows — pre-aggregate the surface or use " +
+        "TiledScatteredInterp (per-tile executor triangulation, no driver cap)")
     val rows = points.select(col(pxCol).cast("double"), col(pyCol).cast("double"),
       col(pvCol).cast("double")).collect()
     val px = rows.map(_.getDouble(0))
