@@ -121,18 +121,14 @@ object Multimodal {
     }
   }
 
-  /** "Video" frame sampling stub: treat the payload as a sequence of
-    * fixed-size frame chunks and keep every k-th — the partition/batch
-    * plumbing of real frame sampling. */
-  def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int, everyK: Int): DataFrame = {
-    val u = udf { (payload: Array[Byte]) =>
-      payload.grouped(frameBytes).zipWithIndex
-        .collect { case (chunk, i) if i % everyK == 0 => chunk }
-        .toSeq
-    }
-    df.withColumn("frames", u(col(payloadCol).cast("binary")))
+  /** "Video" frame sampling: treat the payload as a sequence of fixed-size
+    * frame chunks and keep every k-th — the partition/batch plumbing of
+    * real frame sampling, as a codegen'd native Expression (no per-row UDF
+    * converter boxing; see [[graft.exprs.FrameSampleExpr]]). */
+  def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int, everyK: Int): DataFrame =
+    df.withColumn("frames", graft.exprs.FrameSampleExpr.sample(
+        col(payloadCol).cast("binary"), lit(frameBytes), lit(everyK)))
       .withColumn("n_frames", size(col("frames")))
-  }
 
   /** Metadata extraction that needs no decode: byte size + checksum. */
   def meta(df: DataFrame, payloadCol: String): DataFrame =
