@@ -28,6 +28,20 @@ object QueriesText {
         explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
     }
 
+  // distinct-content representatives with their 4-band minhash signatures,
+  // shared by every LSH query (q_lsh_pairs, q_dedup_clusters,
+  // q_edit_distance, q_ngram_jaccard): the signature pass is the dominant
+  // cost and identical in all four, so it is materialized once per session
+  // like docTokens — the pipeline's "compute the feature table once" shape.
+  // The UDF is fenced nondeterministic so the optimizer cannot duplicate it
+  // into inferred Generate filters before the persist materializes it.
+  private def repSig(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedInputs(s, dir, "repSig4") {
+      graft.operators.LshBlocking.collapseExact(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
+    }
+
   // 16-bit simhash as SQL: per-bit majority vote over word md5 digests
   private val simhashSql: String = (0 until 16).map { b =>
     s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
@@ -97,11 +111,7 @@ object QueriesText {
     // so the optimizer cannot duplicate it into inferred Generate filters.
     Q("q_lsh_pairs",
       (s, dir) => {
-        val reps = graft.operators.LshBlocking.collapseExact(
-          T(s, dir, "documents"), "doc_id", "text")
-        val bands = reps
-          .select(col("doc_id"),
-            minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
+        val bands = repSig(s, dir)
           .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
         graft.operators.LshBlocking.candidatePairs(bands, "band", "h", "doc_id", cap = 64)
           .groupBy("id1", "id2")
@@ -134,11 +144,9 @@ object QueriesText {
         // identical text implies identical signature, so nothing is lost);
         // hot buckets are capped at 64 like every LSH band join here
         val docs = T(s, dir, "documents")
-        val reps = graft.operators.LshBlocking.collapseExact(docs, "doc_id", "text")
+        val reps = repSig(s, dir)
         val docRep = graft.operators.LshBlocking.repMapping(docs, "doc_id", "text")
         val bands = reps
-          .select(col("doc_id"),
-            minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
           .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
         val pairs = graft.operators.LshBlocking
           .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
@@ -187,10 +195,7 @@ object QueriesText {
         // O(|A|+|B|) per candidate — runs only on the deduped candidate
         // set, with the (heavy) shingle arrays joined back AFTER candidate
         // dedup so they move once per pair, not once per band match
-        val reps = graft.operators.LshBlocking.collapseExact(
-          T(s, dir, "documents"), "doc_id", "text")
-        val d = reps.select(col("doc_id"),
-          minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"),
+        val d = repSig(s, dir).select(col("doc_id"), col("sig"),
           shinglesUdf(col("text"), lit(3)).as("sh"))
         val bands = d.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
         val cand = graft.operators.LshBlocking
@@ -526,12 +531,9 @@ object QueriesText {
         // the expensive verifier — the cap bounds how many times it runs
         // per bucket); the 64-char prefixes ride through the band join
         // (cheap), unlike q_ngram_jaccard's heavy shingle arrays
-        val reps = graft.operators.LshBlocking.collapseExact(
-          T(s, dir, "documents"), "doc_id", "text")
-        val bands = reps
+        val bands = repSig(s, dir)
           .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"),
-            minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
-          .select(col("doc_id"), col("prefix"), posexplode(col("sig")).as(Seq("band", "h")))
+            posexplode(col("sig")).as(Seq("band", "h")))
         graft.operators.LshBlocking
           .candidatePairs(bands, "band", "h", "doc_id", cap = 64, carry = Seq("prefix"))
           .distinct()
