@@ -116,6 +116,29 @@ object Graft {
     }
   }
 
+  /** Scattered 2-D linear interpolation — the facade analog of the
+    * reference's `Linear2DInterpolator` call shape
+    * (/root/reference/imops/interp2d.py:12-121), with automatic scale
+    * routing like [[centerOfMass]]: sample sets within the driver cap take
+    * the broadcast-triangulation path (one build, zero-shuffle query side —
+    * fastest when the surface fits one machine, which is the reference's
+    * only mode); larger sets take the tiled per-executor triangulation
+    * (no driver collect; `tileSize`/`halo` bound replication and seam
+    * error — see TiledScatteredInterp's seam contract). */
+  def interp2d(points: org.apache.spark.sql.DataFrame, pxCol: String, pyCol: String, pvCol: String,
+               queries: org.apache.spark.sql.DataFrame, qIdCol: String, qxCol: String, qyCol: String,
+               outCol: String, fill: Double,
+               tileSize: Double = 64.0, halo: Double = 16.0): org.apache.spark.sql.DataFrame = {
+    val cap = graft.operators.ScatteredInterp.MaxDriverPoints
+    val small = points.limit(cap + 1).count() <= cap
+    if (small)
+      graft.operators.ScatteredInterp(points, pxCol, pyCol, pvCol,
+        queries, qxCol, qyCol, outCol, fill)
+    else
+      graft.operators.TiledScatteredInterp(points, pxCol, pyCol, pvCol,
+        queries, qIdCol, qxCol, qyCol, outCol, fill, tileSize, halo)(points.sparkSession)
+  }
+
   /** MinHash signature with backend dispatch: `builtin` uses the codegen'd
     * expression chain, `kernel` the single-pass JVM implementation — the
     * two-backends-one-semantics pattern of the reference (they agree

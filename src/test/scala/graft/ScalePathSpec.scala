@@ -318,3 +318,22 @@ class TiledScatteredInterpSpec extends AnyFunSuite {
     assert(out(1) == -5.0) // far tile, no points
   }
 }
+
+class GraftInterp2dRoutingSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("facade interp2d routes small sets to broadcast and agrees with the tiled path") {
+    val rng = new scala.util.Random(7)
+    val pts = (0 until 80).map(_ => (rng.nextDouble() * 10, rng.nextDouble() * 10, rng.nextDouble()))
+      .toDF("x", "y", "v")
+    val qs = (0 until 50).map(k => (k.toLong, 2 + rng.nextDouble() * 6, 2 + rng.nextDouble() * 6))
+      .toDF("qid", "qx", "qy")
+    val viaFacade = graft.api.Graft.interp2d(pts, "x", "y", "v", qs, "qid", "qx", "qy", "o", -1.0)
+      .orderBy("qid").select("o").as[Double].collect()
+    val viaTiled = graft.operators.TiledScatteredInterp(pts, "x", "y", "v",
+        qs, "qid", "qx", "qy", "o", -1.0, tileSize = 4.0, halo = 5.0)(spark)
+      .orderBy("qid").select("o").as[Double].collect()
+    viaFacade.zip(viaTiled).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+}
