@@ -150,6 +150,16 @@ object TextFunctions {
     v
   }
 
+  /** PII-style redaction for corpus cleaning: email-shaped spans then digit
+    * runs are replaced with typed placeholders. The patterns use only
+    * character classes + greedy `+` — the regex subset where Java
+    * (Spark) and RE2 (DuckDB) semantics coincide, so the redacted text is
+    * engine-independent and oracle-able. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),
+      "[0-9]+", "<num>")
+
   /** Fraction of tokens found in `stopwords`. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)

@@ -334,6 +334,25 @@ object QueriesText {
              |  / len(string_split(text, ' ')), 4) AS stop_ratio
              |FROM documents""".stripMargin)),
 
+    // PII-style redaction — the scrub step of a corpus-cleaning pipeline:
+    // email-shaped spans then digit runs become typed placeholders; the
+    // oracle recomputes the redacted text (DuckDB regexp_replace needs the
+    // 'g' flag — Spark replaces all matches by default) and both engines
+    // hash it; the span counts gate the match sets themselves
+    Q("q_redact",
+      (s, dir) => T(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z0-9._%+-]+@[a-z0-9.-]+"), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_nums"),
+        substring(md5(redact(col("text"))), 1, 8).as("redacted_sig")),
+      Some("""SELECT doc_id,
+             |len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS n_emails,
+             |len(regexp_extract_all(text, '[0-9]+')) AS n_nums,
+             |substring(md5(regexp_replace(regexp_replace(text,
+             |  '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+             |  '[0-9]+', '<num>', 'g')), 1, 8) AS redacted_sig
+             |FROM documents""".stripMargin)),
+
     Q("q_lang_id",
       (s, dir) => T(s, dir, "documents")
         .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang")),
