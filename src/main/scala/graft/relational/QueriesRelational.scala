@@ -276,6 +276,41 @@ object QueriesRelational {
              |  i -> ascii(substr(text, (i % len(text))::INT + 1, 1))))::DOUBLE / 64.0 AS mean_px
              |FROM documents""".stripMargin)),
 
+    // JPEG codec path: same in-query image, JPEG-encoded via imageio's JDK
+    // JPEG writer and decoded back through the JPEG reader. JPEG is lossy
+    // and decoder-implementation-specific, so the gate holds the decode
+    // METADATA (format sniffed from the payload, dimensions, band count,
+    // all deterministic) plus a payload sanity floor — pixel values are
+    // spec'd in MultimodalSpec, not hashed here.
+    Q("q_multimodal_decode_jpeg",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val payload = T(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val bytes = text.getBytes("UTF-8")
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < 64) {
+              r.setSample(i % 8, i / 8, 0,
+                if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            (id, bos.toByteArray)
+          }.toDF("doc_id", "payload")
+        graft.multimodal.Multimodal.decode(payload, "doc_id", "payload")
+          .map(d => (d.id, d.meta.format, d.meta.width, d.meta.height,
+            d.meta.channels, d.pixels.length >= 64))
+          .toDF("doc_id", "fmt", "width", "height", "channels", "full_frame")
+      },
+      Some("""SELECT doc_id, 'jpeg' AS fmt, 8 AS width, 8 AS height,
+             |1 AS channels, true AS full_frame FROM documents""".stripMargin)),
+
     // Frame-sampling plumbing: payload split into 16-byte "frames", every
     // 3rd kept; the kept-count is pure integer arithmetic on byte length.
     Q("q_multimodal_frames",

@@ -603,3 +603,18 @@ class GraftFacadeComSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 }
+
+class JpegDecodeSpec extends AnyFunSuite {
+  test("JPEG round-trip through imageio: right meta, pixels near the source") {
+    val px = Array.tabulate(64)(i => (i * 3 + 40) % 200)
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (i <- 0 until 64) img.getRaster.setSample(i % 8, i / 8, 0, px(i))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val (meta, decoded) = Multimodal.decodeImage(bos.toByteArray).get
+    assert(meta.format == "jpeg" && meta.width == 8 && meta.height == 8 && meta.channels == 1)
+    // lossy but bounded: one 8x8 DCT block of a high-frequency ramp with a
+    // wrap discontinuity stays within ~40 levels at default quality
+    px.zip(decoded).foreach { case (a, b) => assert(math.abs(a - b) <= 40, s"$a vs $b") }
+  }
+}
