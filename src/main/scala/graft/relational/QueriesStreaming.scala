@@ -58,6 +58,33 @@ object QueriesStreaming {
       Some("""SELECT lang, md5(text) AS h, count(*) AS n_copies
              |FROM documents GROUP BY 1, 2""".stripMargin)),
 
+    // Streaming LSH bucket dedup: the near-dup gatekeeper of a continuously
+    // ingesting corpus — minhash-band each incoming doc and keep one winner
+    // (min doc_id) per (band, bucket). State is one row per occupied
+    // bucket, O(distinct buckets) however large the stream; the batch
+    // oracle recomputes the same winners with the shared mhSql bands.
+    // Composition of the streaming surface with the LSH surface.
+    Q("q_stream_lsh_dedup",
+      (s, dir) => {
+        val schema = T(s, dir, "documents").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val agg = src
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.minhashSigUdf(col("text"), lit(4), lit(3)).as("sig"))
+          .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+          .groupBy(col("band").cast("long").as("band"), col("h"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        StreamingOps.runAvailableNow(agg, "q_stream_lsh_dedup")
+      },
+      Some(s"""WITH sig AS (SELECT doc_id,
+              |${(0 until 4).map(k => s"${QueriesText.mhSql(k)} AS mh$k").mkString(", ")}
+              |FROM documents),
+              |bands AS (${(0 until 4).map(k =>
+                 s"SELECT doc_id, CAST($k AS BIGINT) AS band, mh$k AS h FROM sig").mkString(" UNION ALL ")})
+              |SELECT band, h, min(doc_id) AS keep_id, count(*) AS n_docs
+              |FROM bands GROUP BY band, h""".stripMargin)),
+
     // Gap-based session windows as a streaming merging-window aggregation.
     // Spark only supports append mode for session windows, so with a
     // 0-second watermark exactly the sessions whose end (last event +

@@ -49,8 +49,9 @@ object QueriesText {
        |THEN ${1 << b} ELSE 0 END""".stripMargin
   }.mkString(" + ")
 
-  // shingle-based minhash: min md5 over distinct word 3-grams (seed-prefixed)
-  private val mhSql = (k: Int) =>
+  // shingle-based minhash: min md5 over distinct word 3-grams (seed-prefixed);
+  // package-visible so the streaming LSH gate reuses the same oracle form
+  private[relational] val mhSql = (k: Int) =>
     "list_min(list_transform(list_distinct(list_transform(" +
       "range(1, len(string_split(text, ' ')) - 1), " +
       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])), " +
