@@ -139,6 +139,47 @@ object Graft {
         queries, qIdCol, qxCol, qyCol, outCol, fill, tileSize, halo)(points.sparkSession)
   }
 
+  /** Near-duplicate candidate pairs over a document DataFrame — the
+    * reusable form of the q_lsh_pairs pipeline: exact dups collapse to one
+    * representative, minhash signatures band via posexplode, buckets wider
+    * than `bucketCap` are dropped (LshBlocking), and the banded self-join
+    * emits distinct `(id1, id2)` candidates with `id1 < id2`. */
+  def nearDupCandidates(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4, shingle: Int = 3,
+                        bucketCap: Int = 64): org.apache.spark.sql.DataFrame = {
+    val reps = graft.operators.LshBlocking.collapseExact(docs, idCol, textCol)
+    val banded = reps
+      .select(col(idCol), TextFunctions.minhashSigUdf.asNondeterministic()(
+        col(textCol), lit(bands), lit(shingle)).as("sig"))
+      .select(col(idCol), posexplode(col("sig")).as(Seq("band", "h")))
+    graft.operators.LshBlocking.candidatePairs(banded, "band", "h", idCol, bucketCap)
+      .distinct()
+  }
+
+  /** Full near-dup clustering: every document mapped to its cluster's min
+    * id plus the cluster size — the "drop all but one per cluster"
+    * primitive, as API (the q_dedup_clusters pipeline): candidates from
+    * [[nearDupCandidates]], connected components via GraphCC's min-label
+    * fixpoint over the representatives, exact-dup members re-attached
+    * through the content-hash rep mapping. */
+  def dedupClusters(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                    bands: Int = 4, shingle: Int = 3,
+                    bucketCap: Int = 64): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val reps = graft.operators.LshBlocking.collapseExact(docs, idCol, textCol)
+    val pairs = nearDupCandidates(docs, idCol, textCol, bands, shingle, bucketCap)
+    val labels = graft.operators.GraphCC.minLabels(
+      reps.select(col(idCol).cast("long")).as[Long].rdd,
+      pairs.select(col("id1").cast("long"), col("id2").cast("long")).as[(Long, Long)].rdd)(s)
+    val comp = labels.toDF("rep_id", "cluster")
+    val docComp = graft.operators.LshBlocking.repMapping(docs, idCol, textCol)
+      .join(comp, Seq("rep_id"))
+      .select(col(idCol), col("cluster"))
+    docComp.join(docComp.groupBy("cluster").agg(count(lit(1)).as("cluster_size")), Seq("cluster"))
+      .select(col(idCol), col("cluster"), col("cluster_size"))
+  }
+
   /** MinHash signature with backend dispatch: `builtin` uses the codegen'd
     * expression chain, `kernel` the single-pass JVM implementation — the
     * two-backends-one-semantics pattern of the reference (they agree

@@ -618,3 +618,25 @@ class JpegDecodeSpec extends AnyFunSuite {
     px.zip(decoded).foreach { case (a, b) => assert(math.abs(a - b) <= 40, s"$a vs $b") }
   }
 }
+
+class GraftDedupFacadeSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("dedupClusters groups exact dups and near-dups, keeps min id as label") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (4L, base),                         // exact dups
+      (2L, base + " ok"),                             // near-dup of 1 (shares shingles)
+      (7L, "completely different content with nothing shared at all here now")
+    ).toDF("doc_id", "text")
+    val cand = graft.api.Graft.nearDupCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L))) // near-dup found among reps
+    assert(!cand.exists { case (a, b) => a == 4L || b == 4L }) // dup collapsed away
+    val clusters = graft.api.Graft.dedupClusters(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(clusters(1L) == (1L, 3L) && clusters(4L) == (1L, 3L) && clusters(2L) == (1L, 3L))
+    assert(clusters(7L) == (7L, 1L))
+  }
+}
