@@ -276,6 +276,41 @@ object QueriesRelational {
              |  i -> ascii(substr(text, (i % len(text))::INT + 1, 1))))::DOUBLE / 64.0 AS mean_px
              |FROM documents""".stripMargin)),
 
+    // decode -> resize pipeline end-to-end: stub-decoded 8x8 byte frames
+    // resized to 4x4 through the real order-1 zoom kernel; the oracle
+    // recomputes the bilinear resample from the ASCII payload with the
+    // kernel's exact corner association (adjusted_coef 7/3; clamped
+    // corners carry weight exactly 0, so the coalesced 0 reads are inert).
+    // Per-pixel rows, so no cross-row FP sum order is involved.
+    Q("q_multimodal_resize",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val payload = T(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        graft.multimodal.Multimodal.resize(
+            graft.multimodal.Multimodal.decode(payload, "doc_id", "payload"), 4, 4)
+          .flatMap(d => d.pixels.zipWithIndex.map { case (v, p) => (d.id, p.toLong, v) })
+          .toDF("doc_id", "pos", "v")
+          .select(col("doc_id"), col("pos"), round(col("v"), 4).as("v"))
+      },
+      Some {
+        def c(x: String) = s"($x * (7.0 / 3.0))"
+        def f(x: String) = s"floor(${c(x)})"
+        def pix(ri: String, ci: String) =
+          s"(CASE WHEN $ri <= 7 AND $ci <= 7 THEN " +
+            s"ascii(substr(text, ((($ri) * 8 + ($ci)) % len(text))::INT + 1, 1)) " +
+            "ELSE 0.0 END)"
+        val (fa, fb) = (s"cast(${f("ra.a")} AS INT)", s"cast(${f("rb.b")} AS INT)")
+        val (da, db) = (s"(${c("ra.a")} - ${f("ra.a")})", s"(${c("rb.b")} - ${f("rb.b")})")
+        s"""SELECT doc_id, (ra.a * 4 + rb.b)::BIGINT AS pos, round(
+           |  (1.0 * (1 - $da) * (1 - $db)) * ${pix(fa, fb)}
+           |+ (1.0 * $da * (1 - $db)) * ${pix(s"($fa + 1)", fb)}
+           |+ (1.0 * (1 - $da) * $db) * ${pix(fa, s"($fb + 1)")}
+           |+ (1.0 * $da * $db) * ${pix(s"($fa + 1)", s"($fb + 1)")}, 4) AS v
+           |FROM documents CROSS JOIN range(4) ra(a) CROSS JOIN range(4) rb(b)""".stripMargin
+      }),
+
     // JPEG codec path: same in-query image, JPEG-encoded via imageio's JDK
     // JPEG writer and decoded back through the JPEG reader. JPEG is lossy
     // and decoder-implementation-specific, so the gate holds the decode
