@@ -42,6 +42,32 @@ object QueriesText {
           minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
     }
 
+  // word n-grams as a single codegen'd Column (no UDF): `transform`'s index
+  // lambda walks the token array, `get` (0-based) pulls the n-1 following
+  // tokens for each start position
+  private def wordGrams(toks: org.apache.spark.sql.Column,
+                        n: Int): org.apache.spark.sql.Column =
+    transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      (t, i) => concat_ws(" ", t +: (1 until n).map(j => get(toks, i + lit(j))): _*))
+
+  // (doc_id, g) word-5-gram occurrence stream shared by the corpus-level
+  // dedup and decontamination gates (q_dup_ngrams, q_doc_dup_fraction,
+  // q_decontaminate): the explode is the dominant cost and identical in all
+  // three, so it materializes once per session like docTokens
+  private def grams5(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedInputs(s, dir, "grams5") {
+      val toks = split(col("text"), " ")
+      T(s, dir, "documents").select(col("doc_id"), explode(wordGrams(toks, 5)).as("g"))
+    }
+
+  // DuckDB twin of the 5-gram stream: CTE `g` = (doc_id, g)
+  private def gramSql(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}), i -> $parts)) AS g FROM t)""".stripMargin
+  }
+
   // 16-bit simhash as SQL: per-bit majority vote over word md5 digests
   private val simhashSql: String = (0 until 16).map { b =>
     s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
@@ -714,7 +740,128 @@ object QueriesText {
              |  FROM per GROUP BY doc_id),
              |ranked AS (SELECT doc_id, score,
              |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored)
-             |SELECT doc_id, score, rank FROM ranked WHERE rank <= 20""".stripMargin))
+             |SELECT doc_id, score, rank FROM ranked WHERE rank <= 20""".stripMargin)),
+
+    // ---- corpus-level n-gram dedup, decontamination, repetition, mixing ----
+
+    // duplicated word-5-gram inventory: the distributable shape of exact
+    // substring dedup (what suffix-array dedup becomes in map-reduce form) —
+    // every gram occurrence keyed by content hash, reduced to (distinct-doc,
+    // total) counts, kept where the gram crosses document boundaries. At
+    // 100 TB this is ONE shuffle on the gram hash with map-side partial
+    // aggregation; no all-pairs anywhere, and the gram text itself never
+    // shuffles (only its md5).
+    Q("q_dup_ngrams",
+      (s, dir) => grams5(s, dir)
+        .groupBy(md5(col("g")).as("gh"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_total"))
+        .where(col("n_docs") >= 2),
+      Some(s"""${gramSql(5)}
+              |SELECT md5(g) AS gh, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+              |FROM g GROUP BY md5(g) HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    // per-document duplicated-span fraction: share of a doc's 5-gram
+    // occurrences that also occur in ANOTHER document — the per-doc score
+    // that drives drop/trim decisions in substring-level dedup. Gram hashes
+    // join back to occurrences (two shuffles on the same key; AQE can keep
+    // the second co-partitioned), then one per-doc reduction.
+    Q("q_doc_dup_fraction",
+      (s, dir) => {
+        val g = grams5(s, dir).select(col("doc_id"), md5(col("g")).as("gh"))
+        val nd = g.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
+        g.join(nd, Seq("gh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            round(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("double") /
+              count(lit(1)), 4).as("dup_frac"))
+      },
+      Some(s"""${gramSql(5)},
+              |gh AS (SELECT doc_id, md5(g) AS gh FROM g),
+              |nd AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM gh GROUP BY gh)
+              |SELECT doc_id, count(*) AS n_grams,
+              |  round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac
+              |FROM gh JOIN nd USING (gh) GROUP BY doc_id""".stripMargin)),
+
+    // benchmark decontamination: flag training docs sharing any 5-gram with
+    // the held-out eval slice (doc_id % 7 == 0 stands in for the benchmark
+    // set). The eval gram set is tiny next to the corpus, so it broadcasts:
+    // the 100 TB side sees a map-only semi-join — no shuffle of the corpus,
+    // which is exactly how train/test-overlap scrubs run in production.
+    Q("q_decontaminate",
+      (s, dir) => {
+        val gd = grams5(s, dir).select(col("doc_id"), md5(col("g")).as("gh")).distinct()
+        val ev = gd.where(col("doc_id") % 7 === 0).select("gh").distinct()
+        gd.where(col("doc_id") % 7 =!= 0)
+          .join(broadcast(ev), Seq("gh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_eval_grams"))
+      },
+      Some(s"""${gramSql(5)},
+              |gd AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM g),
+              |ev AS (SELECT DISTINCT gh FROM gd WHERE doc_id % 7 = 0)
+              |SELECT doc_id, count(*) AS n_eval_grams FROM gd
+              |WHERE doc_id % 7 <> 0 AND gh IN (SELECT gh FROM ev)
+              |GROUP BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition quality metrics: duplicate-unigram fraction
+    // and top-bigram fraction per document. The bigram mode goes through an
+    // explode + two-level reduction rather than a per-row array histogram,
+    // so a pathologically long document is spread across tasks instead of
+    // needing to fit one executor as a single array.
+    Q("q_repetition",
+      (s, dir) => {
+        val base = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val uni = base.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+        val bg = base
+          .select(col("doc_id"), explode(wordGrams(col("toks"), 2)).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_bigrams"))
+        uni.join(bg, Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+              .as("dup_word_frac"),
+            round(col("top_c").cast("double") / col("n_bigrams"), 4)
+              .as("top_bigram_frac"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |uni AS (SELECT doc_id, len(toks) AS n_tokens,
+             |  len(list_distinct(toks)) AS n_distinct FROM t),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |  i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+             |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+             |bm AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams FROM bc GROUP BY doc_id)
+             |SELECT uni.doc_id AS doc_id, n_tokens,
+             |  round(1.0 - n_distinct::DOUBLE / n_tokens, 4) AS dup_word_frac,
+             |  round(top_c::DOUBLE / n_bigrams, 4) AS top_bigram_frac
+             |FROM uni JOIN bm ON uni.doc_id = bm.doc_id""".stripMargin)),
+
+    // temperature-scaled source-mixing weights (alpha = 0.5 via sqrt, which
+    // is IEEE-correctly-rounded, so both engines agree bit-for-bit): per-
+    // source token mass -> w_s proportional to sqrt(tokens), normalized. The
+    // normalizer folds the per-source terms in ascending-sorted order on
+    // both engines so the FP sum is order-identical; the grouped frame is
+    // one row per source, so the normalizer is a 1-row broadcast.
+    Q("q_domain_mix",
+      (s, dir) => {
+        val agg = T(s, dir, "documents").groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .withColumn("w", sqrt(col("n_tokens").cast("double")))
+        val tot = agg.agg(
+          aggregate(sort_array(collect_list(col("w"))), lit(0.0), _ + _).as("tot"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("w") / col("tot"), 4).as("mix_weight"))
+      },
+      Some("""WITH a AS (SELECT source, count(*) AS n_docs,
+             |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT source, n_docs, n_tokens, sqrt(n_tokens::DOUBLE) AS w FROM a),
+             |t AS (SELECT list_reduce(list_prepend(0.0, list_sort(list(w))),
+             |  (x, y) -> x + y) AS tot FROM w)
+             |SELECT source, n_docs, n_tokens, round(w / tot, 4) AS mix_weight
+             |FROM w, t""".stripMargin))
   )
 
   // LSH geometry for the DECLARED demo queries: 4 bands x 8 sign bits.
