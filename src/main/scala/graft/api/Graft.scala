@@ -180,6 +180,90 @@ object Graft {
       .select(col(idCol), col("cluster"), col("cluster_size"))
   }
 
+  /** Duplicated word-n-gram inventory — the distributable form of exact
+    * substring dedup (the q_dup_ngrams pipeline as API): every gram
+    * occurrence keyed by its md5, reduced to (distinct-doc, total) counts,
+    * kept where the gram appears in at least `minDocs` documents. One
+    * shuffle on the gram hash with map-side partial aggregation; the gram
+    * text itself never shuffles. */
+  def dupNgramStats(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, minDocs: Int = 2): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+        explode(TextFunctions.wordGrams(TextFunctions.tokens(col(textCol)), n)).as("g"))
+      .groupBy(md5(col("g")).as("gram_h"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_total"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Per-document duplicated-span fraction: the share of a document's
+    * n-gram occurrences that also occur in another document — the score
+    * that drives drop/trim decisions in substring-level dedup (the
+    * q_doc_dup_fraction pipeline as API). */
+  def docDupFraction(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                     n: Int = 5): org.apache.spark.sql.DataFrame = {
+    val g = docs.select(col(idCol),
+        explode(TextFunctions.wordGrams(TextFunctions.tokens(col(textCol)), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("gram_h"))
+    val nd = g.groupBy("gram_h").agg(countDistinct(col(idCol)).as("nd"))
+    g.join(nd, Seq("gram_h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        (sum(when(col("nd") >= 2, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("dup_frac"))
+  }
+
+  /** Benchmark decontamination: training documents that share at least one
+    * word-n-gram with the (small) eval corpus, with the count of distinct
+    * overlapping grams. The eval gram set broadcasts, so the training side
+    * is a map-only semi-join — no shuffle of the big corpus (the
+    * q_decontaminate pipeline as API, generalized to two frames). */
+  def decontaminate(train: org.apache.spark.sql.DataFrame,
+                    eval: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String, n: Int = 5): org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col(idCol),
+        explode(TextFunctions.wordGrams(TextFunctions.tokens(col(textCol)), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("gram_h")).distinct()
+    val evalGrams = grams(eval).select("gram_h").distinct()
+    grams(train)
+      .join(broadcast(evalGrams), Seq("gram_h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_eval_grams"))
+  }
+
+  /** Gopher-style repetition quality metrics per document: duplicate-word
+    * fraction (1 - distinct/total) and top-bigram fraction (most frequent
+    * bigram / all bigrams). The bigram mode reduces through an explode so a
+    * pathologically long document spreads across tasks (the q_repetition
+    * pipeline as API). */
+  def repetitionMetrics(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+    val uni = base.select(col(idCol), size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"))
+    val bg = base.select(col(idCol), explode(TextFunctions.wordGrams(col("toks"), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as("top_c"), sum("c").as("n_bigrams"))
+    uni.join(bg, Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_word_frac"),
+        (col("top_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
+
+  /** Temperature-scaled domain mixing weights: per-`groupCol` token mass
+    * raised to `alpha` (alpha < 1 upweights small domains, the standard
+    * multilingual/multi-source resampling dial), normalized over the tiny
+    * grouped frame via a 1-row broadcast (the q_domain_mix pipeline as
+    * API, generalized from sqrt to any alpha). */
+  def domainMixWeights(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+                       textCol: String, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val agg = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("w", pow(col("n_tokens").cast("double"), alpha))
+    val tot = agg.agg(sum(col("w")).as("tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        (col("w") / col("tot")).as("mix_weight"))
+  }
+
   /** MinHash signature with backend dispatch: `builtin` uses the codegen'd
     * expression chain, `kernel` the single-pass JVM implementation — the
     * two-backends-one-semantics pattern of the reference (they agree

@@ -19,6 +19,16 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Word n-gram occurrences of a token array, in document order and
+    * NON-distinct — the occurrence-level stream corpus dedup and
+    * decontamination reduce over ([[shingles]] is the distinct,
+    * signature-oriented variant). `transform`'s index lambda walks start
+    * positions; `get` (0-based) pulls the following tokens; the
+    * `greatest(_, 0)` guard makes short docs yield an empty array. */
+  def wordGrams(toks: Column, n: Int): Column =
+    transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      (t, i) => concat_ws(" ", t +: (1 until n).map(j => get(toks, i + lit(j))): _*))
+
   /** Distinct word shingles of width `n`, joined by spaces. */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)

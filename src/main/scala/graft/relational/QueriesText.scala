@@ -42,14 +42,6 @@ object QueriesText {
           minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
     }
 
-  // word n-grams as a single codegen'd Column (no UDF): `transform`'s index
-  // lambda walks the token array, `get` (0-based) pulls the n-1 following
-  // tokens for each start position
-  private def wordGrams(toks: org.apache.spark.sql.Column,
-                        n: Int): org.apache.spark.sql.Column =
-    transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      (t, i) => concat_ws(" ", t +: (1 until n).map(j => get(toks, i + lit(j))): _*))
-
   // (doc_id, g) word-5-gram occurrence stream shared by the corpus-level
   // dedup and decontamination gates (q_dup_ngrams, q_doc_dup_fraction,
   // q_decontaminate): the explode is the dominant cost and identical in all

@@ -640,3 +640,70 @@ class GraftDedupFacadeSpec extends AnyFunSuite {
     assert(clusters(7L) == (7L, 1L))
   }
 }
+
+class GraftPipelineFacadeSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("dupNgramStats finds cross-doc 5-grams and honors minDocs") {
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, shared + " one two three"),
+      (2L, "zero " + shared + " four"),
+      (3L, "totally different words in this document here")
+    ).toDF("doc_id", "text")
+    val inv = graft.api.Graft.dupNgramStats(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    // exactly the shared 5-gram crosses documents
+    assert(inv.length == 1 && inv.head._2 == 2L && inv.head._3 == 2L)
+    assert(graft.api.Graft.dupNgramStats(docs, "doc_id", "text", minDocs = 3).count() == 0)
+  }
+
+  test("docDupFraction is 1.0 for a fully-covered doc, 0.0 for a unique one") {
+    val span = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, span),                                     // every 5-gram (1) duplicated
+      (2L, "zero " + span),                           // 2 grams, 1 duplicated
+      (3L, "totally different words in this document here")
+    ).toDF("doc_id", "text")
+    val frac = graft.api.Graft.docDupFraction(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(frac(1L) == (1L, 1.0))
+    assert(frac(2L) == (2L, 0.5))
+    assert(frac(3L)._2 == 0.0)
+  }
+
+  test("decontaminate flags only train docs overlapping the eval corpus") {
+    val leak = "alpha beta gamma delta epsilon"
+    val eval = Seq((100L, "prefix " + leak + " suffix")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro " + leak + " outro words"),
+      (2L, "clean document with no overlap at all in it")
+    ).toDF("doc_id", "text")
+    val hits = graft.api.Graft.decontaminate(train, eval, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(1L) && hits(1L) == 1L)
+  }
+
+  test("repetitionMetrics computes duplicate-word and top-bigram fractions") {
+    val docs = Seq((1L, "a a a a a b")).toDF("doc_id", "text")
+    val m = graft.api.Graft.repetitionMetrics(docs, "doc_id", "text")
+      .as[(Long, Int, Double, Double)].collect().head
+    assert(m._2 == 6)                                  // tokens
+    assert(math.abs(m._3 - (1.0 - 2.0 / 6.0)) < 1e-12) // 2 distinct of 6
+    assert(math.abs(m._4 - 4.0 / 5.0) < 1e-12)         // "a a" 4 of 5 bigrams
+  }
+
+  test("domainMixWeights follows the alpha power law and sums to 1") {
+    // src0: 4 docs x 25 tokens = 100; src1: 4 docs x 100 tokens = 400
+    val docs = (Seq.fill(4)("w " * 24 + "w").map(("src0", _)) ++
+      Seq.fill(4)("w " * 99 + "w").map(("src1", _))).toDF("source", "text")
+    val w = graft.api.Graft.domainMixWeights(docs, "source", "text")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(math.abs(w("src0") - 1.0 / 3.0) < 1e-12)    // sqrt(100)/(10+20)
+    assert(math.abs(w("src1") - 2.0 / 3.0) < 1e-12)
+    val w2 = graft.api.Graft.domainMixWeights(docs, "source", "text", alpha = 1.0)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(math.abs(w2("src0") - 0.2) < 1e-12 && math.abs(w2("src1") - 0.8) < 1e-12)
+  }
+}
