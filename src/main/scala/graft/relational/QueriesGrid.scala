@@ -393,9 +393,9 @@ object QueriesGrid {
               |WHERE cg.i >= lim.l AND cg.i < $N - lim.l
               |GROUP BY cg.j""".stripMargin)),
 
-    // forward radon across a dense angle sweep (24 angles, 7.5° steps —
-    // the same kernel path the reference's theta=180 default takes, since
-    // angles are data, not code; 22 of 24 are non-axis):
+    // forward radon across the reference's FULL default angle sweep
+    // (theta=180, 1° steps — /root/reference/imops/radon.py:69-70; 178 of
+    // 180 angles are non-axis):
     // the oracle re-derives the rotated-ray bilinear integral
     // (/root/reference/imops/src/_radon.pyx:28-91) relationally — per
     // (angle, offset) ray positions from DuckDB's own sin/cos, 4-corner
@@ -408,18 +408,18 @@ object QueriesGrid {
           when((col("i") - 8) * (col("i") - 8) + (col("j") - 8) * (col("j") - 8) > 64, 0.0)
             .otherwise(col("v")).as("v"))
         toTensor(circled, asBool = false)
-          .select(graft.exprs.RadonExpr.radon(col("data"), lit(N), ZoomSeqLit.thetaArray(24)).as("sino"))
+          .select(graft.exprs.RadonExpr.radon(col("data"), lit(N), ZoomSeqLit.thetaArray(180)).as("sino"))
           .select(posexplode(col("sino")).as(Seq("pos", "val")))
-          .select((col("pos") / 24).cast("long").as("offset"),
-            (col("pos") % 24).cast("long").as("ang"),
+          .select((col("pos") / 180).cast("long").as("offset"),
+            (col("pos") % 180).cast("long").as("ang"),
             round(col("val"), 4).as("val"))
       },
       Some(s"""WITH $valueGridCte,
               |cg AS (SELECT i, j, CASE WHEN (i-8)*(i-8) + (j-8)*(j-8) > 64 THEN 0.0 ELSE v END AS v
               |  FROM grid),
               |ang AS (SELECT t.a AS a,
-              |  sin((180.0 * t.a / 24) / 180.0 * pi()) AS sn,
-              |  cos((180.0 * t.a / 24) / 180.0 * pi()) AS cs FROM range(24) t(a)),
+              |  sin((180.0 * t.a / 180) / 180.0 * pi()) AS sn,
+              |  cos((180.0 * t.a / 180) / 180.0 * pi()) AS cs FROM range(180) t(a)),
               |lim AS (SELECT r1.j AS j,
               |  count(CASE WHEN (r2.x-8)*(r2.x-8) + (r1.j-8)*(r1.j-8) > 100 THEN 1 END) // 2 AS l
               |  FROM range($N) r1(j) CROSS JOIN range($N) r2(x) GROUP BY r1.j),
