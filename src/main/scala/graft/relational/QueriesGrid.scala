@@ -695,6 +695,50 @@ object QueriesGrid {
       Some(s"""WITH $value4GridCte
               |SELECT i, j, k, l, v + 2.5 AS v FROM grid4""".stripMargin)),
 
+    // rank-4 morphology through the gate: cross-footprint erosion on a
+    // ~50%-density 4-D mask (even-floor rule like mask3) — the generic-rank
+    // StencilKernel path at the reference's ndim=4 ceiling
+    // (/root/reference/imops/morphology.py:84-85 takes any rank the
+    // footprint matches); oracle = 8 axis-neighbor LEFT JOINs with the
+    // erosion border rule (outside counts as foreground)
+    Q("q_erosion4d",
+      (s, dir) => {
+        val m4 = value4Grid(s, dir).select(col("i"), col("j"), col("k"), col("l"),
+          when(col("v") > 0.0 && floor(col("v")) % 2 === 0, 1).otherwise(0).as("v"))
+        val t4 = m4.agg(transform(
+          array_sort(collect_list(struct(col("i"), col("j"), col("k"), col("l"), col("v")))),
+          x => x.getField("v") === 1).as("data"))
+        t4.select(graft.exprs.MorphExpr.erode(col("data"),
+            array(lit(4), lit(4), lit(4), lit(4))).as("e"))
+          .select(posexplode(col("e")).as(Seq("pos", "out")))
+          .select((col("pos") / 64).cast("long").as("i"),
+            ((col("pos") / 16).cast("int") % 4).cast("long").as("j"),
+            ((col("pos") / 4).cast("int") % 4).cast("long").as("k"),
+            (col("pos") % 4).cast("long").as("l"),
+            when(col("out"), 1).otherwise(0).as("e"))
+      },
+      Some {
+        val joins = Seq(
+          ("a", "i", -1), ("b", "i", 1), ("c", "j", -1), ("d", "j", 1),
+          ("e2", "k", -1), ("f", "k", 1), ("h", "l", -1), ("p", "l", 1))
+        val onClause = (al: String, ax: String, off: Int) =>
+          Seq("i", "j", "k", "l").map { c =>
+            val rhs = if (c == ax) s"g.$c ${if (off > 0) "+" else "-"} 1" else s"g.$c"
+            s"$al.$c = $rhs"
+          }.mkString(" AND ")
+        val joinSql = joins.map { case (al, ax, off) =>
+          s"LEFT JOIN m4 $al ON ${onClause(al, ax, off)}" }.mkString("\n")
+        val conds = joins.map { case (al, _, _) => s"coalesce($al.v, 1) = 1" }.mkString(" AND ")
+        s"""WITH $value4GridCte,
+           |m4 AS (SELECT i, j, k, l,
+           |  CASE WHEN v > 0.0 AND CAST(floor(v) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS v
+           |  FROM grid4)
+           |SELECT g.i, g.j, g.k, g.l,
+           |  CASE WHEN g.v = 1 AND $conds THEN 1 ELSE 0 END AS e
+           |FROM m4 g
+           |$joinSql""".stripMargin
+      }),
+
     // rank-3 EDT through the gate: the separable Felzenszwalb kernel on the
     // 8^3 volume vs the brute-force min-euclidean SQL (exact integer
     // squared distances, so sqrt+round(4) is bit-stable on both sides)
