@@ -114,6 +114,39 @@ object QueriesStreaming {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
              |SELECT min(t) AS s_start, user_id, count(*) AS n_events
              |FROM s GROUP BY user_id, sid
-             |HAVING max(t) + 1800000000000 <= (SELECT max(epoch_ns(ts)) FROM events)""".stripMargin))
+             |HAVING max(t) + 1800000000000 <= (SELECT max(epoch_ns(ts)) FROM events)""".stripMargin)),
+
+    // Streaming decontamination: scrub an incoming document stream against
+    // a STATIC eval benchmark — the ingest-time form of q_decontaminate.
+    // The eval 5-gram set is a static broadcast, so the stream side is a
+    // stateless map + semi-join per micro-batch; the only stateful operator
+    // is the per-doc aggregation (collect_set dedups a doc's grams inside
+    // the aggregation, avoiding a second stateful dropDuplicates).
+    // Composition of the streaming surface with the corpus-pipeline surface.
+    Q("q_stream_decontaminate",
+      (s, dir) => {
+        import graft.functions.TextFunctions.{tokens, wordGrams}
+        val schema = T(s, dir, "documents").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val evalGrams = T(s, dir, "documents").where(col("doc_id") % 7 === 0)
+          .select(explode(wordGrams(tokens(col("text")), 5)).as("g"))
+          .select(md5(col("g")).as("gh")).distinct()
+        val agg = src.where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), explode(wordGrams(tokens(col("text")), 5)).as("g"))
+          .select(col("doc_id"), md5(col("g")).as("gh"))
+          .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+          .groupBy("doc_id")
+          .agg(size(collect_set(col("gh"))).cast("long").as("n_eval_grams"))
+        StreamingOps.runAvailableNow(agg, "q_stream_decontaminate")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+             |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g FROM t),
+             |gd AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM g),
+             |ev AS (SELECT DISTINCT gh FROM gd WHERE doc_id % 7 = 0)
+             |SELECT doc_id, count(*) AS n_eval_grams FROM gd
+             |WHERE doc_id % 7 <> 0 AND gh IN (SELECT gh FROM ev)
+             |GROUP BY doc_id""".stripMargin))
   )
 }
