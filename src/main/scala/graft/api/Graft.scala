@@ -188,8 +188,8 @@ object Graft {
     * text itself never shuffles. */
   def dupNgramStats(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                     n: Int = 5, minDocs: Int = 2): org.apache.spark.sql.DataFrame =
-    docs.select(col(idCol),
-        explode(TextFunctions.wordGrams(TextFunctions.tokens(col(textCol)), n)).as("g"))
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(TextFunctions.wordGrams(col("toks"), n)).as("g"))
       .groupBy(md5(col("g")).as("gram_h"))
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_total"))
       .where(col("n_docs") >= minDocs)
@@ -200,8 +200,8 @@ object Graft {
     * q_doc_dup_fraction pipeline as API). */
   def docDupFraction(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                      n: Int = 5): org.apache.spark.sql.DataFrame = {
-    val g = docs.select(col(idCol),
-        explode(TextFunctions.wordGrams(TextFunctions.tokens(col(textCol)), n)).as("g"))
+    val g = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(TextFunctions.wordGrams(col("toks"), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("gram_h"))
     val nd = g.groupBy("gram_h").agg(countDistinct(col(idCol)).as("nd"))
     g.join(nd, Seq("gram_h"))
@@ -219,9 +219,10 @@ object Graft {
   def decontaminate(train: org.apache.spark.sql.DataFrame,
                     eval: org.apache.spark.sql.DataFrame,
                     idCol: String, textCol: String, n: Int = 5): org.apache.spark.sql.DataFrame = {
-    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col(idCol),
-        explode(TextFunctions.wordGrams(TextFunctions.tokens(col(textCol)), n)).as("g"))
-      .select(col(idCol), md5(col("g")).as("gram_h")).distinct()
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+        .select(col(idCol), explode(TextFunctions.wordGrams(col("toks"), n)).as("g"))
+        .select(col(idCol), md5(col("g")).as("gram_h")).distinct()
     val evalGrams = grams(eval).select("gram_h").distinct()
     grams(train)
       .join(broadcast(evalGrams), Seq("gram_h"), "left_semi")
@@ -262,6 +263,36 @@ object Graft {
     agg.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n_docs"), col("n_tokens"),
         (col("w") / col("tot")).as("mix_weight"))
+  }
+
+  /** End-to-end corpus cleaning — the full training-data scrub as one
+    * declarative plan (the q_pipeline_clean shape, plus decontamination and
+    * redaction): exact-dedup to the min-id representative, quality gate
+    * (token count + stopword ratio), optional eval-benchmark
+    * decontamination (docs sharing any word-n-gram with `evalDocs` drop),
+    * and PII-style redaction of the surviving text. Each stage is a narrow
+    * filter over the corpus — the only big-data shuffles are the dedup
+    * content-hash group and (if enabled) the per-doc gram distinct; the
+    * eval gram set broadcasts. Returns the input schema with `textCol`
+    * replaced by its redacted form. */
+  def cleanCorpus(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  evalDocs: Option[org.apache.spark.sql.DataFrame] = None,
+                  minTokens: Int = 20, maxStopRatio: Double = 0.5,
+                  stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"),
+                  ngram: Int = 5): org.apache.spark.sql.DataFrame = {
+    val kept = docs.groupBy(md5(col(textCol)).as("content_h"))
+      .agg(min(col(idCol)).as(idCol))
+    val deduped = docs.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+    val qualified = deduped.where(
+      TextFunctions.tokenCount(col(textCol)) >= minTokens &&
+        TextFunctions.stopwordRatio(col(textCol), stopwords) <= maxStopRatio)
+    val surviving = evalDocs match {
+      case Some(ev) =>
+        val contaminated = decontaminate(qualified, ev, idCol, textCol, ngram)
+        qualified.join(contaminated.select(col(idCol)), Seq(idCol), "left_anti")
+      case None => qualified
+    }
+    surviving.withColumn(textCol, TextFunctions.redact(col(textCol)))
   }
 
   /** MinHash signature with backend dispatch: `builtin` uses the codegen'd

@@ -24,7 +24,14 @@ object TextFunctions {
     * decontamination reduce over ([[shingles]] is the distinct,
     * signature-oriented variant). `transform`'s index lambda walks start
     * positions; `get` (0-based) pulls the following tokens; the
-    * `greatest(_, 0)` guard makes short docs yield an empty array. */
+    * `greatest(_, 0)` guard makes short docs yield an empty array.
+    *
+    * IMPORTANT: pass a MATERIALIZED token-array column (project
+    * `tokens(text).as("toks")` first), not an inline `tokens(text)`:
+    * `toks` is referenced from inside the lambda, where codegen does not
+    * hoist outer subexpressions — an inline split re-tokenizes the text
+    * per gram element, turning the explode O(n²) (measured 4-5x on the
+    * streaming decontamination drain). */
   def wordGrams(toks: Column, n: Int): Column =
     transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
       (t, i) => concat_ws(" ", t +: (1 until n).map(j => get(toks, i + lit(j))): _*))

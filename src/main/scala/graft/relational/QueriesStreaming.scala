@@ -129,16 +129,32 @@ object QueriesStreaming {
         val schema = T(s, dir, "documents").schema
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // the static side materializes ONCE before the stream starts —
+        // stream-static joins re-plan the static subtree every micro-batch,
+        // so an unpersisted eval set would re-explode per batch
+        // tokens pre-project as a column on BOTH sides — wordGrams' lambda
+        // references the array from inside `transform`, where an inline
+        // split re-evaluates per element (measured 4-5x on this drain; see
+        // TextFunctions.wordGrams)
         val evalGrams = T(s, dir, "documents").where(col("doc_id") % 7 === 0)
-          .select(explode(wordGrams(tokens(col("text")), 5)).as("g"))
+          .select(tokens(col("text")).as("toks"))
+          .select(explode(wordGrams(col("toks"), 5)).as("g"))
           .select(md5(col("g")).as("gh")).distinct()
-        val agg = src.where(col("doc_id") % 7 =!= 0)
-          .select(col("doc_id"), explode(wordGrams(tokens(col("text")), 5)).as("g"))
-          .select(col("doc_id"), md5(col("g")).as("gh"))
-          .join(broadcast(evalGrams), Seq("gh"), "left_semi")
-          .groupBy("doc_id")
-          .agg(size(collect_set(col("gh"))).cast("long").as("n_eval_grams"))
-        StreamingOps.runAvailableNow(agg, "q_stream_decontaminate")
+          .persist()
+        try {
+          // a doc's grams dedup INSIDE the row (array_distinct before the
+          // explode), so the aggregation is a plain codegen'd count instead
+          // of a collect_set object-hash state
+          val agg = src.where(col("doc_id") % 7 =!= 0)
+            .select(col("doc_id"), tokens(col("text")).as("toks"))
+            .select(col("doc_id"),
+              explode(array_distinct(wordGrams(col("toks"), 5))).as("g"))
+            .select(col("doc_id"), md5(col("g")).as("gh"))
+            .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_eval_grams"))
+          StreamingOps.runAvailableNow(agg, "q_stream_decontaminate")
+        } finally evalGrams.unpersist()
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
              |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),

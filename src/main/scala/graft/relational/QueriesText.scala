@@ -48,8 +48,11 @@ object QueriesText {
   // three, so it materializes once per session like docTokens
   private def grams5(s: org.apache.spark.sql.SparkSession, dir: String) =
     SharedInputs(s, dir, "grams5") {
-      val toks = split(col("text"), " ")
-      T(s, dir, "documents").select(col("doc_id"), explode(wordGrams(toks, 5)).as("g"))
+      // tokens materialize as a column first — wordGrams' lambda references
+      // the array from inside `transform`, where an inline split would
+      // re-evaluate per element (see TextFunctions.wordGrams)
+      T(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(wordGrams(col("toks"), 5)).as("g"))
     }
 
   // DuckDB twin of the 5-gram stream: CTE `g` = (doc_id, g)

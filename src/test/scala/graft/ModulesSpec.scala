@@ -707,3 +707,29 @@ class GraftPipelineFacadeSpec extends AnyFunSuite {
     assert(math.abs(w2("src0") - 0.2) < 1e-12 && math.abs(w2("src1") - 0.8) < 1e-12)
   }
 }
+
+class GraftCleanCorpusSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("cleanCorpus drops dups, low-quality, and contaminated docs, redacts the rest") {
+    val good = ("w " * 24).trim + " contact me at bob@example.com or 555 1234"
+    val leak = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, good),                                      // survives (redacted)
+      (5L, good),                                      // exact dup of 1 -> dropped
+      (2L, "too short"),                               // quality gate -> dropped
+      (3L, ("x " * 10).trim + " " + leak + " " + ("y " * 10).trim) // contaminated
+    ).toDF("doc_id", "text")
+    val eval = Seq((9L, "pre " + leak + " post")).toDF("doc_id", "text")
+    val out = graft.api.Graft.cleanCorpus(docs, "doc_id", "text", Some(eval))
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L).contains("<email>") && out(1L).contains("<num>"))
+    assert(!out(1L).contains("bob@example.com"))
+    // without an eval set, the contaminated doc survives
+    val noEval = graft.api.Graft.cleanCorpus(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(noEval.keySet == Set(1L, 3L))
+  }
+}
