@@ -36,13 +36,19 @@ object TextFunctions {
     transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
       (t, i) => concat_ws(" ", t +: (1 until n).map(j => get(toks, i + lit(j))): _*))
 
-  /** Distinct word shingles of width `n`, joined by spaces. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), size(t) - lit(n)),
-      i => concat_ws(" ", (0 until n).map(k => get(t, i + lit(k))): _*)))
-  }
+  /** Distinct word shingles of width `n`, joined by spaces.
+    *
+    * The token array binds as a LAMBDA VARIABLE of a 1-element outer
+    * `transform` (evaluated once per row) rather than as an outer
+    * subexpression referenced from inside the inner lambda — codegen does
+    * not hoist the latter, so the plain form re-splits the text per shingle
+    * element (the wordGrams O(n²) trap, kept fixable here without changing
+    * the text-in/Column-out signature). */
+  def shingles(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)), t =>
+      array_distinct(transform(
+        sequence(lit(0), size(t) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(k => get(t, i + lit(k))): _*)))), 1)
 
   /** MinHash component for one seed: the minimum md5 digest over distinct
     * tokens of `seed|token`. String-min over lowercase hex is a total order
