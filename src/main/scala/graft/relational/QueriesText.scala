@@ -123,6 +123,18 @@ object QueriesText {
       Some(s"""SELECT doc_id, ${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")}
               |FROM documents""".stripMargin)),
 
+    // the BUILTIN (pure-expression) minhash backend against the SAME oracle
+    // as the kernel-UDF path above — the two-backends-one-semantics matrix,
+    // both sides oracle-gated (the expression path stays inside
+    // WholeStageCodegen; its shingle array binds as a lambda variable, see
+    // TextFunctions.shingles)
+    Q("q_minhash_builtin",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id") +:
+          (0 until 4).map(k => minhashShingle(col("text"), 3, k).as(s"mh$k")): _*),
+      Some(s"""SELECT doc_id, ${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")}
+              |FROM documents""".stripMargin)),
+
     // LSH candidate pairs over distinct content: byte-identical docs are
     // collapsed to one representative BEFORE banding (exact dups are the
     // classic hot-bucket quadratic on a boilerplate-heavy corpus) and
