@@ -279,10 +279,22 @@ object Graft {
                   evalDocs: Option[org.apache.spark.sql.DataFrame] = None,
                   minTokens: Int = 20, maxStopRatio: Double = 0.5,
                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"),
-                  ngram: Int = 5): org.apache.spark.sql.DataFrame = {
-    val kept = docs.groupBy(md5(col(textCol)).as("content_h"))
-      .agg(min(col(idCol)).as(idCol))
-    val deduped = docs.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+                  ngram: Int = 5,
+                  nearDedup: Boolean = false): org.apache.spark.sql.DataFrame = {
+    // nearDedup keeps one doc per LSH near-dup CLUSTER (exact dups collapse
+    // inside dedupClusters, so this strictly subsumes the content-hash
+    // group); the cluster label is the member min id, so "keep the doc
+    // whose id equals its cluster" is the drop-all-but-one rule
+    val deduped =
+      if (nearDedup) {
+        val keepIds = dedupClusters(docs, idCol, textCol)
+          .where(col(idCol) === col("cluster")).select(col(idCol))
+        docs.join(keepIds, Seq(idCol), "left_semi")
+      } else {
+        val kept = docs.groupBy(md5(col(textCol)).as("content_h"))
+          .agg(min(col(idCol)).as(idCol))
+        docs.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+      }
     val qualified = deduped.where(
       TextFunctions.tokenCount(col(textCol)) >= minTokens &&
         TextFunctions.stopwordRatio(col(textCol), stopwords) <= maxStopRatio)

@@ -732,4 +732,20 @@ class GraftCleanCorpusSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(noEval.keySet == Set(1L, 3L))
   }
+
+  test("cleanCorpus nearDedup drops near-duplicate docs, not just exact ones") {
+    val base = ("the quick brown fox jumps over the lazy dog again and again today " * 2).trim
+    val docs = Seq(
+      (1L, base),
+      (4L, base),                    // exact dup -> dropped either way
+      (2L, base + " ok"),            // near-dup of 1 -> dropped only with nearDedup
+      (7L, ("totally different content with nothing shared at all here now " * 2).trim)
+    ).toDF("doc_id", "text")
+    val exact = graft.api.Graft.cleanCorpus(docs, "doc_id", "text")
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(exact == Set(1L, 2L, 7L))
+    val near = graft.api.Graft.cleanCorpus(docs, "doc_id", "text", nearDedup = true)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(near == Set(1L, 7L))
+  }
 }
