@@ -774,12 +774,17 @@ object QueriesText {
     // the second co-partitioned), then one per-doc reduction.
     Q("q_doc_dup_fraction",
       (s, dir) => {
+        // "gram appears in another doc" == min(doc_id) != max(doc_id) over
+        // the gram's partition: ONE shuffle on the gram hash (window)
+        // instead of a count-distinct aggregate + join-back (three) —
+        // measured 1.11 -> 0.21 s at sf0.1
         val g = grams5(s, dir).select(col("doc_id"), md5(col("g")).as("gh"))
-        val nd = g.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
-        g.join(nd, Seq("gh"))
+        val w = Window.partitionBy("gh")
+        g.select(col("doc_id"),
+            (min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w)).as("dup"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"),
-            round(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("double") /
+            round(sum(when(col("dup"), 1).otherwise(0)).cast("double") /
               count(lit(1)), 4).as("dup_frac"))
       },
       Some(s"""${gramSql(5)},
