@@ -116,6 +116,33 @@ object QueriesStreaming {
              |FROM s GROUP BY user_id, sid
              |HAVING max(t) + 1800000000000 <= (SELECT max(epoch_ns(ts)) FROM events)""".stripMargin)),
 
+    // Streaming quality gate: the stateless ingest filter of a corpus
+    // pipeline (token count + stopword ratio), rolled up per language —
+    // per-batch map-only work until the tiny final aggregation; sums stay
+    // integer-exact so merge order cannot matter.
+    Q("q_stream_quality",
+      (s, dir) => {
+        import graft.functions.TextFunctions.{tokenCount, stopwordRatio}
+        val schema = T(s, dir, "documents").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val agg = src
+          .where(tokenCount(col("text")) >= 20 &&
+            stopwordRatio(col("text"), Seq("the", "a", "of", "and", "to")) <= 0.5)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_pass"),
+            sum(tokenCount(col("text")).cast("long")).as("sum_tokens"))
+        StreamingOps.runAvailableNow(agg, "q_stream_quality")
+      },
+      Some("""SELECT lang, count(*) AS n_pass,
+             |sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens
+             |FROM documents
+             |WHERE len(string_split(text, ' ')) >= 20
+             |AND cast(len(list_filter(string_split(text, ' '),
+             |  w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+             |  / len(string_split(text, ' ')) <= 0.5
+             |GROUP BY lang""".stripMargin)),
+
     // Streaming decontamination: scrub an incoming document stream against
     // a STATIC eval benchmark — the ingest-time form of q_decontaminate.
     // The eval 5-gram set is a static broadcast, so the stream side is a
