@@ -749,3 +749,56 @@ class GraftCleanCorpusSpec extends AnyFunSuite {
     assert(near == Set(1L, 7L))
   }
 }
+
+class GramPropertySpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val rng = new scala.util.Random(11)
+  private val vocab = Vector("a", "b", "c", "dd", "ee", "fff")
+  private val docs = (0L until 40L).map { i =>
+    val len = rng.nextInt(12) // 0..11 tokens, includes the short-doc edge
+    (i, Seq.fill(math.max(len, 1))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+  }.toDF("doc_id", "text")
+
+  test("wordGrams: count is max(0, tokens-n+1), every gram has n tokens") {
+    val n = 5
+    val rows = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(size(col("toks")).as("nt"),
+        graft.functions.TextFunctions.wordGrams(col("toks"), n).as("grams"))
+      .as[(Int, Seq[String])].collect()
+    rows.foreach { case (nt, grams) =>
+      assert(grams.length == math.max(0, nt - n + 1))
+      grams.foreach(g => assert(g.split(" ").length == n))
+    }
+  }
+
+  test("decontaminate(docs, docs) flags exactly the docs with >= 1 gram") {
+    val hits = graft.api.Graft.decontaminate(docs, docs, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    val expected = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+      .as[(Long, Int)].collect().filter(_._2 >= 5).map(_._1).toSet
+    assert(hits.keySet == expected)
+  }
+
+  test("docDupFraction stays in [0,1]; dupNgramStats n_total >= n_docs >= 2") {
+    graft.api.Graft.docDupFraction(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (_, ng, f) => assert(ng > 0 && f >= 0.0 && f <= 1.0) }
+    graft.api.Graft.dupNgramStats(docs, "doc_id", "text", n = 2)
+      .as[(String, Long, Long)].collect()
+      .foreach { case (_, nd, nt) => assert(nd >= 2 && nt >= nd) }
+  }
+
+  test("domainMixWeights sums to 1 for any alpha") {
+    val src = docs.withColumn("source", (col("doc_id") % 3).cast("string"))
+    for (alpha <- Seq(0.0, 0.3, 0.5, 1.0)) {
+      val w = graft.api.Graft.domainMixWeights(src, "source", "text", alpha)
+        .as[(String, Long, Long, Double)].collect().map(_._4)
+      assert(math.abs(w.sum - 1.0) < 1e-9, s"alpha=$alpha sum=${w.sum}")
+    }
+  }
+}
