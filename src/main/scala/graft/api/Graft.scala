@@ -180,6 +180,58 @@ object Graft {
       .select(col(idCol), col("cluster"), col("cluster_size"))
   }
 
+  /** Per-cluster representative selection with a caller-supplied policy:
+    * one row per near-dup cluster, the kept doc chosen by `orderBy` (the
+    * first row of each cluster under that ordering; default longest text,
+    * ties to min id — "best of cluster" instead of the min-id default the
+    * cluster label itself encodes). One window over the cluster key on top
+    * of [[dedupClusters]]'s assignment (the q_cluster_rep pipeline as
+    * API). */
+  def clusterRepresentatives(docs: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String,
+                             orderBy: Seq[Column] = Nil,
+                             bands: Int = 4, shingle: Int = 3,
+                             bucketCap: Int = 64): org.apache.spark.sql.DataFrame = {
+    val ord = if (orderBy.nonEmpty) orderBy
+      else Seq(length(col(textCol)).desc, col(idCol).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(ord: _*)
+    dedupClusters(docs, idCol, textCol, bands, shingle, bucketCap)
+      .join(docs, Seq(idCol))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Bloom-filter decontamination: the fixed-memory variant of
+    * [[decontaminate]] for many/large eval benchmarks. The eval side
+    * builds an `mbits`-bit bitset (distributed bitwise-or; mergeable), the
+    * training side tests each gram with builtin bit arithmetic against the
+    * filter shipped in the plan — map-only, no shuffle of the corpus, and
+    * executor memory is mbits/8 bytes no matter how many eval grams.
+    * Counts include the filter's (deterministic) false positives; size
+    * mbits ≈ 10× expected distinct eval grams for ~1% FP at k=3. */
+  def bloomDecontaminate(train: org.apache.spark.sql.DataFrame,
+                         eval: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String, n: Int = 5,
+                         mbits: Int = 1 << 20, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+        .select(col(idCol), explode(TextFunctions.wordGrams(col("toks"), n)).as("g"))
+        .select(col(idCol), md5(col("g")).as("gram_h")).distinct()
+    val bits = graft.functions.SketchFunctions.bloomBuild(
+      grams(eval).select("gram_h"), col("gram_h"), mbits, k)
+    grams(train)
+      .where(graft.functions.SketchFunctions.bloomContains(bits, col("gram_h"), mbits, k))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bloom_hits"))
+  }
+
+  /** Mergeable approximate distinct count per group (deterministic
+    * HyperLogLog, p=4): see SketchFunctions.hllEstimate. */
+  def approxDistinct(df: org.apache.spark.sql.DataFrame, key: Column,
+                     groupCols: Seq[Column]): org.apache.spark.sql.DataFrame =
+    graft.functions.SketchFunctions.hllEstimate(df, key, groupCols)
+
   /** Duplicated word-n-gram inventory — the distributable form of exact
     * substring dedup (the q_dup_ngrams pipeline as API): every gram
     * occurrence keyed by its md5, reduced to (distinct-doc, total) counts,

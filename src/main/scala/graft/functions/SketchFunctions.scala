@@ -83,4 +83,89 @@ object SketchFunctions {
       .groupBy("term")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ---- HyperLogLog ----
+
+  /** Deterministic HyperLogLog distinct estimate per group, p=4 (16
+    * registers). The md5 digest splits into a 4-bit register index (first
+    * hex digit) and a 52-bit tail; rho = leading-zero count of the tail
+    * + 1, computed EXACTLY via the bit-string length (`bin`, minimal-width
+    * on both engines) instead of floating log2.
+    *
+    * Scale shape: the register build is `groupBy(group, bucket).max(rho)` —
+    * a partial-aggregating shuffle whose output is at most 16 rows per
+    * group no matter the input size, and registers MERGE by max, so
+    * per-partition/per-day sketches union for free (the property a 100 TB
+    * rolling-distinct pipeline needs; KMV above shares it). The estimator
+    * folds the 16 register terms in ascending sorted order so the FP sum is
+    * order-identical cross-engine; empty registers contribute 2^0 = 1 via
+    * the exact (m - populated) integer term. */
+  def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[Column]): DataFrame = {
+    val m = 16
+    val d = md5(key.cast("string"))
+    df.select(groupCols
+        :+ conv(substring(d, 1, 1), 16, 10).cast("long").as("bucket")
+        :+ conv(substring(d, 2, 13), 16, 10).cast("long").as("w"): _*)
+      .withColumn("rho",
+        when(col("w") === 0, lit(53L)).otherwise(lit(53L) - length(bin(col("w")))))
+      .groupBy(groupCols :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("reg"))
+      .groupBy(groupCols: _*)
+      .agg(
+        aggregate(sort_array(collect_list(pow(lit(2.0), -col("reg").cast("double")))),
+          lit(0.0), _ + _).as("ssum"),
+        count(lit(1)).as("nb"))
+      // alpha_16 * m^2 = 0.673 * 256; the 2^8 scaling of the double 0.673
+      // is exact, so the constant is bit-identical to DuckDB's
+      // 0.673::DOUBLE * 256 (DuckDB's bare 0.673*256 would be DECIMAL)
+      .select(groupCols :+ round(
+        lit(0.673) * lit(256.0) / (col("ssum") + (lit(m.toLong) - col("nb")).cast("double")),
+        4).as("hll_est"): _*)
+  }
+
+  // ---- Bloom filter ----
+
+  /** Bit positions (one per seed 0..k-1) a key tests/sets in an m-bit Bloom
+    * filter. Pure `functions._` — codegen'd on the probe side. */
+  def bloomPositions(key: Column, mbits: Int, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      conv(substring(md5(concat_ws("|", lit(i), key.cast("string"))), 1, 13), 16, 10)
+        .cast("long") % mbits
+    }
+
+  /** Build an m-bit Bloom filter over the distinct keys of `df` as a packed
+    * Array[Long]. The bitset is built distributively (`treeAggregate` with
+    * bitwise-or merge — a mergeable sketch, no driver-side row loop) and is
+    * the right 100 TB decontamination shape: the eval/benchmark side is
+    * tiny, so its fixed-size bitset ships to every executor and the corpus
+    * side stays a map-only scan — no shuffle, and unlike a broadcast hash
+    * set the memory is mbits/8 bytes regardless of eval cardinality. */
+  def bloomBuild(df: DataFrame, key: Column, mbits: Int, k: Int): Array[Long] = {
+    require(mbits % 64 == 0, s"mbits must be a multiple of 64, got $mbits")
+    val words = mbits / 64
+    import df.sparkSession.implicits._
+    val pos = df.select(explode(array(bloomPositions(key, mbits, k): _*)).as("p"))
+      .distinct().as[Long].rdd
+    pos.treeAggregate(new Array[Long](words))(
+      seqOp = (bits, p) => { bits((p >> 6).toInt) |= 1L << (p & 63); bits },
+      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+  }
+
+  /** Membership test against a built bitset: true iff all k bits are set.
+    * The bitset embeds as a literal array in the plan (shipped once per
+    * task like a broadcast), and the whole test is builtin expressions —
+    * element_at + shiftleft + bitwise-and — inside WholeStageCodegen. */
+  def bloomContains(bits: Array[Long], key: Column, mbits: Int, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    val bitsLit = typedlit(bits.toSeq)
+    // variable-distance shift: the functions._ shiftleft only takes a
+    // literal Int distance, so wrap the Catalyst ShiftLeft directly
+    def bit(p: Column): Column = GraftColumnBridge.column(ShiftLeft(
+      GraftColumnBridge.expression(lit(1L)),
+      GraftColumnBridge.expression((p % 64).cast("int"))))
+    bloomPositions(key, mbits, k)
+      .map(p => element_at(bitsLit, (p / 64).cast("int") + 1).bitwiseAND(bit(p)) =!= 0)
+      .reduce(_ && _)
+  }
 }

@@ -120,6 +120,22 @@ object QueriesRelational {
              |cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // Arbitrary GROUPING SETS (neither rollup nor cube): the (status,
+    // priority) detail plus each one-dimension margin, without the grand
+    // total — one shuffle, Expand feeding a single hash aggregate.
+    Q("q_grouping_sets",
+      (s, dir) => T(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |(o_orderstatus), (o_orderpriority))""".stripMargin)),
+
     Q("q_pivot_events",
       (s, dir) => T(s, dir, "events")
         .groupBy("user_id")

@@ -42,6 +42,57 @@ object QueriesText {
           minhashSigUdf.asNondeterministic()(col("text"), lit(4), lit(3)).as("sig"))
     }
 
+  // (doc_id, cluster) assignment via LSH candidate pairs + GraphCC min-label
+  // fixpoint — shared by q_dedup_clusters (adds sizes) and q_cluster_rep
+  // (adds a representative-selection policy on top)
+  private def docClusters(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // exact dups collapse to their representative before banding (their
+    // cluster membership is recovered through the rep mapping below —
+    // identical text implies identical signature, so nothing is lost);
+    // hot buckets are capped at 64 like every LSH band join here
+    val docs = T(s, dir, "documents")
+    val reps = repSig(s, dir)
+    val docRep = graft.operators.LshBlocking.repMapping(docs, "doc_id", "text")
+    val bands = reps
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+    val pairs = graft.operators.LshBlocking
+      .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
+      .select(col("id1").as("src"), col("id2").as("dst")).distinct()
+    val labels = graft.operators.GraphCC.minLabels(
+      reps.select(col("doc_id")).as[Long].rdd,
+      pairs.as[(Long, Long)].rdd)(s)
+    val comp = labels.toDF("rep_id", "cluster")
+    // every doc inherits its representative's cluster (cluster label =
+    // min rep id = min doc id in the cluster)
+    docRep.join(comp, Seq("rep_id")).select(col("doc_id"), col("cluster"))
+  }
+
+  // DuckDB twin: recursive-CTE closure of the identical pair graph, ending
+  // at `dc` = (doc_id, cluster). Lazy: mhSql initializes further down the
+  // object body, so a strict val here would read null at <clinit>.
+  private lazy val clusterCte: String =
+    s"""WITH RECURSIVE rep AS (SELECT min(doc_id) AS doc_id, text
+       |  FROM documents GROUP BY text),
+       |sig AS (SELECT doc_id,
+       |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM rep),
+       |bands AS (${(0 until 4).map(k =>
+          s"SELECT doc_id, $k AS band, mh$k AS h FROM sig").mkString(" UNION ALL ")}),
+       |keptb AS (SELECT band, h FROM bands GROUP BY band, h HAVING count(*) <= 64),
+       |kb AS (SELECT b.doc_id, b.band, b.h FROM bands b
+       |  JOIN keptb ON keptb.band = b.band AND keptb.h = b.h),
+       |e AS (SELECT DISTINCT x.doc_id AS s, y.doc_id AS t
+       |  FROM kb x JOIN kb y
+       |  ON x.h = y.h AND x.band = y.band AND x.doc_id <> y.doc_id),
+       |reach(s, t) AS (SELECT doc_id, doc_id FROM rep
+       |  UNION SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
+       |comp AS (SELECT s AS rep_id, min(t) AS cluster FROM reach GROUP BY s),
+       |dmap AS (SELECT d.doc_id, r.doc_id AS rep_id
+       |  FROM documents d JOIN rep r ON r.text = d.text),
+       |dc AS (SELECT dmap.doc_id, comp.cluster
+       |  FROM dmap JOIN comp ON comp.rep_id = dmap.rep_id)""".stripMargin
+
   // (doc_id, g) word-5-gram occurrence stream shared by the corpus-level
   // dedup and decontamination gates (q_dup_ngrams, q_doc_dup_fraction,
   // q_decontaminate): the explode is the dominant cost and identical in all
@@ -172,53 +223,46 @@ object QueriesText {
     // near-dup cluster" primitive of a training-data pipeline.
     Q("q_dedup_clusters",
       (s, dir) => {
-        import s.implicits._
-        // exact dups collapse to their representative before banding (their
-        // cluster membership is recovered through the rep mapping below —
-        // identical text implies identical signature, so nothing is lost);
-        // hot buckets are capped at 64 like every LSH band join here
-        val docs = T(s, dir, "documents")
-        val reps = repSig(s, dir)
-        val docRep = graft.operators.LshBlocking.repMapping(docs, "doc_id", "text")
-        val bands = reps
-          .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
-        val pairs = graft.operators.LshBlocking
-          .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
-          .select(col("id1").as("src"), col("id2").as("dst")).distinct()
-        val labels = graft.operators.GraphCC.minLabels(
-          reps.select(col("doc_id")).as[Long].rdd,
-          pairs.as[(Long, Long)].rdd)(s)
-        val comp = labels.toDF("rep_id", "cluster")
-        // every doc inherits its representative's cluster; sizes count docs,
-        // not reps (cluster label = min rep id = min doc id in the cluster)
-        val docComp = docRep.join(comp, Seq("rep_id"))
-          .select(col("doc_id"), col("cluster"))
+        val docComp = docClusters(s, dir)
         docComp.join(docComp.groupBy("cluster").agg(count(lit(1)).as("cluster_size")),
             Seq("cluster"))
           .select(col("doc_id"), col("cluster"), col("cluster_size"))
       },
-      Some(s"""WITH RECURSIVE rep AS (SELECT min(doc_id) AS doc_id, text
-              |  FROM documents GROUP BY text),
-              |sig AS (SELECT doc_id,
-              |${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")} FROM rep),
-              |bands AS (${(0 until 4).map(k =>
-                 s"SELECT doc_id, $k AS band, mh$k AS h FROM sig").mkString(" UNION ALL ")}),
-              |keptb AS (SELECT band, h FROM bands GROUP BY band, h HAVING count(*) <= 64),
-              |kb AS (SELECT b.doc_id, b.band, b.h FROM bands b
-              |  JOIN keptb ON keptb.band = b.band AND keptb.h = b.h),
-              |e AS (SELECT DISTINCT x.doc_id AS s, y.doc_id AS t
-              |  FROM kb x JOIN kb y
-              |  ON x.h = y.h AND x.band = y.band AND x.doc_id <> y.doc_id),
-              |reach(s, t) AS (SELECT doc_id, doc_id FROM rep
-              |  UNION SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
-              |comp AS (SELECT s AS rep_id, min(t) AS cluster FROM reach GROUP BY s),
-              |dmap AS (SELECT d.doc_id, r.doc_id AS rep_id
-              |  FROM documents d JOIN rep r ON r.text = d.text),
-              |dc AS (SELECT dmap.doc_id, comp.cluster
-              |  FROM dmap JOIN comp ON comp.rep_id = dmap.rep_id),
+      Some(s"""$clusterCte,
               |sz AS (SELECT cluster, count(*) AS cluster_size FROM dc GROUP BY cluster)
               |SELECT dc.doc_id, dc.cluster, sz.cluster_size
               |FROM dc JOIN sz ON sz.cluster = dc.cluster""".stripMargin)),
+
+    // per-cluster representative selection: instead of the min-id default,
+    // keep the "best" doc of each near-dup cluster — here longest text,
+    // ties broken by min doc_id (a quality-policy stand-in; the facade
+    // exposes the ordering as a parameter). One window over the cluster
+    // key on top of the shared cluster assignment — the doc texts never
+    // join into the component fixpoint, only their lengths do at the end.
+    Q("q_cluster_rep",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docComp = docClusters(s, dir)
+        val withLen = docComp.join(
+          T(s, dir, "documents").select(col("doc_id"), length(col("text")).as("rep_len")),
+          Seq("doc_id"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("rep_len").desc, col("doc_id"))
+        withLen
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+          .where(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("rep_doc"),
+            col("rep_len"), col("cluster_size"))
+      },
+      Some(s"""$clusterCte,
+              |ln AS (SELECT dc.doc_id, dc.cluster, length(d.text) AS rep_len
+              |  FROM dc JOIN documents d ON d.doc_id = dc.doc_id),
+              |r AS (SELECT cluster, doc_id, rep_len,
+              |  row_number() OVER (PARTITION BY cluster ORDER BY rep_len DESC, doc_id) AS rn,
+              |  count(*) OVER (PARTITION BY cluster) AS cluster_size FROM ln)
+              |SELECT cluster, doc_id AS rep_doc, rep_len, cluster_size
+              |FROM r WHERE rn = 1""".stripMargin)),
 
     Q("q_ngram_jaccard",
       (s, dir) => {
@@ -552,6 +596,61 @@ object QueriesText {
              |     THEN round(63.0 * 1152921504606846976 / max(h), 4)
              |     ELSE count(*)::DOUBLE END AS est_distinct
              |FROM k GROUP BY o_orderstatus""".stripMargin)),
+
+    // HyperLogLog distinct estimate per group (p=4, 16 registers): the
+    // mergeable counterpart to KMV above — registers combine by max, so
+    // per-partition partial aggregation (and cross-day sketch union) is
+    // free. rho comes from the exact bit-string length, not floating log2,
+    // and the estimator folds register terms in sorted order, so the DuckDB
+    // twin is bit-identical.
+    Q("q_hll_distinct",
+      (s, dir) => graft.functions.SketchFunctions.hllEstimate(
+        T(s, dir, "orders"), col("o_custkey"), Seq(col("o_orderstatus"))),
+      Some("""WITH h AS (SELECT o_orderstatus, md5(o_custkey::VARCHAR) AS d FROM orders),
+             |b AS (SELECT o_orderstatus, ('0x'||substr(d,1,1))::BIGINT AS bucket,
+             |  ('0x'||substr(d,2,13))::BIGINT AS w FROM h),
+             |r AS (SELECT o_orderstatus, bucket,
+             |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+             |  FROM b GROUP BY o_orderstatus, bucket),
+             |a AS (SELECT o_orderstatus,
+             |  list_reduce(list_prepend(0.0, list_sort(list(pow(2.0, -reg::DOUBLE)))),
+             |    (x, y) -> x + y) AS ssum,
+             |  count(*) AS nb FROM r GROUP BY o_orderstatus)
+             |SELECT o_orderstatus,
+             |  round(0.673::DOUBLE * 256 / (ssum + (16 - nb)::DOUBLE), 4) AS hll_est
+             |FROM a""".stripMargin)),
+
+    // Bloom-filter decontamination: the broadcast-bitset variant of
+    // q_decontaminate. The eval side builds a fixed-size bitset
+    // (treeAggregate bitwise-or — mergeable, no driver row loop) that ships
+    // to every executor; the corpus side is then a map-only scan whose
+    // membership test is pure builtin bit arithmetic inside codegen. Unlike
+    // the broadcast hash-set semi-join, memory is mbits/8 bytes regardless
+    // of eval cardinality — the knob that keeps a many-benchmark scrub
+    // broadcastable at 100 TB. Hits include the filter's deterministic
+    // false positives, which the oracle reproduces exactly (membership =
+    // all k md5-derived positions present in the eval position set).
+    Q("q_bloom_decontaminate",
+      (s, dir) => {
+        val mbits = 65536; val k = 3
+        val gd = grams5(s, dir).select(col("doc_id"), md5(col("g")).as("gh")).distinct()
+        val ev = gd.where(col("doc_id") % 7 === 0).select(col("gh"))
+        val bits = graft.functions.SketchFunctions.bloomBuild(ev, col("gh"), mbits, k)
+        gd.where(col("doc_id") % 7 =!= 0)
+          .where(graft.functions.SketchFunctions.bloomContains(bits, col("gh"), mbits, k))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_bloom_hits"))
+      },
+      Some(s"""${gramSql(5)},
+              |gd AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM g),
+              |evp AS (SELECT DISTINCT
+              |    ('0x'||substr(md5(i.i::VARCHAR || '|' || gh),1,13))::BIGINT % 65536 AS p
+              |  FROM gd, range(3) i(i) WHERE doc_id % 7 = 0),
+              |tp AS (SELECT doc_id, gh,
+              |    ('0x'||substr(md5(i.i::VARCHAR || '|' || gh),1,13))::BIGINT % 65536 AS p
+              |  FROM gd, range(3) i(i) WHERE doc_id % 7 <> 0),
+              |hit AS (SELECT doc_id, gh FROM tp GROUP BY doc_id, gh
+              |  HAVING count(*) = sum(CASE WHEN p IN (SELECT p FROM evp) THEN 1 ELSE 0 END))
+              |SELECT doc_id, count(*) AS n_bloom_hits FROM hit GROUP BY doc_id""".stripMargin)),
 
     // Deterministic 10% Bernoulli sample keyed on (orderkey, linenumber):
     // re-runs (and the oracle) select the identical sample.

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SketchFunctions
+
+/** HLL + Bloom sketch properties (the oracle gates q_hll_distinct /
+  * q_bloom_decontaminate check engine-equivalence; these check the
+  * statistical contracts the gates can't express). */
+class SketchSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("hll estimate lands within the p=4 error envelope") {
+    val df = (1 to 1000).map(i => ("g", i)).toDF("grp", "k")
+    val est = SketchFunctions.hllEstimate(df, col("k"), Seq(col("grp")))
+      .select("hll_est").as[Double].head()
+    // m=16 -> stderr ~26%; 3 sigma
+    assert(est > 1000 * 0.25 && est < 1000 * 2.5, s"est=$est")
+  }
+
+  test("hll is duplicate- and order-insensitive (mergeable registers)") {
+    val df = (1 to 500).map(i => ("g", i % 200)).toDF("grp", "k")
+    val e1 = SketchFunctions.hllEstimate(df, col("k"), Seq(col("grp")))
+      .select("hll_est").as[Double].head()
+    val e2 = SketchFunctions.hllEstimate(
+        df.union(df).repartition(7, col("k")), col("k"), Seq(col("grp")))
+      .select("hll_est").as[Double].head()
+    assert(e1 == e2)
+  }
+
+  test("bloom has no false negatives and a bounded false-positive rate") {
+    val mbits = 1 << 14; val k = 3
+    val in = (1 to 1000).map(i => s"key_$i").toDF("s")
+    val bits = SketchFunctions.bloomBuild(in, col("s"), mbits, k)
+    val hits = in.where(SketchFunctions.bloomContains(bits, col("s"), mbits, k)).count()
+    assert(hits == 1000L) // every inserted key passes
+    val fresh = (1 to 2000).map(i => s"other_$i").toDF("s")
+    val fp = fresh.where(SketchFunctions.bloomContains(bits, col("s"), mbits, k)).count()
+    // load 3000/16384 bits -> fp ~ (0.17)^3 ~ 0.5%; allow 5x slack
+    assert(fp < 50, s"fp=$fp")
+  }
+
+  test("bloom build is deterministic and merge-equivalent") {
+    val mbits = 1 << 10; val k = 2
+    val a = (1 to 50).map(i => s"a$i").toDF("s")
+    val b = (1 to 50).map(i => s"b$i").toDF("s")
+    val whole = SketchFunctions.bloomBuild(a.union(b), col("s"), mbits, k)
+    val halves = {
+      val x = SketchFunctions.bloomBuild(a, col("s"), mbits, k)
+      val y = SketchFunctions.bloomBuild(b, col("s"), mbits, k)
+      x.zip(y).map { case (p, q) => p | q }
+    }
+    assert(whole.toSeq == halves.toSeq)
+  }
+
+  test("clusterRepresentatives keeps the longest doc per near-dup cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today ok"),
+      (3L, "completely different content with no overlap whatsoever in any gram here")
+    ).toDF("doc_id", "text")
+    val reps = graft.api.Graft.clusterRepresentatives(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // docs 1,2 near-dup -> keep 2 (longer); 3 is its own cluster
+    assert(reps == Set(2L, 3L))
+    // min-id policy instead
+    val minId = graft.api.Graft.clusterRepresentatives(
+        docs, "doc_id", "text", orderBy = Seq(col("doc_id").asc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 3L))
+  }
+
+  test("bloomDecontaminate matches exact decontaminate when fp is negligible") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "one two three four five six seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (99L, "gamma delta epsilon zeta eta theta extra words here now")
+    ).toDF("doc_id", "text")
+    val exact = graft.api.Graft.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    val bloom = graft.api.Graft.bloomDecontaminate(
+        train, eval, "doc_id", "text", n = 5, mbits = 1 << 16)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact)
+    assert(exact.contains(10L) && !exact.contains(11L))
+  }
+}
