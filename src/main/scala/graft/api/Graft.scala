@@ -232,6 +232,13 @@ object Graft {
                      groupCols: Seq[Column]): org.apache.spark.sql.DataFrame =
     graft.functions.SketchFunctions.hllEstimate(df, key, groupCols)
 
+  /** Approximate quantiles per group from a deterministic k-row min-hash
+    * sample (O(k) state per group): see SketchFunctions.sampledQuantiles. */
+  def approxQuantiles(df: org.apache.spark.sql.DataFrame, key: Column, value: Column,
+                      k: Int, groupCols: Seq[Column],
+                      ps: Seq[Double]): org.apache.spark.sql.DataFrame =
+    graft.functions.SketchFunctions.sampledQuantiles(df, key, value, k, groupCols, ps)
+
   /** Duplicated word-n-gram inventory — the distributable form of exact
     * substring dedup (the q_dup_ngrams pipeline as API): every gram
     * occurrence keyed by its md5, reduced to (distinct-doc, total) counts,

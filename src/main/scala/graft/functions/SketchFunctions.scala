@@ -100,8 +100,14 @@ object SketchFunctions {
     * folds the 16 register terms in ascending sorted order so the FP sum is
     * order-identical cross-engine; empty registers contribute 2^0 = 1 via
     * the exact (m - populated) integer term. */
-  def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[Column]): DataFrame = {
-    val m = 16
+  def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[Column]): DataFrame =
+    hllFinalize(hllRegisters(df, key, groupCols), groupCols)
+
+  /** Register build alone: (group, bucket, reg). A single max-aggregation,
+    * so it also runs as a streaming stateful operator (state = at most 16
+    * rows per group) — drain the registers, then [[hllFinalize]] in batch:
+    * the "sketch in the stream, finalize at read time" split. */
+  def hllRegisters(df: DataFrame, key: Column, groupCols: Seq[Column]): DataFrame = {
     val d = md5(key.cast("string"))
     df.select(groupCols
         :+ conv(substring(d, 1, 1), 16, 10).cast("long").as("bucket")
@@ -110,6 +116,13 @@ object SketchFunctions {
         when(col("w") === 0, lit(53L)).otherwise(lit(53L) - length(bin(col("w")))))
       .groupBy(groupCols :+ col("bucket"): _*)
       .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Estimator over built registers (merge partial register sets upstream
+    * by max(reg) per (group, bucket) if combining sketches). */
+  def hllFinalize(registers: DataFrame, groupCols: Seq[Column]): DataFrame = {
+    val m = 16
+    registers
       .groupBy(groupCols: _*)
       .agg(
         aggregate(sort_array(collect_list(pow(lit(2.0), -col("reg").cast("double")))),
@@ -121,6 +134,29 @@ object SketchFunctions {
       .select(groupCols :+ round(
         lit(0.673) * lit(256.0) / (col("ssum") + (lit(m.toLong) - col("nb")).cast("double")),
         4).as("hll_est"): _*)
+  }
+
+  /** Approximate quantiles from a deterministic bounded sample: keep the k
+    * rows with smallest key-hash per group (a uniform-at-"random" but
+    * re-run-stable subset — the KMV selection applied to rows), then take
+    * EXACT interpolated quantiles of the sample. Executor state is O(k)
+    * per group however large the input; error ~ O(1/sqrt(k)). Both engines
+    * define the interpolated quantile as v[lo] + frac*(v[hi]-v[lo]) at
+    * index p*(n-1), so with dyadic p and integer-valued data the result is
+    * FP-exact cross-engine. */
+  def sampledQuantiles(df: DataFrame, key: Column, value: Column, k: Int,
+                       groupCols: Seq[Column], ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*).orderBy(col("qh"))
+    df.select(groupCols :+ hash60(key).as("qh") :+ value.as("v"): _*)
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= k)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_sample"),
+        percentile(col("v"), typedlit(ps)).as("qs"))
+      .select(groupCols ++ Seq(col("n_sample")) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          col("qs").getItem(i).as(s"q${(p * 100).round}")
+        }: _*)
   }
 
   // ---- Bloom filter ----

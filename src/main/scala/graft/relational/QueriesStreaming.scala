@@ -190,6 +190,38 @@ object QueriesStreaming {
              |ev AS (SELECT DISTINCT gh FROM gd WHERE doc_id % 7 = 0)
              |SELECT doc_id, count(*) AS n_eval_grams FROM gd
              |WHERE doc_id % 7 <> 0 AND gh IN (SELECT gh FROM ev)
-             |GROUP BY doc_id""".stripMargin))
+             |GROUP BY doc_id""".stripMargin)),
+
+    // Streaming approximate distinct: HLL registers build as the stream's
+    // ONE stateful aggregation (state = at most 16 rows per group, however
+    // many events flow — the bounded-state answer to "distinct users per
+    // type" over an unbounded stream), then the estimator finalizes over
+    // the drained registers in batch. This sketch-in-stream / finalize-at-
+    // read split is also the cross-day union shape: drained register sets
+    // merge by max before finalizing. Composition of the streaming surface
+    // with the sketch surface; oracle = the q_hll_distinct math on events.
+    Q("q_stream_hll",
+      (s, dir) => {
+        val schema = T(s, dir, "events").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val regs = graft.functions.SketchFunctions.hllRegisters(
+          src, col("user_id"), Seq(col("event_type")))
+        val drained = StreamingOps.runAvailableNow(regs, "q_stream_hll")
+        graft.functions.SketchFunctions.hllFinalize(drained, Seq(col("event_type")))
+      },
+      Some("""WITH h AS (SELECT event_type, md5(user_id::VARCHAR) AS d FROM events),
+             |b AS (SELECT event_type, ('0x'||substr(d,1,1))::BIGINT AS bucket,
+             |  ('0x'||substr(d,2,13))::BIGINT AS w FROM h),
+             |r AS (SELECT event_type, bucket,
+             |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+             |  FROM b GROUP BY event_type, bucket),
+             |a AS (SELECT event_type,
+             |  list_reduce(list_prepend(0.0, list_sort(list(pow(2.0, -reg::DOUBLE)))),
+             |    (x, y) -> x + y) AS ssum,
+             |  count(*) AS nb FROM r GROUP BY event_type)
+             |SELECT event_type,
+             |  round(0.673::DOUBLE * 256 / (ssum + (16 - nb)::DOUBLE), 4) AS hll_est
+             |FROM a""".stripMargin))
   )
 }

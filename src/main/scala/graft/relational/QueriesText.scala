@@ -652,6 +652,30 @@ object QueriesText {
               |  HAVING count(*) = sum(CASE WHEN p IN (SELECT p FROM evp) THEN 1 ELSE 0 END))
               |SELECT doc_id, count(*) AS n_bloom_hits FROM hit GROUP BY doc_id""".stripMargin)),
 
+    // Approximate quantiles from a deterministic bounded sample: the k
+    // smallest row-hashes per group (KMV selection applied to rows — a
+    // uniform, re-run-stable subset) then EXACT interpolated quantiles of
+    // the sample. O(k) state per group at any input size; dyadic
+    // percentiles over integer-valued doubles keep the interpolation
+    // FP-exact on both engines. The bounded-memory answer to "length/score
+    // distribution per corpus slice" where exact percentile would need the
+    // whole group sorted in one place.
+    Q("q_approx_quantile",
+      (s, dir) => graft.functions.SketchFunctions.sampledQuantiles(
+        T(s, dir, "lineitem"),
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        col("l_quantity"), 128, Seq(col("l_returnflag")), Seq(0.25, 0.5, 0.75)),
+      Some("""WITH h AS (SELECT l_returnflag,
+             |  ('0x'||substr(md5(l_orderkey::VARCHAR||'|'||l_linenumber::VARCHAR||'|'||l_quantity::VARCHAR),1,15))::BIGINT AS qh,
+             |  l_quantity AS v FROM lineitem),
+             |r AS (SELECT l_returnflag, qh, v,
+             |  row_number() OVER (PARTITION BY l_returnflag ORDER BY qh) AS r FROM h),
+             |k AS (SELECT * FROM r WHERE r <= 128)
+             |SELECT l_returnflag, count(*) AS n_sample,
+             |  quantile_cont(v, 0.25) AS q25, quantile_cont(v, 0.5) AS q50,
+             |  quantile_cont(v, 0.75) AS q75
+             |FROM k GROUP BY l_returnflag""".stripMargin)),
+
     // Deterministic 10% Bernoulli sample keyed on (orderkey, linenumber):
     // re-runs (and the oracle) select the identical sample.
     Q("q_sample_bernoulli",

@@ -71,6 +71,24 @@ class SketchSpec extends AnyFunSuite {
     assert(minId == Set(1L, 3L))
   }
 
+  test("sampledQuantiles tracks true quantiles and is re-run stable") {
+    val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val q = SketchFunctions.sampledQuantiles(
+        df, col("v"), col("v"), 256, Seq(col("grp")), Seq(0.25, 0.5, 0.75))
+      .select("n_sample", "q25", "q50", "q75")
+      .as[(Long, Double, Double, Double)].head()
+    assert(q._1 == 256L)
+    // k=256 -> quantile error ~ few percent of the range
+    assert(math.abs(q._2 - 2500) < 1000, s"q25=${q._2}")
+    assert(math.abs(q._3 - 5000) < 1000, s"q50=${q._3}")
+    assert(math.abs(q._4 - 7500) < 1000, s"q75=${q._4}")
+    val again = SketchFunctions.sampledQuantiles(
+        df.repartition(13), col("v"), col("v"), 256, Seq(col("grp")), Seq(0.25, 0.5, 0.75))
+      .select("n_sample", "q25", "q50", "q75")
+      .as[(Long, Double, Double, Double)].head()
+    assert(q == again) // partitioning cannot change the deterministic sample
+  }
+
   test("bloomDecontaminate matches exact decontaminate when fp is negligible") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
