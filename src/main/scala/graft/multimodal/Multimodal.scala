@@ -110,6 +110,99 @@ object Multimodal {
       }
   }
 
+  // ---- audio ----
+
+  final case class AudioMeta(format: String, sampleRate: Int, channels: Int,
+                             bits: Int, nSamples: Int)
+  final case class DecodedAudio(id: Long, meta: AudioMeta, samples: Array[Double])
+
+  /** Encode 16-bit PCM mono as a RIFF/WAVE payload (test/round-trip
+    * helper; PCM is uncompressed so decode(encode(s)) == s exactly). */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate = rate*block
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Real audio decode: parse a RIFF/WAVE container with 16-bit PCM data
+    * (the format itself — no codec library involved, so this path is fully
+    * deterministic). Chunks are walked generically (a WAV with LIST/fact
+    * chunks before `data` parses fine); None for anything that is not
+    * RIFF/WAVE/PCM16 — the same quarantine contract as [[decodeImage]]. */
+  def decodeWav(payload: Array[Byte]): Option[(AudioMeta, Array[Double])] = {
+    if (payload == null || payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    try {
+      if (tag4() != "RIFF") return None
+      bb.getInt // riff size (unreliable in the wild; chunk walk bounds below)
+      if (tag4() != "WAVE") return None
+      var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+      while (bb.remaining() >= 8) {
+        val tag = tag4(); val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return None
+        if (tag == "fmt ") {
+          val fmtEnd = bb.position() + len
+          val audioFormat = bb.getShort
+          channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          bits = bb.getShort
+          fmtOk = audioFormat == 1 && bits == 16 && channels >= 1
+          bb.position(fmtEnd)
+        } else if (tag == "data") {
+          if (!fmtOk) return None
+          val n = len / 2
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort.toDouble; i += 1 }
+          return Some((AudioMeta("wav-pcm16", rate, channels, bits, n / channels), out))
+        } else {
+          bb.position(bb.position() + len + (len & 1)) // chunks pad to even
+        }
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fallback for unrecognized audio payloads: bytes cycled into 64
+    * centered "samples" — deterministic quarantine, mirrors decodeStub. */
+  def decodeAudioStub(payload: Array[Byte]): (AudioMeta, Array[Double]) = {
+    val n = 64
+    val s = Array.tabulate(n) { i =>
+      if (payload == null || payload.isEmpty) 0.0
+      else ((payload(i % payload.length) & 0xff) - 128).toDouble
+    }
+    (AudioMeta("stub-pcm", 0, 1, 16, n), s)
+  }
+
+  /** Decode a binary audio column per partition: WAV/PCM16 parse first,
+    * stub fallback for unrecognized payloads. */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String)
+                 (implicit spark: SparkSession): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (meta, s) = decodeWav(payload).getOrElse(decodeAudioStub(payload))
+          DecodedAudio(id, meta, s)
+        }
+      }
+  }
+
   /** Resize decoded frames with the real zoom kernel (order-1). */
   def resize(decoded: Dataset[Decoded], targetH: Int, targetW: Int)
             (implicit spark: SparkSession): Dataset[Decoded] = {

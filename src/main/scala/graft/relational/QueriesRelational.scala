@@ -362,6 +362,38 @@ object QueriesRelational {
       Some("""SELECT doc_id, 'jpeg' AS fmt, 8 AS width, 8 AS height,
              |1 AS channels, true AS full_frame FROM documents""".stripMargin)),
 
+    // Audio columns, REAL container path: deterministic 16-bit PCM samples
+    // (derived from doc_id) are packed into a genuine RIFF/WAVE payload
+    // in-query, then parsed back by the engine's WAV decoder (format
+    // itself, no codec library — fully deterministic). PCM is lossless, so
+    // decoded samples equal the source formula exactly and the oracle
+    // recomputes rate/count/mean from the same formula; fmt proves the
+    // parser ran (the stub path would report 'stub-pcm').
+    // mean = integer-sum / 2^6 — exact.
+    Q("q_multimodal_audio",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val payload = T(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val samples = Array.tabulate(64)(i =>
+              ((id * 31 + i * 7) % 4096 - 2048).toShort)
+            (id, graft.multimodal.Multimodal.encodeWavPcm16(8000, samples))
+          }.toDF("doc_id", "payload")
+        graft.multimodal.Multimodal.decodeAudio(payload, "doc_id", "payload")
+          .map { d =>
+            var acc = 0.0; var i = 0
+            while (i < d.samples.length) { acc += d.samples(i); i += 1 }
+            (d.id, d.meta.format, d.meta.sampleRate, d.meta.nSamples, acc / 64.0)
+          }
+          .toDF("doc_id", "fmt", "sample_rate", "n_samples", "mean_amp")
+      },
+      Some("""SELECT doc_id, 'wav-pcm16' AS fmt, 8000 AS sample_rate, 64 AS n_samples,
+             |list_sum(list_transform(range(0, 64),
+             |  i -> (doc_id * 31 + i * 7) % 4096 - 2048))::DOUBLE / 64.0 AS mean_amp
+             |FROM documents""".stripMargin)),
+
     // Frame-sampling plumbing: payload split into 16-byte "frames", every
     // 3rd kept; the kept-count is pure integer arithmetic on byte length.
     Q("q_multimodal_frames",

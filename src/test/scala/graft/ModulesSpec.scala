@@ -138,6 +138,34 @@ class MultimodalSpec extends AnyFunSuite {
     val m = Multimodal.meta(df, "payload").select("n_bytes").as[Long].head()
     assert(m == 100L)
   }
+
+  test("wav pcm16 round-trip is exact; chunk walk skips extra chunks") {
+    val samples = Array.tabulate(128)(i => ((i * 523) % 4096 - 2048).toShort)
+    val wav = Multimodal.encodeWavPcm16(16000, samples)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    val (meta, s) = Multimodal.decodeWav(wav).get
+    assert(meta == Multimodal.AudioMeta("wav-pcm16", 16000, 1, 16, 128))
+    assert(s.sameElements(samples.map(_.toDouble)))
+    // a LIST chunk between fmt and data must be walked over, not break parse
+    val bb = java.nio.ByteBuffer.allocate(wav.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(wav, 0, 36) // RIFF header + fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    bb.put(wav, 36, wav.length - 36) // data chunk
+    val withList = bb.array()
+    // fix RIFF size field (bytes 4..7) to the new payload size
+    val fixed = java.nio.ByteBuffer.wrap(withList).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fixed.putInt(4, withList.length - 8)
+    val (meta2, s2) = Multimodal.decodeWav(withList).get
+    assert(meta2.sampleRate == 16000 && s2.sameElements(s))
+  }
+
+  test("non-wav audio payloads fall back to the audio stub") {
+    assert(Multimodal.decodeWav("definitely not riff data, too short?".getBytes).isEmpty)
+    val df = Seq((1L, "plain text".getBytes("UTF-8"))).toDF("id", "payload")
+    val d = Multimodal.decodeAudio(df, "id", "payload").collect().head
+    assert(d.meta.format == "stub-pcm" && d.samples.length == 64)
+  }
 }
 
 class DotProductSpec extends AnyFunSuite {
