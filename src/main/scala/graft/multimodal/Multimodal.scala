@@ -203,6 +203,18 @@ object Multimodal {
       }
   }
 
+  /** Resample decoded (mono) audio to a target sample count with the real
+    * order-1 zoom kernel — the audio analog of [[resize]]. */
+  def resampleAudio(decoded: Dataset[DecodedAudio], targetN: Int)
+                   (implicit spark: SparkSession): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    decoded.map { d =>
+      val (s, shape) = ZoomKernel.zoomToShape(d.samples,
+        Array(d.samples.length), Array(targetN), 1, 0.0)
+      DecodedAudio(d.id, d.meta.copy(nSamples = shape(0)), s)
+    }
+  }
+
   /** Resize decoded frames with the real zoom kernel (order-1). */
   def resize(decoded: Dataset[Decoded], targetH: Int, targetW: Int)
             (implicit spark: SparkSession): Dataset[Decoded] = {

@@ -394,6 +394,39 @@ object QueriesRelational {
              |  i -> (doc_id * 31 + i * 7) % 4096 - 2048))::DOUBLE / 64.0 AS mean_amp
              |FROM documents""".stripMargin)),
 
+    // decode -> resample pipeline for audio: the 64-sample WAV stream
+    // resampled to 16 through the real order-1 zoom kernel (the audio
+    // analog of q_multimodal_resize). adjusted_coef = 63/15; the clamped
+    // right neighbor at the last output sample carries weight exactly 0,
+    // so the CASE 0 read is inert. Per-sample rows — no cross-row FP sums.
+    Q("q_multimodal_audio_resample",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val payload = T(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val samples = Array.tabulate(64)(i =>
+              ((id * 31 + i * 7) % 4096 - 2048).toShort)
+            (id, graft.multimodal.Multimodal.encodeWavPcm16(8000, samples))
+          }.toDF("doc_id", "payload")
+        graft.multimodal.Multimodal.resampleAudio(
+            graft.multimodal.Multimodal.decodeAudio(payload, "doc_id", "payload"), 16)
+          .flatMap(d => d.samples.zipWithIndex.map { case (v, p) => (d.id, p.toLong, v) })
+          .toDF("doc_id", "pos", "v")
+          .select(col("doc_id"), col("pos"), round(col("v"), 4).as("v"))
+      },
+      Some {
+        val c = "(r.j * (63.0 / 15.0))"
+        val f = s"cast(floor($c) AS INT)"
+        def samp(i: String) =
+          s"(CASE WHEN $i <= 63 THEN ((doc_id * 31 + ($i) * 7) % 4096 - 2048)::DOUBLE ELSE 0.0 END)"
+        s"""SELECT doc_id, r.j::BIGINT AS pos, round(
+           |  ${samp(f)} * (1 - ($c - floor($c)))
+           |+ ${samp(s"($f + 1)")} * ($c - floor($c)), 4) AS v
+           |FROM documents CROSS JOIN range(16) r(j)""".stripMargin
+      }),
+
     // Frame-sampling plumbing: payload split into 16-byte "frames", every
     // 3rd kept; the kept-count is pure integer arithmetic on byte length.
     Q("q_multimodal_frames",

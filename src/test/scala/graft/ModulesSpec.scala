@@ -160,6 +160,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta2.sampleRate == 16000 && s2.sameElements(s))
   }
 
+  test("audio resample through the zoom kernel preserves endpoints") {
+    val samples = Array.tabulate(64)(i => (i * 10).toShort)
+    val df = Seq((1L, Multimodal.encodeWavPcm16(8000, samples))).toDF("id", "payload")
+    val out = Multimodal.resampleAudio(Multimodal.decodeAudio(df, "id", "payload"), 16)
+      .collect().head
+    assert(out.meta.nSamples == 16 && out.samples.length == 16)
+    // order-1 zoom with adjusted_coef maps endpoints to endpoints exactly
+    assert(out.samples.head == 0.0 && out.samples.last == 630.0)
+  }
+
   test("non-wav audio payloads fall back to the audio stub") {
     assert(Multimodal.decodeWav("definitely not riff data, too short?".getBytes).isEmpty)
     val df = Seq((1L, "plain text".getBytes("UTF-8"))).toDF("id", "payload")
