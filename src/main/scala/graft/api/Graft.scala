@@ -239,6 +239,23 @@ object Graft {
                       ps: Seq[Double]): org.apache.spark.sql.DataFrame =
     graft.functions.SketchFunctions.sampledQuantiles(df, key, value, k, groupCols, ps)
 
+  /** Sequence packing: assign documents to fixed token-budget training
+    * chunks (seq_id = floor(tokens-before / maxTokens) in id order) via the
+    * distributed two-phase prefix scan (operators.PrefixSum) — never a
+    * single-partition global window. The document-level sharding step of a
+    * tokenize-and-concat training pipeline. */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, maxTokens: Int,
+                    numParts: Int = 0): org.apache.spark.sql.DataFrame = {
+    implicit val s: SparkSession = docs.sparkSession
+    val parts = if (numParts > 0) numParts else s.sparkContext.defaultParallelism
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.exclusive(toks, idCol, "n_tokens", parts)
+      .select(col(idCol), col("n_tokens"),
+        (col("cum") / maxTokens).cast("long").as("seq_id"))
+  }
+
   /** Duplicated word-n-gram inventory — the distributable form of exact
     * substring dedup (the q_dup_ngrams pipeline as API): every gram
     * occurrence keyed by its md5, reduced to (distinct-doc, total) counts,
@@ -343,13 +360,19 @@ object Graft {
                   minTokens: Int = 20, maxStopRatio: Double = 0.5,
                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"),
                   ngram: Int = 5,
-                  nearDedup: Boolean = false): org.apache.spark.sql.DataFrame = {
+                  nearDedup: Boolean = false,
+                  repOrderBy: Seq[Column] = Nil): org.apache.spark.sql.DataFrame = {
     // nearDedup keeps one doc per LSH near-dup CLUSTER (exact dups collapse
     // inside dedupClusters, so this strictly subsumes the content-hash
     // group); the cluster label is the member min id, so "keep the doc
-    // whose id equals its cluster" is the drop-all-but-one rule
+    // whose id equals its cluster" is the drop-all-but-one rule — unless a
+    // repOrderBy policy says which member is "best" (clusterRepresentatives)
     val deduped =
-      if (nearDedup) {
+      if (nearDedup && repOrderBy.nonEmpty) {
+        val keepIds = clusterRepresentatives(docs, idCol, textCol, repOrderBy)
+          .select(col(idCol))
+        docs.join(keepIds, Seq(idCol), "left_semi")
+      } else if (nearDedup) {
         val keepIds = dedupClusters(docs, idCol, textCol)
           .where(col(idCol) === col("cluster")).select(col(idCol))
         docs.join(keepIds, Seq(idCol), "left_semi")

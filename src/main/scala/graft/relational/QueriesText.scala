@@ -971,6 +971,29 @@ object QueriesText {
              |  round(top_c::DOUBLE / n_bigrams, 4) AS top_bigram_frac
              |FROM uni JOIN bm ON uni.doc_id = bm.doc_id""".stripMargin)),
 
+    // sequence packing: assign docs to fixed token-budget training chunks
+    // by exclusive prefix sum of token counts in doc_id order — through the
+    // DISTRIBUTED two-phase scan (operators.PrefixSum), not the
+    // single-partition Window.orderBy everyone writes first (which moves
+    // the whole corpus to one task). seq_id = floor(cum_before / budget):
+    // the document-level sharding that feeds tokenize-and-concat training
+    // pipelines. The oracle is the window form — same answer, different
+    // (non-scalable) plan.
+    Q("q_pack_sequences",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.PrefixSum.exclusive(toks, "doc_id", "n_tokens", 8)
+          .select(col("doc_id"), col("n_tokens"),
+            (col("cum") / 512).cast("long").as("seq_id"))
+      },
+      Some("""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+             |((sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  - len(string_split(text, ' '))) // 512)::BIGINT AS seq_id
+             |FROM documents""".stripMargin)),
+
     // temperature-scaled source-mixing weights (alpha = 0.5 via sqrt, which
     // is IEEE-correctly-rounded, so both engines agree bit-for-bit): per-
     // source token mass -> w_s proportional to sqrt(tokens), normalized. The

@@ -785,6 +785,13 @@ class GraftCleanCorpusSpec extends AnyFunSuite {
     val near = graft.api.Graft.cleanCorpus(docs, "doc_id", "text", nearDedup = true)
       .as[(Long, String)].collect().map(_._1).toSet
     assert(near == Set(1L, 7L))
+    // best-of-cluster policy: longest text wins the near-dup cluster
+    val best = graft.api.Graft.cleanCorpus(docs, "doc_id", "text", nearDedup = true,
+        repOrderBy = Seq(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).desc,
+          org.apache.spark.sql.functions.col("doc_id").asc))
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(best == Set(2L, 7L)) // doc 2 is the longest member of its cluster
   }
 }
 

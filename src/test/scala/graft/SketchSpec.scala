@@ -89,6 +89,28 @@ class SketchSpec extends AnyFunSuite {
     assert(q == again) // partitioning cannot change the deterministic sample
   }
 
+  test("distributed prefix sum matches the single-partition window form") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 997).map(i => (i.toLong * 3 + 1, rnd.nextInt(100).toLong))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = graft.operators.PrefixSum.exclusive(df, "k", "v", 5)
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    var run = 0L
+    rows.sortBy(_._1).foreach { case (k, v) =>
+      assert(got(k) == run, s"k=$k"); run += v
+    }
+  }
+
+  test("packSequences respects the token budget boundaries") {
+    val docs = (1L to 20L).map(i => (i, ("w " * 100).trim)).toDF("doc_id", "text")
+    val out = graft.api.Graft.packSequences(docs, "doc_id", "text", 512, numParts = 4)
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    // 100 tokens/doc, budget 512: docs 1-6 start under 512... doc k starts
+    // at (k-1)*100 -> seq = (k-1)*100 / 512
+    (1L to 20L).foreach { k => assert(out(k) == (k - 1) * 100 / 512, s"doc $k") }
+  }
+
   test("bloomDecontaminate matches exact decontaminate when fp is negligible") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
