@@ -44,9 +44,16 @@ object QueriesText {
 
   // (doc_id, cluster) assignment via LSH candidate pairs + GraphCC min-label
   // fixpoint — shared by q_dedup_clusters (adds sizes) and q_cluster_rep
-  // (adds a representative-selection policy on top)
+  // (adds a representative-selection policy on top). Memoized per session:
+  // the CC fixpoint executes eagerly once (minLabels runs its rounds at
+  // build time), so the second consumer reads the persisted assignment
+  // instead of re-running the propagation.
   private def docClusters(s: org.apache.spark.sql.SparkSession,
-                          dir: String): org.apache.spark.sql.DataFrame = {
+                          dir: String): org.apache.spark.sql.DataFrame =
+    SharedInputs(s, dir, "docClusters") { docClustersBuild(s, dir) }
+
+  private def docClustersBuild(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     // exact dups collapse to their representative before banding (their
     // cluster membership is recovered through the rep mapping below —

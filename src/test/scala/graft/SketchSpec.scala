@@ -111,6 +111,29 @@ class SketchSpec extends AnyFunSuite {
     (1L to 20L).foreach { k => assert(out(k) == (k - 1) * 100 / 512, s"doc $k") }
   }
 
+  test("property: hll estimate is monotone under insertions") {
+    // registers only grow (max), and each growth shrinks the denominator,
+    // so adding rows can never lower the estimate
+    val rnd = new scala.util.Random(7)
+    val keys = Seq.fill(800)(rnd.nextInt(100000))
+    val ests = (1 to 4).map { q =>
+      val df = keys.take(200 * q).map(("g", _)).toDF("grp", "k")
+      SketchFunctions.hllEstimate(df, col("k"), Seq(col("grp")))
+        .select("hll_est").as[Double].head()
+    }
+    assert(ests.sliding(2).forall { case Seq(a, b) => b >= a })
+  }
+
+  test("property: bloom bits are monotone under union") {
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(200)(rnd.nextInt(1 << 20).toString).toDF("s")
+    val b = Seq.fill(200)(rnd.nextInt(1 << 20).toString).toDF("s")
+    val bitsA = SketchFunctions.bloomBuild(a, col("s"), 4096, 3)
+    val bitsAB = SketchFunctions.bloomBuild(a.union(b), col("s"), 4096, 3)
+    // every bit set by A alone is set in the union build
+    assert(bitsA.zip(bitsAB).forall { case (x, y) => (x & ~y) == 0L })
+  }
+
   test("bloomDecontaminate matches exact decontaminate when fp is negligible") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
