@@ -256,6 +256,14 @@ object Graft {
         (col("cum") / maxTokens).cast("long").as("seq_id"))
   }
 
+  /** Winnowing fingerprints (the MOSS local-similarity scheme): per-window
+    * minimum of char k-gram hashes, rightmost-min ties — any shared run of
+    * >= k+w-1 chars guarantees a shared fingerprint. See
+    * TextFunctions.winnowFingerprints. */
+  def winnow(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+             k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame =
+    TextFunctions.winnowFingerprints(docs, idCol, textCol, k, w)
+
   /** Duplicated word-n-gram inventory — the distributable form of exact
     * substring dedup (the q_dup_ngrams pipeline as API): every gram
     * occurrence keyed by its md5, reduced to (distinct-doc, total) counts,

@@ -215,4 +215,47 @@ object TextFunctions {
     // greatest(struct(score, tiebreak, lang)) — max score wins; stable tie-break
     greatest(scored: _*).getField("lang")
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS local-
+    * similarity scheme): hash every character k-gram, slide a w-wide
+    * window, select each window's minimum hash (rightmost on ties). The
+    * selected set is position-robust — any match of length >= k+w-1
+    * guarantees a shared fingerprint — which is what substring-level
+    * plagiarism/duplication detection needs and bag-of-shingles minhash
+    * can't give. Returns distinct (id, pos, h) selections.
+    *
+    * Plan shape: posexplode k-grams (narrow), fan each position into the
+    * <= w windows it can win (explode factor w — the standard relational
+    * form; a segmented-scan kernel would remove the factor), ONE shuffle on
+    * (id, window) for the min, then distinct. The rightmost-min tie rule is
+    * encoded in an order-preserving string key (padded hash || padded
+    * reversed position) so DuckDB's min() reproduces the selection
+    * bit-for-bit. Positions are 1-based; text must be < 1e6 chars (the
+    * position pad width). */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    val grams = df
+      .select(col(idCol), col(textCol).as("t"),
+        (length(col(textCol)) - (k - 1)).as("ng"))
+      .where(col("ng") >= w)
+      .select(col(idCol), col("t"), col("ng"),
+        explode(sequence(lit(1), col("ng"))).as("pos"))
+      .select(col(idCol), col("ng"), col("pos"),
+        conv(substring(md5(col("t").substr(col("pos"), lit(k))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    // position p participates in windows max(1, p-w+1) .. min(p, ng-w+1)
+    val windows = grams
+      .select(col(idCol), col("pos"), col("h"),
+        explode(sequence(greatest(lit(1), col("pos") - (w - 1)),
+          least(col("pos"), col("ng") - (w - 1)))).as("win"))
+    val skey = concat(lpad(col("h").cast("string"), 19, "0"),
+      lpad((lit(999999) - col("pos")).cast("string"), 6, "0"))
+    windows
+      .groupBy(col(idCol), col("win"))
+      .agg(min(skey).as("sel"))
+      .select(col(idCol),
+        (lit(999999) - substring(col("sel"), 20, 6).cast("long")).as("pos"),
+        substring(col("sel"), 1, 19).cast("long").as("h"))
+      .distinct()
+  }
 }

@@ -978,6 +978,41 @@ object QueriesText {
              |  round(top_c::DOUBLE / n_bigrams, 4) AS top_bigram_frac
              |FROM uni JOIN bm ON uni.doc_id = bm.doc_id""".stripMargin)),
 
+    // Winnowing fingerprints (MOSS): per-window minimum of char-5-gram
+    // hashes with the rightmost-min tie rule — position-robust substring
+    // fingerprints (any shared run >= k+w-1 chars guarantees a shared
+    // selection), the local-similarity primitive bag-of-shingles minhash
+    // lacks. One shuffle on (doc, window); the tie rule rides an
+    // order-preserving string key so DuckDB's min() replays the selection
+    // exactly. Output: per-doc fingerprint count + count of fingerprints
+    // shared with another doc (the plagiarism signal).
+    Q("q_winnow",
+      (s, dir) => {
+        val fps = winnowFingerprints(T(s, dir, "documents"), "doc_id", "text", 5, 4)
+        val shared = fps.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+        fps.join(shared, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      },
+      Some("""WITH g0 AS (SELECT doc_id, text, length(text) - 4 AS ng,
+             |  unnest(range(1, length(text) - 3)) AS pos
+             |  FROM documents WHERE length(text) - 4 >= 4),
+             |g AS (SELECT doc_id, pos, ng,
+             |  ('0x'||substr(md5(substr(text, pos::INT, 5)),1,15))::BIGINT AS h FROM g0),
+             |wins AS (SELECT doc_id, pos, h,
+             |  unnest(range(greatest(1, pos - 3), least(pos, ng - 3) + 1)) AS win FROM g),
+             |sel AS (SELECT doc_id, win,
+             |  min(lpad(h::VARCHAR, 19, '0') || lpad((999999 - pos)::VARCHAR, 6, '0')) AS s
+             |  FROM wins GROUP BY doc_id, win),
+             |fp AS (SELECT DISTINCT doc_id,
+             |  (999999 - substr(s, 20, 6)::BIGINT) AS pos,
+             |  substr(s, 1, 19)::BIGINT AS h FROM sel),
+             |sh AS (SELECT h, count(DISTINCT doc_id) AS nd FROM fp GROUP BY h)
+             |SELECT doc_id, count(*) AS n_fp,
+             |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+             |FROM fp JOIN sh USING (h) GROUP BY doc_id""".stripMargin)),
+
     // sequence packing: assign docs to fixed token-budget training chunks
     // by exclusive prefix sum of token counts in doc_id order — through the
     // DISTRIBUTED two-phase scan (operators.PrefixSum), not the

@@ -134,6 +134,25 @@ class SketchSpec extends AnyFunSuite {
     assert(bitsA.zip(bitsAB).forall { case (x, y) => (x & ~y) == 0L })
   }
 
+  test("winnowing guarantees a shared fingerprint for long shared runs") {
+    // k=5, w=4: any shared substring of length >= k+w-1 = 8 must produce
+    // at least one common selected fingerprint
+    val shared = "zqxjkvwpbm" // 10 chars, appears in both docs at different offsets
+    val docs = Seq(
+      (1L, "aaaabbbbcccc" + shared + "ddddeeee"),
+      (2L, "ffffgggg" + shared + "hhhhiiiijjjj"),
+      (3L, "kkkkllllmmmmnnnnoooopppp") // no overlap
+    ).toDF("doc_id", "text")
+    val fps = graft.functions.TextFunctions
+      .winnowFingerprints(docs, "doc_id", "text", 5, 4)
+      .select("doc_id", "h").as[(Long, Long)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // selection is a subset of all gram hashes, nonempty per doc
+    assert(byDoc.values.forall(_.nonEmpty))
+  }
+
   test("bloomDecontaminate matches exact decontaminate when fp is negligible") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
