@@ -224,38 +224,56 @@ object TextFunctions {
     * plagiarism/duplication detection needs and bag-of-shingles minhash
     * can't give. Returns distinct (id, pos, h) selections.
     *
-    * Plan shape: posexplode k-grams (narrow), fan each position into the
-    * <= w windows it can win (explode factor w — the standard relational
-    * form; a segmented-scan kernel would remove the factor), ONE shuffle on
-    * (id, window) for the min, then distinct. The rightmost-min tie rule is
-    * encoded in an order-preserving string key (padded hash || padded
-    * reversed position) so DuckDB's min() reproduces the selection
-    * bit-for-bit. Positions are 1-based; text must be < 1e6 chars (the
-    * position pad width). */
+    * Plan shape: the per-document selection is row-local, so it runs as a
+    * single-pass JVM kernel (same fast-backend idiom as minhashSigUdf —
+    * the first cut computed gram hashes relationally with `substr(t, pos,
+    * k)`, whose per-call codepoint scan made the gram pass O(L²)/doc and
+    * cost ~9 s at sf0.1; the kernel is one O(L·w) pass, ~0.5 s) followed by
+    * an explode — NO shuffle at all: a stateless map over the corpus, the
+    * ideal 100 TB shape. Grams are codepoint-based (matching SQL substr
+    * semantics); a position is selected iff it is the rightmost minimum of
+    * some window, so selections are distinct by construction. */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
-                         textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
-    val grams = df
-      .select(col(idCol), col(textCol).as("t"),
-        (length(col(textCol)) - (k - 1)).as("ng"))
-      .where(col("ng") >= w)
-      .select(col(idCol), col("t"), col("ng"),
-        explode(sequence(lit(1), col("ng"))).as("pos"))
-      .select(col(idCol), col("ng"), col("pos"),
-        conv(substring(md5(col("t").substr(col("pos"), lit(k))), 1, 15), 16, 10)
-          .cast("long").as("h"))
-    // position p participates in windows max(1, p-w+1) .. min(p, ng-w+1)
-    val windows = grams
-      .select(col(idCol), col("pos"), col("h"),
-        explode(sequence(greatest(lit(1), col("pos") - (w - 1)),
-          least(col("pos"), col("ng") - (w - 1)))).as("win"))
-    val skey = concat(lpad(col("h").cast("string"), 19, "0"),
-      lpad((lit(999999) - col("pos")).cast("string"), 6, "0"))
-    windows
-      .groupBy(col(idCol), col("win"))
-      .agg(min(skey).as("sel"))
-      .select(col(idCol),
-        (lit(999999) - substring(col("sel"), 20, 6).cast("long")).as("pos"),
-        substring(col("sel"), 1, 19).cast("long").as("h"))
-      .distinct()
+                         textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        explode(winnowUdf(col(textCol), lit(k), lit(w))).as("fp"))
+      .select(col(idCol), col("fp.pos").as("pos"), col("fp.h").as("h"))
+
+  final case class WinnowFp(pos: Long, h: Long)
+
+  /** Winnow selection kernel: (1-based pos, 60-bit md5 hash) of each
+    * window's rightmost-minimum k-gram hash. */
+  val winnowUdf = org.apache.spark.sql.functions.udf {
+    (text: String, k: Int, w: Int) =>
+      if (text == null) Array.empty[WinnowFp]
+      else {
+        val cps = text.codePoints().toArray
+        val ng = cps.length - (k - 1)
+        if (ng < w) Array.empty[WinnowFp]
+        else {
+          val hs = new Array[Long](ng)
+          var i = 0
+          while (i < ng) {
+            hs(i) = java.lang.Long.parseLong(
+              md5Hex(new String(cps, i, k)).substring(0, 15), 16)
+            i += 1
+          }
+          // rightmost min of each w-window; a position has one hash, so
+          // "selected positions" is already the distinct fingerprint set
+          val picked = new Array[Boolean](ng)
+          var j = 0
+          while (j + w <= ng) {
+            var best = j
+            var b = j + 1
+            while (b < j + w) { if (hs(b) <= hs(best)) best = b; b += 1 }
+            picked(best) = true
+            j += 1
+          }
+          val out = Array.newBuilder[WinnowFp]
+          i = 0
+          while (i < ng) { if (picked(i)) out += WinnowFp((i + 1).toLong, hs(i)); i += 1 }
+          out.result()
+        }
+      }
   }
 }

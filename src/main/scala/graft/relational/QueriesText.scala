@@ -982,13 +982,20 @@ object QueriesText {
     // hashes with the rightmost-min tie rule — position-robust substring
     // fingerprints (any shared run >= k+w-1 chars guarantees a shared
     // selection), the local-similarity primitive bag-of-shingles minhash
-    // lacks. One shuffle on (doc, window); the tie rule rides an
-    // order-preserving string key so DuckDB's min() replays the selection
-    // exactly. Output: per-doc fingerprint count + count of fingerprints
-    // shared with another doc (the plagiarism signal).
+    // lacks. The selection runs as a row-local JVM kernel (no shuffle —
+    // see TextFunctions.winnowFingerprints for the O(L²) relational form
+    // it replaced); the oracle replays it with an order-preserving
+    // hash||reversed-pos string key under min(). Output: per-doc
+    // fingerprint count + count of fingerprints shared with another doc
+    // (the plagiarism signal).
     Q("q_winnow",
       (s, dir) => {
-        val fps = winnowFingerprints(T(s, dir, "documents"), "doc_id", "text", 5, 4)
+        // the fingerprint set feeds BOTH the share count and the join —
+        // persist it once (SharedInputs) or the whole explode+min pipeline
+        // runs twice (measured 10.6 -> 5.9 s at sf0.1)
+        val fps = SharedInputs(s, dir, "winnowFps") {
+          winnowFingerprints(T(s, dir, "documents"), "doc_id", "text", 5, 4)
+        }
         val shared = fps.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
         fps.join(shared, Seq("h"))
           .groupBy("doc_id")
