@@ -256,6 +256,24 @@ object Graft {
         (col("cum") / maxTokens).cast("long").as("seq_id"))
   }
 
+  /** Overlapping token-window chunking (RAG / long-document training
+    * prep): windows of `size` tokens advancing by `stride`. Pure builtin
+    * array ops — stateless map, no shuffle. Returns (id, chunk_id,
+    * chunk). */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride >= 1 && size >= stride, s"need size >= stride >= 1, got $size/$stride")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), col("toks"),
+        org.apache.spark.sql.functions.size(col("toks")).as("n"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(1),
+          greatest(col("n") - (size - stride), lit(1)), lit(stride))).as("start"))
+      .select(col(idCol), ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("start"), lit(size)), " ").as("chunk"))
+  }
+
   /** Winnowing fingerprints (the MOSS local-similarity scheme): per-window
     * minimum of char k-gram hashes, rightmost-min ties — any shared run of
     * >= k+w-1 chars guarantees a shared fingerprint. See

@@ -1020,6 +1020,38 @@ object QueriesText {
              |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
              |FROM fp JOIN sh USING (h) GROUP BY doc_id""".stripMargin)),
 
+    // overlapping token-window chunking (RAG / long-doc training prep):
+    // each doc splits into windows of `size` tokens advancing by `stride`,
+    // the final partial window kept iff it adds tokens. Pure builtin array
+    // ops (sequence + slice + array_join) — stateless map, no shuffle, and
+    // the chunk text is re-derivable so the oracle hashes it exactly.
+    Q("q_chunk_docs",
+      (s, dir) => {
+        val size = 32; val stride = 24
+        val base = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"), org.apache.spark.sql.functions.size(col("toks")).as("n"))
+        base
+          // chunk starts: 1, 1+stride, ... while start <= n (at least one)
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(sequence(lit(1),
+              greatest(col("n") - (size - stride), lit(1)), lit(stride))).as("start"))
+          .select(col("doc_id"), ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+            array_join(slice(col("toks"), col("start"), lit(size)), " ").as("chunk"))
+          .select(col("doc_id"), col("chunk_id"),
+            org.apache.spark.sql.functions.size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+            md5(col("chunk")).as("chunk_h"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |  len(string_split(text, ' ')) AS n FROM documents),
+             |st AS (SELECT doc_id, toks,
+             |  unnest(range(1, greatest(n - 8, 1) + 1, 24)) AS start FROM t),
+             |c AS (SELECT doc_id, ((start - 1) // 24)::BIGINT AS chunk_id,
+             |  list_aggregate(toks[start:start+31], 'string_agg', ' ') AS chunk FROM st)
+             |SELECT doc_id, chunk_id,
+             |  len(string_split(chunk, ' '))::BIGINT AS n_tokens, md5(chunk) AS chunk_h
+             |FROM c""".stripMargin)),
+
     // sequence packing: assign docs to fixed token-budget training chunks
     // by exclusive prefix sum of token counts in doc_id order — through the
     // DISTRIBUTED two-phase scan (operators.PrefixSum), not the

@@ -134,6 +134,24 @@ class SketchSpec extends AnyFunSuite {
     assert(bitsA.zip(bitsAB).forall { case (x, y) => (x & ~y) == 0L })
   }
 
+  test("chunkDocs covers every token with the declared overlap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = graft.api.Graft.chunkDocs(docs, "doc_id", "text", 32, 24)
+      .select("chunk_id", "chunk").as[(Long, String)].collect().sortBy(_._1)
+    // starts 1, 25, 49, 73 -> 4 chunks; last covers tokens 73..100
+    assert(chunks.length == 4)
+    assert(chunks.head._2.startsWith("t1 ") && chunks.head._2.endsWith(" t32"))
+    assert(chunks.last._2.startsWith("t73 ") && chunks.last._2.endsWith(" t100"))
+    // consecutive chunks overlap by size - stride = 8 tokens
+    val c0 = chunks(0)._2.split(" ").toSeq
+    val c1 = chunks(1)._2.split(" ").toSeq
+    assert(c0.takeRight(8) == c1.take(8))
+    // every token appears in some chunk
+    val all = chunks.flatMap(_._2.split(" ")).toSet
+    assert(all == (1 to 100).map(i => s"t$i").toSet)
+  }
+
   test("winnowing guarantees a shared fingerprint for long shared runs") {
     // k=5, w=4: any shared substring of length >= k+w-1 = 8 must produce
     // at least one common selected fingerprint
