@@ -37,6 +37,39 @@ object QueriesRelational {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin)),
 
+    // Bucketed co-located join: both fact tables written bucketed+sorted on
+    // the join key (8 buckets), so the sort-merge join needs NO Exchange
+    // and NO per-task Sort — the "pre-shuffle once, join forever" layout a
+    // 100 TB star schema lives on (BucketedJoinSpec pins the
+    // exchange-free plan; write once per session via SharedInputs). The
+    // oracle computes the same join-aggregate from the raw parquet.
+    Q("q_bucketed_join",
+      (s, dir) => {
+        val joined = SharedInputs(s, dir, "bucketedJoin") {
+          val tag = "b" + math.abs(dir.hashCode).toString
+          val (to, tl) = (s"g_orders_$tag", s"g_lineitem_$tag")
+          T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"${System.getProperty("java.io.tmpdir")}/graft_bkt/$to")
+            .saveAsTable(to)
+          T(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+            .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"${System.getProperty("java.io.tmpdir")}/graft_bkt/$tl")
+            .saveAsTable(tl)
+          // merge hint: at gate SF the planner would broadcast the small
+          // side; the point is the exchange-free bucketed SMJ path
+          s.table(to).hint("merge")
+            .join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+        }
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     Q("q_window_running",
       (s, dir) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

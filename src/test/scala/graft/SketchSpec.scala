@@ -134,6 +134,25 @@ class SketchSpec extends AnyFunSuite {
     assert(bitsA.zip(bitsAB).forall { case (x, y) => (x & ~y) == 0L })
   }
 
+  test("bucketed tables sort-merge join without any exchange") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_spec"
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (1 to 1500).map(i => ((i % 500 + 1).toLong, i)).toDF("k2", "bv")
+    a.write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .option("path", s"$base/ta").saveAsTable("spec_ta")
+    b.write.mode("overwrite").bucketBy(4, "k2").sortBy("k2")
+      .option("path", s"$base/tb").saveAsTable("spec_tb")
+    val j = spark.table("spec_ta").hint("merge")
+      .join(spark.table("spec_tb"), col("k") === col("k2"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"bucketed join planned a shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"bucketed layout not used:\n$plan")
+    assert(j.count() == 1500L) // same result as the unbucketed join
+    assert(a.join(b, col("k") === col("k2")).count() == 1500L)
+  }
+
   test("chunkDocs covers every token with the declared overlap") {
     val text = (1 to 100).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text)).toDF("doc_id", "text")
