@@ -256,6 +256,23 @@ object Graft {
         (col("cum") / maxTokens).cast("long").as("seq_id"))
   }
 
+  /** One-call corpus summary (volume, exact-dup rate, language spread) as
+    * a single declarative plan — the q_corpus_report pipeline as API. */
+  def corpusReport(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, langCol: String): org.apache.spark.sql.DataFrame = {
+    val overall = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      countDistinct(md5(col(textCol))).as("n_distinct_texts"),
+      countDistinct(col(langCol)).as("n_langs"))
+    val top = docs.groupBy(langCol).agg(count(lit(1)).as("c"))
+      .agg(max(struct(col("c"), col(langCol).as("lang"))).as("m"))
+      .select(col("m.lang").as("top_lang"), col("m.c").as("top_lang_docs"))
+    overall.crossJoin(broadcast(top))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"), 4))
+  }
+
   /** Overlapping token-window chunking (RAG / long-document training
     * prep): windows of `size` tokens advancing by `stride`. Pure builtin
     * array ops — stateless map, no shuffle. Returns (id, chunk_id,

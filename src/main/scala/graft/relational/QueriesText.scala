@@ -1075,6 +1075,40 @@ object QueriesText {
              |  - len(string_split(text, ' '))) // 512)::BIGINT AS seq_id
              |FROM documents""".stripMargin)),
 
+    // one-call corpus summary: the numbers a pipeline owner looks at before
+    // anything else (volume, exact-dup rate, language spread), as ONE
+    // declarative plan — a single scan feeding count/countDistinct plus a
+    // tiny per-lang agg for the top language (ties to the lexicographically-
+    // greatest lang, same rule both engines). Every aggregate is integer-exact except dup_frac's final
+    // division (rounded identically on both engines).
+    Q("q_corpus_report",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val overall = d.agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"),
+          countDistinct(col("lang")).as("n_langs"))
+        val top = d.groupBy("lang").agg(count(lit(1)).as("c"))
+          .agg(max(struct(col("c"), col("lang"))).as("m"))
+          .select(col("m.lang").as("top_lang"), col("m.c").as("top_lang_docs"))
+        overall.crossJoin(broadcast(top))
+          .select(col("n_docs"), col("n_tokens"), col("n_distinct_texts"),
+            round(lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"), 4)
+              .as("dup_frac"),
+            col("n_langs"), col("top_lang"), col("top_lang_docs"))
+      },
+      Some("""WITH o AS (SELECT count(*) AS n_docs,
+             |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+             |  count(DISTINCT md5(text)) AS n_distinct_texts,
+             |  count(DISTINCT lang) AS n_langs FROM documents),
+             |t AS (SELECT lang AS top_lang, count(*) AS top_lang_docs FROM documents
+             |  GROUP BY lang ORDER BY count(*) DESC, lang DESC LIMIT 1)
+             |SELECT n_docs, n_tokens, n_distinct_texts,
+             |  round(1.0 - n_distinct_texts::DOUBLE / n_docs, 4) AS dup_frac,
+             |  n_langs, top_lang, top_lang_docs
+             |FROM o, t""".stripMargin)),
+
     // temperature-scaled source-mixing weights (alpha = 0.5 via sqrt, which
     // is IEEE-correctly-rounded, so both engines agree bit-for-bit): per-
     // source token mass -> w_s proportional to sqrt(tokens), normalized. The

@@ -134,6 +134,17 @@ class SketchSpec extends AnyFunSuite {
     assert(bitsA.zip(bitsAB).forall { case (x, y) => (x & ~y) == 0L })
   }
 
+  test("corpusReport summarizes volume, dups, and language spread") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "a b c", "en"), (3L, "d e", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val r = graft.api.Graft.corpusReport(docs, "doc_id", "text", "lang").collect().head
+    assert(r.getAs[Long]("n_docs") == 3 && r.getAs[Long]("n_tokens") == 8)
+    assert(r.getAs[Long]("n_distinct_texts") == 2 && r.getAs[Long]("n_langs") == 2)
+    assert(r.getAs[String]("top_lang") == "en" && r.getAs[Long]("top_lang_docs") == 2)
+    assert(r.getAs[Double]("dup_frac") == 0.3333)
+  }
+
   test("bucketed tables sort-merge join without any exchange") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_spec"
     val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "av")
