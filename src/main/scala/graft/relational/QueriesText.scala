@@ -1075,6 +1075,25 @@ object QueriesText {
              |  - len(string_split(text, ' '))) // 512)::BIGINT AS seq_id
              |FROM documents""".stripMargin)),
 
+    // end-to-end gate for the cleanCorpus FACADE itself (exact dedup
+    // keep-min -> quality gate -> PII redaction composed in one plan):
+    // the pieces are individually gated (q_dedup_exact, q_stream_quality's
+    // filter rule, q_redact), this pins their composition — the oracle
+    // rebuilds the whole pipeline in SQL and hashes the redacted survivors.
+    Q("q_clean_corpus",
+      (s, dir) => graft.api.Graft.cleanCorpus(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), substring(md5(col("text")), 1, 8).as("clean_sig")),
+      Some("""WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+             |q AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)
+             |  WHERE len(string_split(d.text, ' ')) >= 20
+             |  AND len(list_filter(string_split(d.text, ' '),
+             |    w -> w IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+             |    / len(string_split(d.text, ' ')) <= 0.5)
+             |SELECT doc_id, substring(md5(regexp_replace(regexp_replace(text,
+             |  '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+             |  '[0-9]+', '<num>', 'g')), 1, 8) AS clean_sig
+             |FROM q""".stripMargin)),
+
     // one-call corpus summary: the numbers a pipeline owner looks at before
     // anything else (volume, exact-dup rate, language spread), as ONE
     // declarative plan — a single scan feeding count/countDistinct plus a
