@@ -239,6 +239,22 @@ object TextFunctions {
         explode(winnowUdf(col(textCol), lit(k), lit(w))).as("fp"))
       .select(col(idCol), col("fp.pos").as("pos"), col("fp.h").as("h"))
 
+  /** Unicode normalization for the cleaning stack: NFC compose, strip
+    * combining marks (accent fold), lowercase — the canonicalization that
+    * runs BEFORE any hash-based dedup so that composed and decomposed
+    * spellings of the same word collide. JVM `java.text.Normalizer`
+    * implements the same Unicode NFC/NFD tables DuckDB's
+    * `nfc_normalize`/`strip_accents` use, so results are engine-identical. */
+  val normalizeUdf = org.apache.spark.sql.functions.udf { (text: String) =>
+    if (text == null) null
+    else {
+      val decomposed = java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFD)
+      val stripped = decomposed.replaceAll("\\p{M}+", "")
+      java.text.Normalizer.normalize(stripped, java.text.Normalizer.Form.NFC)
+        .toLowerCase(java.util.Locale.ROOT)
+    }
+  }
+
   final case class WinnowFp(pos: Long, h: Long)
 
   /** Winnow selection kernel: (1-based pos, 60-bit md5 hash) of each

@@ -1075,6 +1075,28 @@ object QueriesText {
              |  - len(string_split(text, ' '))) // 512)::BIGINT AS seq_id
              |FROM documents""".stripMargin)),
 
+    // Unicode normalization (the canonicalize-before-dedup step): NFC +
+    // accent fold + casefold. The gate builds text with BOTH composed
+    // (chr(233) = é) and decomposed (e + chr(769) combining acute)
+    // spellings in-query, so it exercises the actual mark-stripping path —
+    // JVM java.text.Normalizer and DuckDB's utf8proc implement the same
+    // Unicode tables, and the length delta pins the removed-mark count.
+    Q("q_normalize_text",
+      (s, dir) => {
+        // composed e-acute (U+00E9) AND a decomposed e + combining acute
+        // (U+0301) below — byte-identical to the oracle chr() construction
+        val raw = concat(lit("CAFé é "), substring(col("text"), 1, 24))
+        T(s, dir, "documents").select(col("doc_id"),
+          length(raw).as("n_raw"),
+          length(normalizeUdf(raw)).as("n_norm"),
+          substring(md5(normalizeUdf(raw)), 1, 8).as("norm_sig"))
+      },
+      Some("""SELECT doc_id,
+             |length('CAF' || chr(233) || ' e' || chr(769) || ' ' || substr(text, 1, 24)) AS n_raw,
+             |length(lower(strip_accents('CAF' || chr(233) || ' e' || chr(769) || ' ' || substr(text, 1, 24)))) AS n_norm,
+             |substring(md5(lower(strip_accents('CAF' || chr(233) || ' e' || chr(769) || ' ' || substr(text, 1, 24)))), 1, 8) AS norm_sig
+             |FROM documents""".stripMargin)),
+
     // end-to-end gate for the cleanCorpus FACADE itself (exact dedup
     // keep-min -> quality gate -> PII redaction composed in one plan):
     // the pieces are individually gated (q_dedup_exact, q_stream_quality's

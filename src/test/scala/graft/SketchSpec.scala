@@ -134,6 +134,15 @@ class SketchSpec extends AnyFunSuite {
     assert(bitsA.zip(bitsAB).forall { case (x, y) => (x & ~y) == 0L })
   }
 
+  test("unicode normalization folds composed and decomposed spellings together") {
+    val composed = "Café"             // é as one codepoint
+    val decomposed = "Café"          // e + combining acute
+    val docs = Seq((1L, composed), (2L, decomposed)).toDF("id", "t")
+    val out = docs.select(graft.functions.TextFunctions.normalizeUdf(col("t")))
+      .as[String].collect().toSet
+    assert(out == Set("cafe")) // both spellings collapse to one form
+  }
+
   test("corpusReport summarizes volume, dups, and language spread") {
     val docs = Seq(
       (1L, "a b c", "en"), (2L, "a b c", "en"), (3L, "d e", "fr")
