@@ -154,6 +154,43 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getAs[Double]("dup_frac") == 0.3333)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key holding ~all left rows: static planning gives one giant
+    // partition; AQE's OptimizeSkewedJoin must split it. This is the
+    // no-code-change skew path complementing the explicit salting
+    // operator (SkewedAgg) — thresholds lowered so the 40k-row fixture
+    // qualifies as "skewed".
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = (1 to 40000).map(i => (if (i % 100 == 0) i.toLong else 7L, i))
+        .toDF("k", "v")
+      val right = (1 to 2000).map(i => (i.toLong, s"r$i")).toDF("k2", "w")
+      val j = left.join(right, col("k") === col("k2"))
+      // collect() (not count()) so THIS plan's AdaptiveSparkPlan executes
+      // and re-plans; count() would build and run a different plan
+      val rows = j.collect()
+      // hot key 7 -> 39600 matches; sparse keys 100..2000 step 100 -> 20
+      assert(rows.length == 39620)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("bucketed tables sort-merge join without any exchange") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_spec"
     val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "av")
