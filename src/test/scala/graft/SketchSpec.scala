@@ -154,6 +154,29 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getAs[Double]("dup_frac") == 0.3333)
   }
 
+  test("dynamic partition pruning reaches the partitioned fact scan") {
+    // fact partitioned on the join key + a filtered dim: the scan must
+    // carry a dynamicpruning subquery in its PartitionFilters so only
+    // dim-surviving partitions are read at runtime — the star-schema
+    // pruning a date-partitioned 100 TB fact lives on
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp"
+    val fact = (1 to 20000).map(i => (i, s"t${i % 8}")).toDF("v", "tag")
+    fact.write.mode("overwrite").partitionBy("tag").parquet(base)
+    // the dim must come from a source relation: a filtered LocalRelation
+    // constant-folds away, and the pruning rule then sees no selective
+    // predicate on the build side
+    // the filter must also be "likely selective" (a comparison, not a
+    // bare boolean attribute) for the pruning rule to consider it
+    (0 until 8).map(i => (s"t$i", i % 2)).toDF("dtag", "flag")
+      .write.mode("overwrite").parquet(s"$base-dim")
+    val dim = spark.read.parquet(s"$base-dim")
+    val j = spark.read.parquet(base)
+      .join(dim.where(col("flag") === 0), col("tag") === col("dtag"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP filter in the fact scan:\n${plan.take(1500)}")
+    assert(j.count() == 10000L) // 4 of 8 tags survive
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // one hot key holding ~all left rows: static planning gives one giant
     // partition; AQE's OptimizeSkewedJoin must split it. This is the
