@@ -62,9 +62,14 @@ object RadonExpr {
 
 /** Filtered backprojection as a native Expression over
   * [[graft.kernels.RadonKernel.inverseRadonSlice]]
-  * (/root/reference/imops/src/_backprojection.pyx:22-79). */
+  * (/root/reference/imops/src/_backprojection.pyx:22-79). `a`/`b` select
+  * the smooth/sharpen filter family `ramp*(1 + a*ramp^b)`
+  * (/root/reference/imops/radon.py:235-237); they are plan-time constants
+  * (the reference takes them as scalar call arguments), so they ride on
+  * the case class rather than as child expressions. */
 case class InverseRadonExpr(sino: Expression, size: Expression,
-                            theta: Expression, fill: Expression)
+                            theta: Expression, fill: Expression,
+                            a: Double = 0.0, b: Double = 1.0)
   extends Expression {
 
   override def children: Seq[Expression] = Seq(sino, size, theta, fill)
@@ -94,7 +99,7 @@ case class InverseRadonExpr(sino: Expression, size: Expression,
       ExprGuards.evalGuard(s.asInstanceOf[ArrayData], sinoElemNullable, "iradon sinogram"),
       n.asInstanceOf[Int],
       ExprGuards.evalGuard(t.asInstanceOf[ArrayData], thetaElemNullable, "iradon theta"),
-      f.asInstanceOf[Double])
+      f.asInstanceOf[Double], a, b)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -103,7 +108,7 @@ case class InverseRadonExpr(sino: Expression, size: Expression,
             ${ExprGuards.genGuard(gs(0).value.toString, sinoElemNullable, "iradon sinogram")},
             ${gs(1).value},
             ${ExprGuards.genGuard(gs(2).value.toString, thetaElemNullable, "iradon theta")},
-            ${gs(3).value})"""
+            ${gs(3).value}, $a, $b)"""
     val childCode = code"${gs(0).code}\n${gs(1).code}\n${gs(2).code}\n${gs(3).code}"
     // when no child is nullable, ev.isNull is the FalseLiteral "false" and
     // must not be redeclared as a boolean variable
@@ -132,12 +137,21 @@ case class InverseRadonExpr(sino: Expression, size: Expression,
 }
 
 object InverseRadonExpr {
-  def call(sino: ArrayData, size: Int, theta: ArrayData, fill: Double): ArrayData =
+  def call(sino: ArrayData, size: Int, theta: ArrayData, fill: Double,
+           a: Double, b: Double): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(graft.kernels.RadonKernel.inverseRadonSlice(
-      sino.toDoubleArray(), size, theta.toDoubleArray(), fill))
+      sino.toDoubleArray(), size, theta.toDoubleArray(), fill, a, b))
 
   def inverseRadon(sino: Column, size: Column, theta: Column, fill: Column): Column =
     GraftColumnBridge.column(InverseRadonExpr(GraftColumnBridge.expression(sino),
       GraftColumnBridge.expression(size), GraftColumnBridge.expression(theta),
       GraftColumnBridge.expression(fill)))
+
+  /** Smooth/sharpen filter family `ramp*(1 + a*ramp^b)`
+    * (/root/reference/imops/radon.py:235-237). */
+  def inverseRadonFiltered(sino: Column, size: Column, theta: Column, fill: Column,
+                           a: Double, b: Double): Column =
+    GraftColumnBridge.column(InverseRadonExpr(GraftColumnBridge.expression(sino),
+      GraftColumnBridge.expression(size), GraftColumnBridge.expression(theta),
+      GraftColumnBridge.expression(fill), a, b))
 }

@@ -135,15 +135,25 @@ object DistributedLabel {
   final case class Px3(g: Long, rep: Long)
   final case class Border3(bkey: Long, pos: Int, side: Int, rep: Long)
 
-  /** 3-D volumes: same two-level scheme with face (plane) boundaries. */
-  def apply3(tiles: Dataset[Tile3], ts: Int, grid: Array[Int])
+  /** 3-D volumes: same two-level scheme with face (plane) boundaries.
+    *
+    * `connectivity` follows the reference's skimage convention mapped to
+    * cc3d 6/18/26 (/root/reference/imops/measure.py:22-29): 1 = faces only,
+    * 2 = +edges, 3 = +corners. At connectivity 1 cross-tile merging is the
+    * face-key matching below (zero coordinate math on the shuffle key); at
+    * 2-3 a border cell can also connect through tile EDGES and CORNERS, so
+    * the exchange switches to a shell-probe equi-join: every true cell on a
+    * tile's 1-deep shell emits its out-of-tile neighbor coordinates, which
+    * join against the shells of the owning tiles. Shuffle volume stays
+    * O(surface × neighborhood), never O(volume). */
+  def apply3(tiles: Dataset[Tile3], ts: Int, grid: Array[Int], connectivity: Int = 1)
             (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val (d1, d2) = (grid(1) * ts, grid(2) * ts)
 
     def localReps(t: Tile3): (graft.kernels.LabelKernel.Result, collection.Map[Long, Long]) = {
       val res = graft.kernels.LabelKernel.label(
-        t.data.map(b => if (b) 1.0 else 0.0), Array(ts, ts, ts), connectivity = 1)
+        t.data.map(b => if (b) 1.0 else 0.0), Array(ts, ts, ts), connectivity = connectivity)
       val rep = scala.collection.mutable.Map.empty[Long, Long]
       var f = 0
       while (f < ts * ts * ts) {
@@ -171,34 +181,72 @@ object DistributedLabel {
       }
     }.toDF("g", "rep").cache()
 
-    val borders = tiles.flatMap { t =>
-      val (res, rep) = localReps(t)
-      def repAt(i: Int, j: Int, k: Int): Option[Long] = {
-        val lb = res.labels((i * ts + j) * ts + k)
-        if (lb == 0) None else Some(rep(lb))
+    val edges =
+      if (connectivity == 1) {
+        val borders = tiles.flatMap { t =>
+          val (res, rep) = localReps(t)
+          def repAt(i: Int, j: Int, k: Int): Option[Long] = {
+            val lb = res.labels((i * ts + j) * ts + k)
+            if (lb == 0) None else Some(rep(lb))
+          }
+          def faceKey(ti: Int, tj: Int, tk: Int, axis: Int): Long =
+            (((ti.toLong * grid(1) + tj) * grid(2) + tk) * 3) + axis
+          val out = scala.collection.mutable.ArrayBuffer.empty[Border3]
+          for (a <- 0 until ts; b <- 0 until ts) {
+            val pos = a * ts + b
+            // +i face of this tile vs -i face of tile below (axis 0)
+            repAt(ts - 1, a, b).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 0), pos, 0, r))
+            if (t.ti > 0) repAt(0, a, b).foreach(r => out += Border3(faceKey(t.ti - 1, t.tj, t.tk, 0), pos, 1, r))
+            // +j face (axis 1)
+            repAt(a, ts - 1, b).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 1), pos, 0, r))
+            if (t.tj > 0) repAt(a, 0, b).foreach(r => out += Border3(faceKey(t.ti, t.tj - 1, t.tk, 1), pos, 1, r))
+            // +k face (axis 2)
+            repAt(a, b, ts - 1).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 2), pos, 0, r))
+            if (t.tk > 0) repAt(a, b, 0).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk - 1, 2), pos, 1, r))
+          }
+          out
+        }.toDF("bkey", "pos", "side", "rep")
+        borders.where(col("side") === 0).as("a")
+          .join(borders.where(col("side") === 1).as("b"), Seq("bkey", "pos"))
+          .select(col("a.rep").as("src"), col("b.rep").as("dst"))
+          .where(col("src") =!= col("dst"))
+      } else {
+        // shell-probe exchange for edge/corner adjacency: true cells on the
+        // 1-deep shell of each tile, keyed by global coordinates. A probe is
+        // a shell cell's out-of-tile neighbor coordinate; the equi-join
+        // probe→shell materializes exactly the cross-tile adjacency. Cells
+        // adjacent WITHIN a tile share a local label already (the kernel ran
+        // at the same connectivity), so same-tile probes are filtered.
+        val (nD0, nD1, nD2) = (grid(0).toLong * ts, grid(1).toLong * ts, grid(2).toLong * ts)
+        val shell = tiles.flatMap { t =>
+          val (res, rep) = localReps(t)
+          for {
+            i <- 0 until ts; j <- 0 until ts; k <- 0 until ts
+            if i == 0 || i == ts - 1 || j == 0 || j == ts - 1 || k == 0 || k == ts - 1
+            lb = res.labels((i * ts + j) * ts + k) if lb != 0
+          } yield (t.ti.toLong * ts + i, t.tj.toLong * ts + j, t.tk.toLong * ts + k, rep(lb))
+        }.toDF("gi", "gj", "gk", "rep").cache()
+        val offsets = for {
+          di <- -1 to 1; dj <- -1 to 1; dk <- -1 to 1
+          m = math.abs(di) + math.abs(dj) + math.abs(dk) if m >= 1 && m <= connectivity
+        } yield (di, dj, dk)
+        val probes = shell.crossJoin(broadcast(offsets.toDF("di", "dj", "dk")))
+          .select(col("gi"), col("gj"), col("gk"), col("rep"),
+            (col("gi") + col("di")).as("ni"), (col("gj") + col("dj")).as("nj"),
+            (col("gk") + col("dk")).as("nk"))
+          .where(col("ni") >= 0 && col("ni") < nD0 && col("nj") >= 0 && col("nj") < nD1 &&
+            col("nk") >= 0 && col("nk") < nD2)
+          .where((col("ni") / ts).cast("long") =!= (col("gi") / ts).cast("long") ||
+            (col("nj") / ts).cast("long") =!= (col("gj") / ts).cast("long") ||
+            (col("nk") / ts).cast("long") =!= (col("gk") / ts).cast("long"))
+          .select(col("ni"), col("nj"), col("nk"), col("rep"))
+        probes.join(
+            shell.select(col("gi").as("ni"), col("gj").as("nj"), col("gk").as("nk"),
+              col("rep").as("rep2")),
+            Seq("ni", "nj", "nk"))
+          .select(col("rep").as("src"), col("rep2").as("dst"))
+          .where(col("src") =!= col("dst"))
       }
-      def faceKey(ti: Int, tj: Int, tk: Int, axis: Int): Long =
-        (((ti.toLong * grid(1) + tj) * grid(2) + tk) * 3) + axis
-      val out = scala.collection.mutable.ArrayBuffer.empty[Border3]
-      for (a <- 0 until ts; b <- 0 until ts) {
-        val pos = a * ts + b
-        // +i face of this tile vs -i face of tile below (axis 0)
-        repAt(ts - 1, a, b).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 0), pos, 0, r))
-        if (t.ti > 0) repAt(0, a, b).foreach(r => out += Border3(faceKey(t.ti - 1, t.tj, t.tk, 0), pos, 1, r))
-        // +j face (axis 1)
-        repAt(a, ts - 1, b).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 1), pos, 0, r))
-        if (t.tj > 0) repAt(a, 0, b).foreach(r => out += Border3(faceKey(t.ti, t.tj - 1, t.tk, 1), pos, 1, r))
-        // +k face (axis 2)
-        repAt(a, b, ts - 1).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 2), pos, 0, r))
-        if (t.tk > 0) repAt(a, b, 0).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk - 1, 2), pos, 1, r))
-      }
-      out
-    }.toDF("bkey", "pos", "side", "rep")
-
-    val edges = borders.where(col("side") === 0).as("a")
-      .join(borders.where(col("side") === 1).as("b"), Seq("bkey", "pos"))
-      .select(col("a.rep").as("src"), col("b.rep").as("dst"))
-      .where(col("src") =!= col("dst"))
     val symEdges = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
 

@@ -964,7 +964,181 @@ object QueriesGrid {
               |  LEFT JOIN filt f1 ON f1.ang = pr.a AND f1.r = CAST(floor(pr.t) AS INT) + 1),
               |bp AS (SELECT i, j, sum(c) * (pi() / 32) AS acc FROM contrib GROUP BY i, j)
               |SELECT p.i, p.j, CASE WHEN b.i IS NOT NULL THEN round(b.acc, 2) ELSE 0.0 END AS v
-              |FROM pix p LEFT JOIN bp b ON b.i = p.i AND b.j = p.j""".stripMargin))
+              |FROM pix p LEFT JOIN bp b ON b.i = p.i AND b.j = p.j""".stripMargin)),
+
+    // rank-3 zoom at ORDER 1 — the reference's headline benchmark op
+    // (trilinear 256^3 zoom, /root/reference/README.md:25,
+    // /root/reference/imops/src/_zoom.pyx:372-399) through the oracle gate:
+    // 8^3 -> 12^3 at scale 1.5, source coordinate c = i * (7/11)
+    // (adjusted_coef = (old-1)/(new-1)), 8-corner lerp with the kernel's
+    // exact corner order (axis-0 bit fastest) and weight association
+    // (1.0 * w0 * w1 * w2) — see ZoomKernel.zoom3; an out-of-range upper
+    // corner carries weight exactly 0, so coalesce-to-0 is exact
+    Q("q_zoom3d_linear",
+      (s, dir) => {
+        val t3 = value3Grid(s, dir)
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("k"), col("v")))),
+            x => x.getField("v").cast("double")).as("data"))
+        t3.select(graft.exprs.ZoomExpr.zoomCol(col("data"), array(lit(8), lit(8), lit(8)),
+            array(lit(1.5), lit(1.5), lit(1.5)), lit(1), lit(0.0)).getField("_1").as("z"))
+          .select(posexplode(col("z")).as(Seq("pos", "raw")))
+          .select((col("pos") / 144).cast("long").as("i"),
+            ((col("pos") / 12).cast("int") % 12).cast("long").as("j"),
+            (col("pos") % 12).cast("long").as("k"), round(col("raw"), 4).as("v"))
+      },
+      Some {
+        def c(x: String) = s"($x * (7.0 / 11.0))"
+        def f(x: String) = s"floor(${c(x)})"
+        def pix(ri: String, ci: String, ki: String) =
+          s"coalesce(d[CASE WHEN $ri BETWEEN 0 AND 7 AND $ci BETWEEN 0 AND 7 AND $ki BETWEEN 0 AND 7 " +
+            s"THEN cast(($ri * 8 + $ci) * 8 + $ki AS INT) + 1 ELSE NULL END], 0.0)"
+        val fs = Seq("ra.a", "rb.b", "rc.c").map(x => s"cast(${f(x)} AS INT)")
+        val ds = Seq("ra.a", "rb.b", "rc.c").map(x => s"(${c(x)} - ${f(x)})")
+        val terms = (0 until 8).map { corner =>
+          val up = (0 until 3).map(d => ((corner >> d) & 1) == 1)
+          val ws = (0 until 3).map(d => if (up(d)) ds(d) else s"(1 - ${ds(d)})")
+          val ix = (0 until 3).map(d => if (up(d)) s"(${fs(d)} + 1)" else fs(d))
+          s"(1.0 * ${ws(0)} * ${ws(1)} * ${ws(2)}) * ${pix(ix(0), ix(1), ix(2))}"
+        }
+        s"""WITH $value3GridCte,
+           |g AS (SELECT list(v ORDER BY i, j, k) AS d FROM grid3)
+           |SELECT ra.a AS i, rb.b AS j, rc.c AS k, round(
+           |  ${terms.mkString("\n+ ")}, 4) AS v
+           |FROM range(12) ra(a) CROSS JOIN range(12) rb(b) CROSS JOIN range(12) rc(c)
+           |CROSS JOIN g""".stripMargin
+      }),
+
+    // rank-4 zoom at ORDER 1: 4^4 -> 6^4 at scale 1.5, c = i * (3/5),
+    // 16-corner quadrilinear lerp mirroring ZoomKernel.zoom4's corner loop
+    // (corner bit d = axis d up) and left-assoc weight product
+    Q("q_zoom4d_linear",
+      (s, dir) => {
+        toTensor4(s, dir)
+          .select(graft.exprs.ZoomExpr.zoomCol(col("data"), array(lit(4), lit(4), lit(4), lit(4)),
+            array(lit(1.5), lit(1.5), lit(1.5), lit(1.5)), lit(1), lit(0.0)).getField("_1").as("z"))
+          .select(posexplode(col("z")).as(Seq("pos", "raw")))
+          .select((col("pos") / 216).cast("long").as("i"),
+            ((col("pos") / 36).cast("int") % 6).cast("long").as("j"),
+            ((col("pos") / 6).cast("int") % 6).cast("long").as("k"),
+            (col("pos") % 6).cast("long").as("l"), round(col("raw"), 4).as("v"))
+      },
+      Some {
+        def c(x: String) = s"($x * (3.0 / 5.0))"
+        def f(x: String) = s"floor(${c(x)})"
+        def pix(ix: Seq[String]) =
+          s"coalesce(d[CASE WHEN ${ix.map(i => s"$i BETWEEN 0 AND 3").mkString(" AND ")} " +
+            s"THEN cast(((${ix(0)} * 4 + ${ix(1)}) * 4 + ${ix(2)}) * 4 + ${ix(3)} AS INT) + 1 " +
+            "ELSE NULL END], 0.0)"
+        val xs = Seq("ra.a", "rb.b", "rc.c", "rd.m")
+        val fs = xs.map(x => s"cast(${f(x)} AS INT)")
+        val ds = xs.map(x => s"(${c(x)} - ${f(x)})")
+        val terms = (0 until 16).map { corner =>
+          val up = (0 until 4).map(d => ((corner >> d) & 1) == 1)
+          val ws = (0 until 4).map(d => if (up(d)) ds(d) else s"(1 - ${ds(d)})")
+          val ix = (0 until 4).map(d => if (up(d)) s"(${fs(d)} + 1)" else fs(d))
+          s"(1.0 * ${ws.mkString(" * ")}) * ${pix(ix)}"
+        }
+        s"""WITH $value4GridCte,
+           |g AS (SELECT list(v ORDER BY i, j, k, l) AS d FROM grid4)
+           |SELECT ra.a AS i, rb.b AS j, rc.c AS k, rd.m AS l, round(
+           |  ${terms.mkString("\n+ ")}, 4) AS v
+           |FROM range(6) ra(a) CROSS JOIN range(6) rb(b)
+           |CROSS JOIN range(6) rc(c) CROSS JOIN range(6) rd(m) CROSS JOIN g""".stripMargin
+      }),
+
+    // inverse_radon with the SHARPEN filter family ramp*(1 + a*ramp^b)
+    // (/root/reference/imops/radon.py:235-237), a=0.3, b=2 — both non-default
+    // parameters exercised. Oracle: since ramp = 2*DFT(f) with f the even-real
+    // spatial ramp kernel, multiplying the spectrum by ramp^(b+1) is circular
+    // convolution with f iterated b+1 times, so the filtered projection is
+    //   2*(x (*) f) + a*8*(x (*) f (*) f (*) f)
+    // — three chained 64-pt convolutions, then the same lerp backprojection
+    // as q_inverse_radon. FFT-vs-direct drift ~1e-12, inside round(_, 2).
+    Q("q_inverse_radon_sharpen",
+      (s, dir) => {
+        val theta = ZoomSeqLit.thetaArray(16)
+        toTensor(valueGrid(s, dir), asBool = false)
+          .select(graft.exprs.InverseRadonExpr.inverseRadonFiltered(
+            col("data"), lit(N), theta, lit(0.0), 0.3, 2.0).as("rec"))
+          .select(posexplode(col("rec")).as(Seq("pos", "out")))
+          .select((col("pos") / N).cast("long").as("i"), (col("pos") % N).cast("long").as("j"),
+            round(col("out"), 2).as("v"))
+      },
+      Some(s"""WITH $valueGridCte,
+              |f AS (SELECT t.d AS d, CASE WHEN t.d = 0 THEN 0.25
+              |  WHEN t.d % 2 = 1 THEN -1.0 / pow(pi() * least(t.d, 64 - t.d), 2)
+              |  ELSE 0.0 END AS fv FROM range(64) t(d)),
+              |c1 AS (SELECT rr.r AS r, g.j AS ang, sum(g.v * f.fv) AS val
+              |  FROM range(64) rr(r) CROSS JOIN grid g
+              |  JOIN f ON f.d = ((rr.r - 3 - g.i) % 64 + 64) % 64
+              |  GROUP BY rr.r, g.j),
+              |c2 AS (SELECT rr.r AS r, c1.ang, sum(c1.val * f.fv) AS val
+              |  FROM range(64) rr(r) CROSS JOIN c1
+              |  JOIN f ON f.d = ((rr.r - c1.r) % 64 + 64) % 64
+              |  GROUP BY rr.r, c1.ang),
+              |c3 AS (SELECT rr.r AS r, c2.ang, sum(c2.val * f.fv) AS val
+              |  FROM range(23) rr(r) CROSS JOIN c2
+              |  JOIN f ON f.d = ((rr.r - c2.r) % 64 + 64) % 64
+              |  GROUP BY rr.r, c2.ang),
+              |filt AS (SELECT c3.r, c3.ang, 2.0 * c1.val + 0.3 * 8.0 * c3.val AS val
+              |  FROM c3 JOIN c1 ON c1.r = c3.r AND c1.ang = c3.ang),
+              |ang AS (SELECT t.a AS a,
+              |  sin((180.0 * t.a / 16) / 180.0 * pi()) AS sn,
+              |  cos((180.0 * t.a / 16) / 180.0 * pi()) AS cs FROM range(16) t(a)),
+              |pix AS (SELECT r1.i AS i, r2.j AS j FROM range($N) r1(i) CROSS JOIN range($N) r2(j)),
+              |proj AS (SELECT p.i, p.j, a.a,
+              |  (p.j - 8) * a.cs - (p.i - 8) * a.sn + 11 AS t
+              |  FROM pix p CROSS JOIN ang a
+              |  WHERE (p.i - 8)*(p.i - 8) + (p.j - 8)*(p.j - 8) <= 64),
+              |contrib AS (SELECT pr.i, pr.j,
+              |  CASE WHEN pr.t >= 0 AND pr.t <= 22 THEN
+              |    CASE WHEN CAST(floor(pr.t) AS INT) = 22 THEN f0.val
+              |    ELSE (f1.val - f0.val) * (pr.t - CAST(floor(pr.t) AS INT)) + f0.val END
+              |  ELSE 0.0 END AS c
+              |  FROM proj pr
+              |  LEFT JOIN filt f0 ON f0.ang = pr.a AND f0.r = CAST(floor(pr.t) AS INT)
+              |  LEFT JOIN filt f1 ON f1.ang = pr.a AND f1.r = CAST(floor(pr.t) AS INT) + 1),
+              |bp AS (SELECT i, j, sum(c) * (pi() / 32) AS acc FROM contrib GROUP BY i, j)
+              |SELECT p.i, p.j, CASE WHEN b.i IS NOT NULL THEN round(b.acc, 2) ELSE 0.0 END AS v
+              |FROM pix p LEFT JOIN bp b ON b.i = p.i AND b.j = p.j""".stripMargin)),
+
+    // 3-D label at connectivity 3 (26-adjacency, the reference's cc3d 26
+    // mapping — /root/reference/imops/measure.py:22-29) through the
+    // distributed shell-probe exchange; a sparser mask than q_label3d
+    // (floor(v) % 7 bucket) keeps multiple components alive under the much
+    // more permissive corner adjacency. Oracle: recursive-CTE transitive
+    // closure over Chebyshev-distance-1 neighbors.
+    Q("q_label3d_conn3",
+      (s, dir) => {
+        import s.implicits._
+        val ts = 4
+        val sparse = value3Grid(s, dir).select(col("i"), col("j"), col("k"),
+          when(col("v") > 0.0 && floor(col("v")) % 7 === 0, 1).otherwise(0).as("v"))
+        val tiles = sparse
+          .select((col("i") / ts).cast("int").as("ti"), (col("j") / ts).cast("int").as("tj"),
+            (col("k") / ts).cast("int").as("tk"),
+            (col("i") % ts).as("li"), (col("j") % ts).as("lj"), (col("k") % ts).as("lk"), col("v"))
+          .groupBy("ti", "tj", "tk")
+          .agg(transform(array_sort(collect_list(struct(col("li"), col("lj"), col("lk"), col("v")))),
+            x => x.getField("v") === 1).as("data"))
+          .select(lit(0L).as("id"), col("ti"), col("tj"), col("tk"), col("data"))
+          .as[graft.operators.TiledStencil.Tile3]
+        graft.operators.DistributedLabel.apply3(tiles, ts, Array(2, 2, 2), connectivity = 3)(s)
+          .select(col("g"), col("label"))
+      },
+      Some(s"""WITH RECURSIVE $value3GridCte,
+              |m3s AS (SELECT i, j, k,
+              |  CASE WHEN v > 0.0 AND CAST(floor(v) AS BIGINT) % 7 = 0 THEN 1 ELSE 0 END AS v
+              |  FROM grid3),
+              |pts AS (SELECT (i * 8 + j) * 8 + k AS id, i, j, k FROM m3s WHERE v = 1),
+              |edge AS (SELECT a.id AS s, b.id AS t FROM pts a JOIN pts b
+              |  ON greatest(abs(a.i - b.i), abs(a.j - b.j), abs(a.k - b.k)) = 1),
+              |reach(s, t) AS (SELECT id, id FROM pts
+              |  UNION SELECT r.s, e.t FROM reach r JOIN edge e ON e.s = r.t),
+              |comp AS (SELECT s AS id, min(t) AS rep FROM reach GROUP BY s),
+              |lab AS (SELECT rep, CAST(row_number() OVER (ORDER BY rep) AS BIGINT) AS label
+              |  FROM (SELECT DISTINCT rep FROM comp) d)
+              |SELECT c.id AS g, l.label FROM comp c JOIN lab l ON l.rep = c.rep""".stripMargin))
   )
 }
 

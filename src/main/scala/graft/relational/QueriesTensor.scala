@@ -289,6 +289,28 @@ object QueriesTensor {
           |  ELSE -1.0 END) AS data
           |FROM arr WHERE len(data) >= 2""".stripMargin))),
 
+    // interp1d with UNSORTED abscissae (`assume_sorted=False`, the
+    // reference's argsort-permutation path —
+    // /root/reference/imops/src/_zoom.pyx:41-42): the same grid as
+    // q_interp1d_arr is fed to the kernel REVERSED (descending xs defeats
+    // the already-sorted fast path, forcing the internal argsort), with ys
+    // permuted identically; the oracle is the sorted-grid answer, so a green
+    // row proves the kernel's internal sort reproduces it exactly
+    Q("q_interp1d_unsorted",
+      (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")) >= 2)
+        .select(col("id"), graft.exprs.Interp1dExpr.interp1dArr(
+            reverse(transform(sequence(lit(0), size(col("data")) - 1), x => x.cast("double"))),
+            reverse(col("data")),
+            array(lit(0.5), lit(1.5), lit(2.5)),
+            lit(false), lit(-1.0)).as("raw"))
+        .select(col("id"), transform(col("raw"), x => round(x, 4)).as("data"))),
+      Some(explodeSql(arrCte,
+        """SELECT id, list_transform(range(0, 3), m ->
+          |CASE WHEN m + 1 <= len(data) - 1
+          |  THEN round(data[m + 1] * 0.5 + data[m + 2] * 0.5, 4)
+          |  ELSE -1.0 END) AS data
+          |FROM arr WHERE len(data) >= 2""".stripMargin))),
+
     // ---- zoom, 1-D oracle forms (/root/reference/imops/src/_zoom.pyx) ----
 
     Q("q_zoom1d_linear",
