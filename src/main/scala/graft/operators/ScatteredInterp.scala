@@ -24,13 +24,15 @@ object ScatteredInterp {
   def apply(points: DataFrame, pxCol: String, pyCol: String, pvCol: String,
             queries: DataFrame, qxCol: String, qyCol: String, outCol: String,
             fill: Double): DataFrame = {
-    // limit-probe short-circuits: no full scan of an oversized table
-    require(points.limit(MaxDriverPoints + 1).count() <= MaxDriverPoints,
+    // guard folded into the collect itself (take N+1, check length): one
+    // job instead of a separate limit-probe count per call, still no full
+    // scan of an oversized table
+    val rows = points.select(col(pxCol).cast("double"), col(pyCol).cast("double"),
+      col(pvCol).cast("double")).limit(MaxDriverPoints + 1).collect()
+    require(rows.length <= MaxDriverPoints,
       s"ScatteredInterp collects the sample points to the driver; got more than " +
         s"$MaxDriverPoints rows — pre-aggregate the surface or use " +
         "TiledScatteredInterp (per-tile executor triangulation, no driver cap)")
-    val rows = points.select(col(pxCol).cast("double"), col(pyCol).cast("double"),
-      col(pvCol).cast("double")).collect()
     val px = rows.map(_.getDouble(0))
     val py = rows.map(_.getDouble(1))
     val pv = rows.map(_.getDouble(2))
