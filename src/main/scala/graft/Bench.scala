@@ -300,8 +300,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = fmt4(results.map(_._2).sum)
     val eff = s""""eff_cores":${fmt4(effCores)},"conf_cores":$cpus,"quiet_waits":$waits"""
+    // the scale-soak record (graft.ScaleSoak: 1×/10×/30× wall + shuffle
+    // bytes for the LSH/pack/halo pipelines) rides along in the full
+    // artifact when present — it is run per-round by hand, not per-bench
+    val soak = {
+      val p = java.nio.file.Paths.get("SOAK_r6.json")
+      if (java.nio.file.Files.exists(p))
+        "," + "\"soak\":" + new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      else ""
+    }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$opsJson,$eff,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$opsJson,$eff,"sf":"$sfDir"$soak}"""
     // The driver keeps only the last 2000 chars of stdout and parses the
     // LAST line as JSON. The full record (74+ per-query entries, ~3KB) goes
     // to an earlier stdout line and a file; the final line stays compact

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak: runs the three 100 TB-path pipelines whose scaling story was
+  * design-verified but (through round 5) only ever executed at sf0.1 —
+  * LSH near-dup candidates, 3-D halo-exchange erosion, and the two-phase
+  * prefix-scan sequence packing — at 1× and 10× the sf input, recording
+  * wall time and total shuffle read/write bytes per run. The claim under
+  * test is SUB-QUADRATIC growth: a banded/capped candidate join, an
+  * O(surface) halo exchange, and an O(partials) scan should all scale
+  * ~linearly in input size; an all-pairs or O(volume) regression would show
+  * up as a ≥100× blow-up at 10×.
+  *
+  * The 10× corpus is the sf documents table replicated with re-keyed ids
+  * and a per-copy text suffix (so minhash/banding work is genuinely 10×
+  * distinct content, not exact-dup-collapsed back to 1×); the 10× volume is
+  * 10× more 64³ tiles along axis 0. Emits ONE JSON line; also written to
+  * SOAK_r6.json for the round artifact.
+  */
+object ScaleSoak {
+
+  final class ShuffleListener extends SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      read.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      write.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    docs0.persist().count()
+
+    /** Replicate ×n with re-keyed ids and EVERY token salted by the copy
+      * index: a one-token suffix would leave the copies near-duplicates of
+      * each other (shingle overlap ~1), quadratically inflating the TRUE
+      * near-dup pairs within each clone family — measuring the data, not
+      * the operator. Per-token salting disjoins the copies' shingle sets
+      * entirely, so the ×n corpus has n× the original's near-dup structure
+      * and a linear operator should scale ~n×. */
+    def corpus(n: Int): DataFrame =
+      if (n == 1) docs0
+      else spark.range(n).select(col("id").as("copy")).crossJoin(docs0)
+        .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("copy"))), " ").as("text"))
+
+    def timed(f: => Long): (Double, Long, Long, Long) = {
+      val l = new ShuffleListener
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are posted async (the bus drain API is
+      // private[spark]); poll until the counters go quiet
+      var prev = -1L
+      var tries = 0
+      while (prev != l.read.get + l.write.get && tries < 20) {
+        prev = l.read.get + l.write.get
+        Thread.sleep(250)
+        tries += 1
+      }
+      spark.sparkContext.removeSparkListener(l)
+      (sec, l.read.get, l.write.get, rows)
+    }
+
+    def lshRun(n: Int): Long = {
+      val c = corpus(n)
+      graft.api.Graft.nearDupCandidates(c, "doc_id", "text").count()
+    }
+
+    def packRun(n: Int): Long = {
+      implicit val sp: SparkSession = spark
+      val toks = corpus(n)
+        .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+      graft.operators.PrefixSum.exclusive(toks, "doc_id", "n_tokens", cpus.toInt)
+        .select(col("doc_id"), (col("cum") / 512).cast("long").as("seq_id"))
+        .groupBy("seq_id").count().count()
+    }
+
+    val tileGen = udf { (id: Long) =>
+      val m = 64 * 64 * 64
+      val a = new Array[Boolean](m)
+      var i = 0
+      while (i < m) { a(i) = ((id * 31 + i * 7) % 5) != 0; i += 1 }
+      a
+    }
+    def erodeRun(n: Int): Long = {
+      import spark.implicits._
+      val tiles = spark.range(64L * n).select(
+          lit(0L).as("id"),
+          (col("id") / 16).cast("int").as("ti"),
+          ((col("id") / 4) % 4).cast("int").as("tj"),
+          (col("id") % 4).cast("int").as("tk"),
+          tileGen(col("id")).as("data"))
+        .as[graft.operators.TiledStencil.Tile3]
+      graft.operators.TiledStencil.erode3(tiles, 64, Array(4 * n, 4, 4))(spark)
+        .toDF().count()
+    }
+
+    // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
+    lshRun(1); packRun(1); erodeRun(1)
+
+    // three scale points: 1× → 10× may cross a plan transition (e.g. a
+    // build side outgrowing the broadcast threshold, switching the banded
+    // self-join to shuffle — a one-time step in shuffle bytes); the
+    // 10× → 30× tail ratio is the clean linearity measurement past it.
+    // Quadratic behavior would show tail ratios near 9, linear near 3.
+    val out = new StringBuilder
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val scales = Seq(1, 10, 30)
+    val pipelines = Seq[(String, Int => Long)](
+      ("lsh_dedup", lshRun), ("pack_sequences", packRun), ("tiled_erosion3d", erodeRun))
+    val parts = pipelines.map { case (name, run) =>
+      val pts = scales.map { n => n -> timed(run(n)) }
+      val ptJson = pts.map { case (n, (sec, r, w, rows)) =>
+        s""""x$n":{"sec":${fmt(sec)},"shuffle_read":$r,"shuffle_write":$w,"rows":$rows}"""
+      }
+      val (_, (sA, rA, wA, _)) = pts(1)
+      val (_, (sB, rB, wB, _)) = pts(2)
+      val tail =
+        s""""tail_time_ratio":${fmt(sB / sA)},"tail_shuffle_ratio":${fmt((rB + wB).toDouble / math.max(1L, rA + wA))}"""
+      s""""$name":{${(ptJson :+ tail).mkString(",")}}"""
+    }
+    out ++= s"""{"sf":"$sfDir","scales":[1,10,30],"cores":$cpus,${parts.mkString(",")}}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r6.json"),
+        (out.toString + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(out.toString)
+    spark.stop()
+  }
+}
