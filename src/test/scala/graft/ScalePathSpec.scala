@@ -160,6 +160,26 @@ class DistributedLabelSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("3-D tiled labeling at connectivity 2 and 3 matches the kernel") {
+    // sparse mask so edge/corner adjacency actually decides components —
+    // a dense mask converges to one blob under 18/26-adjacency and would
+    // pass even with a broken shell-probe exchange
+    val rng = new scala.util.Random(7)
+    val dims = Array(16, 16, 16)
+    val ts = 8
+    val mask = Array.fill(dims.product)(rng.nextInt(5) == 0)
+    val tiles = TiledStencil.tile3(mask, dims, ts).toDS()
+    for (conn <- Seq(2, 3)) {
+      val got = DistributedLabel.apply3(tiles, ts, dims.map(_ / ts), connectivity = conn)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = LabelKernel.label(mask.map(b => if (b) 1.0 else 0.0), dims, connectivity = conn)
+      val expected = ref.labels.zipWithIndex.collect {
+        case (lb, i) if lb != 0 => i.toLong -> lb
+      }.toMap
+      assert(got == expected, s"connectivity $conn mismatch")
+    }
+  }
+
   test("components spanning many tiles merge to one label") {
     val (rows, cols, ts) = (32, 32, 16)
     val mask = new Array[Boolean](rows * cols)
