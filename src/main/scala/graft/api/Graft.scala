@@ -62,6 +62,25 @@ object Graft {
   def inverseRadon(sino: Column, size: Int, thetaDeg: Seq[Double], fillValue: Double = 0.0): Column =
     graft.exprs.InverseRadonExpr.inverseRadon(sino, lit(size), array(thetaDeg.map(lit): _*), lit(fillValue))
 
+  /** Filtered backprojection with the smooth/sharpen filter family
+    * `ramp*(1 + a*ramp^b)` (/root/reference/imops/radon.py:235-237). */
+  def inverseRadonFiltered(sino: Column, size: Int, thetaDeg: Seq[Double],
+                           fillValue: Double, a: Double, b: Double): Column =
+    graft.exprs.InverseRadonExpr.inverseRadonFiltered(sino, lit(size),
+      array(thetaDeg.map(lit): _*), lit(fillValue), a, b)
+
+  /** Distributed 3-D connected-components over tiled boolean volumes — the
+    * cluster path for the reference's `label` on volumes too large for one
+    * row (/root/reference/imops/measure.py:33-137). `connectivity` 1..3
+    * maps to cc3d 6/18/26 like the reference; cross-tile merge shuffles
+    * O(surface), never O(volume). Returns (global flat index, label) with
+    * the kernel's scan-order label numbering. */
+  def labelVolume(tiles: org.apache.spark.sql.Dataset[graft.operators.TiledStencil.Tile3],
+                  tileSize: Int, grid: Array[Int], connectivity: Int = 1)
+                 : org.apache.spark.sql.DataFrame =
+    graft.operators.DistributedLabel.apply3(tiles, tileSize, grid, connectivity)(
+      tiles.sparkSession)
+
   // object-storage mirrors for cached volume inputs, keyed by the input
   // plan's semantic hash: Spark's in-memory columnar cache re-materializes
   // ARRAY columns at ~0.16 s/pass on 512^3 (the vectorized cache reader
