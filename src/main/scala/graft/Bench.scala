@@ -110,7 +110,15 @@ object Bench {
     // with `cpus` burner threads — the ratio is how many cores this run
     // actually got. Recorded next to `ops` so a loaded host is visible in
     // the round artifact instead of inferred post-hoc.
-    def effectiveCores(threads: Int): Double = {
+    // NOTE on the ceiling: the single-thread baseline runs at TURBO clocks
+    // while the 32-thread aggregate runs at all-core clocks, so on this
+    // box the ratio tops out at ~21-22/32 even at loadavg <1 (measured
+    // r6: idle 20.7-22.5, under a concurrent sbt test run 15-18). The
+    // quiet-host target below is therefore calibrated to the measured
+    // idle ceiling, not to `cpus`; `agg_rate` (iters/µs, frequency-honest)
+    // is recorded alongside so rounds can normalize per-op numbers
+    // without the turbo-biased ratio.
+    def effectiveCores(threads: Int): (Double, Double, Double) = {
       def burn(iters: Long): Double = {
         var x = 1.0; var i = 0L
         while (i < iters) { x = (x * 1.0000001 + 1e-9) % 10.0; i += 1 }
@@ -126,7 +134,7 @@ object Bench {
       val t2 = System.nanoTime()
       ts.foreach(_.start()); ts.foreach(_.join())
       val aggRate = threads * iters.toDouble / (System.nanoTime() - t2)
-      aggRate / singleRate
+      (aggRate / singleRate, singleRate, aggRate)
     }
     // quiet-host gate (r5 verdict: kernel dips were host-load artifacts,
     // eff_cores 19.5/32): probe before the op benches and, when the host is
@@ -134,13 +142,14 @@ object Bench {
     // recorded per-op numbers mean something round-over-round. The probe
     // history rides in the artifact either way — a run that never reached a
     // quiet host is visible as eff_cores below target with max waits spent.
-    val quietTarget = cpus.toInt * 0.85
+    val quietTarget = cpus.toInt * 0.62 // measured idle ceiling ~0.65-0.70 here
     val maxWaits = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAITS", "6").toInt
-    var effCores = effectiveCores(cpus.toInt)
+    var (effCores, singleRate, aggRate) = effectiveCores(cpus.toInt)
     var waits = 0
     while (effCores < quietTarget && waits < maxWaits) {
       Thread.sleep(20000)
-      effCores = effectiveCores(cpus.toInt)
+      val p = effectiveCores(cpus.toInt)
+      effCores = p._1; singleRate = p._2; aggRate = p._3
       waits += 1
     }
 
@@ -299,7 +308,9 @@ object Bench {
       "\"" + k + "\":{\"sec\":" + fmt4(sec) + ",\"cells_per_s\":" + fmt0(thr) + "}"
     }.mkString("{", ",", "}")
     val total = fmt4(results.map(_._2).sum)
-    val eff = s""""eff_cores":${fmt4(effCores)},"conf_cores":$cpus,"quiet_waits":$waits"""
+    // agg_rate in iters/µs: the frequency-honest all-core throughput probe
+    val eff = s""""eff_cores":${fmt4(effCores)},"conf_cores":$cpus,"quiet_waits":$waits,""" +
+      s""""agg_rate":${fmt4(aggRate * 1000)},"single_rate":${fmt4(singleRate * 1000)}"""
     // the scale-soak record (graft.ScaleSoak: 1×/10×/30× wall + shuffle
     // bytes for the LSH/pack/halo pipelines) rides along in the full
     // artifact when present — it is run per-round by hand, not per-bench
