@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.kernels.ZoomKernel
+
+/** Slice-distributed 3-D zoom — the 100 TB path for the reference's
+  * headline op (trilinear volume zoom,
+  * /root/reference/imops/src/_zoom.pyx:372-399) on volumes too large for
+  * one DataFrame row. The volume is stored as axis-0 slices (one row per
+  * slice, row-major D1×D2 array); output slice `o` needs only the one
+  * (order 0) or two (order 1) input slices its axis-0 source coordinate
+  * brackets, so each input slice ships to the few output slices that
+  * reference it — shuffle O(scale · volume), never a driver collect.
+  *
+  * Within a gathered group the full 8-corner trilinear formula of
+  * [[ZoomKernel.zoom3]] runs per cell with the same per-axis tables
+  * ([[ZoomKernel.axisTables]]), corner order (axis-0 bit fastest), and
+  * weight association `(1.0 * w0 * w1 * w2)` — results are bit-identical
+  * to the single-row kernel (VolumeZoomSpec asserts exact equality), the
+  * same contract the 2-D [[TiledZoom]] holds.
+  */
+object VolumeZoom {
+
+  final case class ZSlice(id: Long, sid: Int, data: Array[Double])
+  final case class SlicePiece(id: Long, osid: Int, sid: Int, data: Array[Double])
+
+  /** Zoom a (D0 × D1 × D2) volume of axis-0 slices by `scale`; returns
+    * output slices (newD1 × newD2 row-major). */
+  def apply(slices: Dataset[ZSlice], dims: Array[Int], scale: Array[Double], order: Int)
+           (implicit spark: SparkSession): Dataset[ZSlice] = {
+    import spark.implicits._
+    require(dims.length == 3 && scale.length == 3, "VolumeZoom is rank-3")
+    require(order == 0 || order == 1, s"order $order unsupported")
+    val Array(d0, d1, d2) = dims
+    val n0 = ZoomKernel.outDim(d0, scale(0))
+    val n1 = ZoomKernel.outDim(d1, scale(1))
+    val n2 = ZoomKernel.outDim(d2, scale(2))
+    val t0 = ZoomKernel.axisTables(d0, n0)
+    val t1 = ZoomKernel.axisTables(d1, n1)
+    val t2 = ZoomKernel.axisTables(d2, n2)
+
+    // which output slices reference input slice s (driver-side: O(n0) ints)
+    val wanted = Array.fill(d0)(List.empty[Int])
+    var o = 0
+    while (o < n0) {
+      val need = if (order == 0) Set(t0.nr(o)) else Set(t0.lo(o), t0.hi(o))
+      need.foreach(s => wanted(s) = o :: wanted(s))
+      o += 1
+    }
+
+    val pieces = slices.flatMap(sl => wanted(sl.sid).map(os => SlicePiece(sl.id, os, sl.sid, sl.data)))
+    pieces.groupByKey(p => (p.id, p.osid)).mapGroups { (key: (Long, Int), it: Iterator[SlicePiece]) =>
+      val (id, os) = key
+      val bySid = it.map(p => p.sid -> p.data).toMap
+      val out = new Array[Double](n1 * n2)
+      var p = 0
+      if (order == 0) {
+        val src = bySid(t0.nr(os))
+        var i = 0
+        while (i < n1) {
+          val base = t1.nr(i) * d2
+          var j = 0
+          while (j < n2) { out(p) = src(base + t2.nr(j)); p += 1; j += 1 }
+          i += 1
+        }
+      } else {
+        // exact corner order and weight association of ZoomKernel.zoom3,
+        // with axis 0 = the slice axis
+        val lo0 = bySid(t0.lo(os)); val hi0 = bySid(t0.hi(os)); val f0 = t0.fr(os)
+        var i = 0
+        while (i < n1) {
+          val l1 = t1.lo(i) * d2; val h1 = t1.hi(i) * d2; val f1 = t1.fr(i)
+          var j = 0
+          while (j < n2) {
+            val l2 = t2.lo(j); val h2 = t2.hi(j); val f2 = t2.fr(j)
+            out(p) = (1.0 * (1 - f0) * (1 - f1) * (1 - f2)) * lo0(l1 + l2) +
+                     (1.0 * f0 * (1 - f1) * (1 - f2)) * hi0(l1 + l2) +
+                     (1.0 * (1 - f0) * f1 * (1 - f2)) * lo0(h1 + l2) +
+                     (1.0 * f0 * f1 * (1 - f2)) * hi0(h1 + l2) +
+                     (1.0 * (1 - f0) * (1 - f1) * f2) * lo0(l1 + h2) +
+                     (1.0 * f0 * (1 - f1) * f2) * hi0(l1 + h2) +
+                     (1.0 * (1 - f0) * f1 * f2) * lo0(h1 + h2) +
+                     (1.0 * f0 * f1 * f2) * hi0(h1 + h2)
+            p += 1; j += 1
+          }
+          i += 1
+        }
+      }
+      ZSlice(id, os, out)
+    }
+  }
+}

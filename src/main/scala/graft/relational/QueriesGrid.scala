@@ -1008,6 +1008,48 @@ object QueriesGrid {
            |CROSS JOIN g""".stripMargin
       }),
 
+    // the SAME trilinear zoom through the slice-distributed 100 TB path
+    // (operators.VolumeZoom: axis-0 slices gathered per output slice, no
+    // single-row volume cap) against the SAME 8-corner SQL oracle as
+    // q_zoom3d_linear — one oracle, two execution paths, like the
+    // q_erosion2d / q_tiled_erosion pair
+    Q("q_zoom3d_linear_dist",
+      (s, dir) => {
+        import s.implicits._
+        val slices = value3Grid(s, dir)
+          .groupBy(col("i"))
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("k"), col("v")))),
+            x => x.getField("v").cast("double")).as("data"))
+          .select(lit(0L).as("id"), col("i").cast("int").as("sid"), col("data"))
+          .as[graft.operators.VolumeZoom.ZSlice]
+        graft.operators.VolumeZoom(slices, Array(8, 8, 8), Array(1.5, 1.5, 1.5), order = 1)(s)
+          .toDF()
+          .select(col("sid").cast("long").as("i"), posexplode(col("data")).as(Seq("pos", "raw")))
+          .select(col("i"), (col("pos") / 12).cast("long").as("j"),
+            (col("pos") % 12).cast("long").as("k"), round(col("raw"), 4).as("v"))
+      },
+      Some {
+        def c(x: String) = s"($x * (7.0 / 11.0))"
+        def f(x: String) = s"floor(${c(x)})"
+        def pix(ri: String, ci: String, ki: String) =
+          s"coalesce(d[CASE WHEN $ri BETWEEN 0 AND 7 AND $ci BETWEEN 0 AND 7 AND $ki BETWEEN 0 AND 7 " +
+            s"THEN cast(($ri * 8 + $ci) * 8 + $ki AS INT) + 1 ELSE NULL END], 0.0)"
+        val fs = Seq("ra.a", "rb.b", "rc.c").map(x => s"cast(${f(x)} AS INT)")
+        val ds = Seq("ra.a", "rb.b", "rc.c").map(x => s"(${c(x)} - ${f(x)})")
+        val terms = (0 until 8).map { corner =>
+          val up = (0 until 3).map(d => ((corner >> d) & 1) == 1)
+          val ws = (0 until 3).map(d => if (up(d)) ds(d) else s"(1 - ${ds(d)})")
+          val ix = (0 until 3).map(d => if (up(d)) s"(${fs(d)} + 1)" else fs(d))
+          s"(1.0 * ${ws(0)} * ${ws(1)} * ${ws(2)}) * ${pix(ix(0), ix(1), ix(2))}"
+        }
+        s"""WITH $value3GridCte,
+           |g AS (SELECT list(v ORDER BY i, j, k) AS d FROM grid3)
+           |SELECT ra.a AS i, rb.b AS j, rc.c AS k, round(
+           |  ${terms.mkString("\n+ ")}, 4) AS v
+           |FROM range(12) ra(a) CROSS JOIN range(12) rb(b) CROSS JOIN range(12) rc(c)
+           |CROSS JOIN g""".stripMargin
+      }),
+
     // rank-4 zoom at ORDER 1: 4^4 -> 6^4 at scale 1.5, c = i * (3/5),
     // 16-corner quadrilinear lerp mirroring ZoomKernel.zoom4's corner loop
     // (corner bit d = axis d up) and left-assoc weight product
