@@ -281,6 +281,21 @@ object Bench {
       while (i < n) { a(i) = ((id * 31 + i * 7) % 5) != 0; i += 1 }
       a
     }
+    // slice-distributed trilinear zoom at the reference's true bench shape
+    // (256³ ndim=3 scale 2 — BASELINE.md:15-22): the 100 TB path, paying
+    // its real O(scale·volume) slice exchange; the matched-work in-RAM
+    // comparison against the baseline stays zoom_o1 above
+    val volSlices = spark.range(256).select(
+        lit(0L).as("id"), col("id").cast("int").as("sid"),
+        sliceGen(col("id"), lit(65536)).as("data"))
+    bench("volume_zoom_o1", c24, Some(volSlices)) {
+      import spark.implicits._
+      graft.operators.VolumeZoom(
+          volSlices.as[graft.operators.VolumeZoom.ZSlice],
+          Array(256, 256, 256), Array(2.0, 2.0, 2.0), order = 1)(spark)
+        .toDF().agg(sum(get(col("data"), lit(0)))).collect()
+    }
+
     import graft.operators.TiledStencil.Tile3
     val tiles3 = spark.range(64).select(
         lit(0L).as("id"),

@@ -69,6 +69,15 @@ object Graft {
     graft.exprs.InverseRadonExpr.inverseRadonFiltered(sino, lit(size),
       array(thetaDeg.map(lit): _*), lit(fillValue), a, b)
 
+  /** Slice-distributed 3-D zoom — the cluster path for the reference's
+    * headline trilinear volume zoom (/root/reference/README.md:25) when
+    * the volume is stored as axis-0 slice rows rather than one array.
+    * Bit-identical to the in-row kernel (VolumeZoomSpec). */
+  def zoomVolume(slices: org.apache.spark.sql.Dataset[graft.operators.VolumeZoom.ZSlice],
+                 dims: Array[Int], scale: Array[Double], order: Int = 1)
+                : org.apache.spark.sql.Dataset[graft.operators.VolumeZoom.ZSlice] =
+    graft.operators.VolumeZoom(slices, dims, scale, order)(slices.sparkSession)
+
   /** Distributed 3-D connected-components over tiled boolean volumes — the
     * cluster path for the reference's `label` on volumes too large for one
     * row (/root/reference/imops/measure.py:33-137). `connectivity` 1..3

