@@ -40,4 +40,32 @@ object DistributedEdt {
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         sqrt(col("d2")).as("dist"))
   }
+
+  /** 3-D form: the same separable envelope, one pass per axis (three
+    * shuffles, each O(volume) and line-partitionable — the shape of the
+    * reference's 3-D medical volumes, morphology.py:372-521).
+    * voxels: (i, j, k, mask:boolean). Returns (i, j, k, dist). */
+  def apply3(voxels: DataFrame,
+             sampling: (Double, Double, Double) = (1.0, 1.0, 1.0)): DataFrame = {
+    val inf = lit(1e100)
+    val f0 = voxels.select(col("i"), col("j"), col("k"),
+      when(col("mask"), inf).otherwise(lit(0.0)).as("f"))
+    val pass1 = f0.groupBy("j", "k")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("f")))),
+        x => x.getField("f")).as("line"))
+      .select(col("j"), col("k"),
+        posexplode(dt1dUdf(col("line"), lit(sampling._1))).as(Seq("i", "d")))
+    val pass2 = pass1.groupBy("i", "k")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("d")))),
+        x => x.getField("d")).as("line"))
+      .select(col("i"), col("k"),
+        posexplode(dt1dUdf(col("line"), lit(sampling._2))).as(Seq("j", "d")))
+    pass2.groupBy("i", "j")
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("d")))),
+        x => x.getField("d")).as("line"))
+      .select(col("i"), col("j"),
+        posexplode(dt1dUdf(col("line"), lit(sampling._3))).as(Seq("k", "d2")))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("k").cast("long").as("k"), sqrt(col("d2")).as("dist"))
+  }
 }

@@ -762,6 +762,22 @@ object QueriesGrid {
               |FROM m3 g JOIN m3 z ON z.v = 0
               |GROUP BY g.i, g.j, g.k, g.v""".stripMargin)),
 
+    // 3-D EDT through the distributed separable path (three line passes,
+    // DistributedEdt.apply3) against the SAME brute-force min-euclidean
+    // oracle as the single-tensor q_edt3d — one oracle, two execution paths
+    Q("q_edt3d_dist",
+      (s, dir) => graft.operators.DistributedEdt.apply3(
+          mask3(s, dir).select(col("i"), col("j"), col("k"), (col("v") === 1).as("mask")))
+        .select(col("i"), col("j"), col("k"),
+          when(col("dist") > 1e49, lit(0.0)) // all-true volume guard (no zeros)
+            .otherwise(round(col("dist"), 4)).as("dist")),
+      Some(s"""WITH $value3GridCte, $mask3Cte
+              |SELECT g.i, g.j, g.k, CASE WHEN g.v = 0 THEN 0.0 ELSE
+              |  round(sqrt(min((g.i - z.i)*(g.i - z.i) + (g.j - z.j)*(g.j - z.j)
+              |    + (g.k - z.k)*(g.k - z.k))), 4) END AS dist
+              |FROM m3 g JOIN m3 z ON z.v = 0
+              |GROUP BY g.i, g.j, g.k, g.v""".stripMargin)),
+
     // convex_hull_image vs a from-scratch relational hull: candidate points
     // are the per-row bound pixels offset by +-0.5 (doubled to stay integer,
     // so every cross product below is exact); a directed pair (a,b) is a CCW

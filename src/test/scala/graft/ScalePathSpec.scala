@@ -211,6 +211,26 @@ class DistributedEdtSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("3-D line passes match the single-node kernel with anisotropic sampling") {
+    val rng = new scala.util.Random(29)
+    val dims = Array(7, 9, 11)
+    val n = dims.product
+    val mask = Array.fill(n)(rng.nextInt(3) > 0)
+    if (mask.contains(false)) {
+      val vx = (0 until n).map { f =>
+        (f / (dims(1) * dims(2)), (f / dims(2)) % dims(1), f % dims(2), mask(f))
+      }.toDF("i", "j", "k", "mask")
+      val got = graft.operators.DistributedEdt.apply3(vx, sampling = (2.0, 1.0, 0.5))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+      val exp = graft.kernels.EdtKernel.edt(mask, dims, Array(2.0, 1.0, 0.5))
+      for (f <- 0 until n) {
+        val key = ((f / (dims(1) * dims(2))).toLong, ((f / dims(2)) % dims(1)).toLong,
+          (f % dims(2)).toLong)
+        assert(math.abs(got(key) - exp(f)) < 1e-9, s"at $key: ${got(key)} vs ${exp(f)}")
+      }
+    }
+  }
 }
 
 class TiledZoomSpec extends AnyFunSuite {
