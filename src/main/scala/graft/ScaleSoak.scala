@@ -115,8 +115,25 @@ object ScaleSoak {
         .toDF().count()
     }
 
+    val sliceGen = udf { (id: Long) =>
+      val m = 65536
+      val a = new Array[Double](m)
+      var i = 0
+      while (i < m) { a(i) = ((id * 1315423911L + i * 2654435761L) & 0xffff) * 1.5e-5; i += 1 }
+      a
+    }
+    def zoomRun(n: Int): Long = {
+      import spark.implicits._
+      val slices = spark.range(256L * n).select(
+          lit(0L).as("id"), col("id").cast("int").as("sid"), sliceGen(col("id")).as("data"))
+        .as[graft.operators.VolumeZoom.ZSlice]
+      graft.operators.VolumeZoom(slices, Array(256 * n, 256, 256),
+          Array(2.0, 2.0, 2.0), order = 1)(spark)
+        .toDF().count()
+    }
+
     // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
-    lshRun(1); packRun(1); erodeRun(1)
+    lshRun(1); packRun(1); erodeRun(1); zoomRun(1)
 
     // three scale points: 1× → 10× may cross a plan transition (e.g. a
     // build side outgrowing the broadcast threshold, switching the banded
@@ -127,7 +144,8 @@ object ScaleSoak {
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val scales = Seq(1, 10, 30)
     val pipelines = Seq[(String, Int => Long)](
-      ("lsh_dedup", lshRun), ("pack_sequences", packRun), ("tiled_erosion3d", erodeRun))
+      ("lsh_dedup", lshRun), ("pack_sequences", packRun), ("tiled_erosion3d", erodeRun),
+      ("volume_zoom3d", zoomRun))
     val parts = pipelines.map { case (name, run) =>
       val pts = scales.map { n => n -> timed(run(n)) }
       val ptJson = pts.map { case (n, (sec, r, w, rows)) =>
