@@ -208,6 +208,23 @@ object Graft {
       .select(col(idCol), col("cluster"), col("cluster_size"))
   }
 
+  /** Leakage-safe train/eval split: the split decision hashes the near-dup
+    * CLUSTER label, not the document id, so a document and its near
+    * duplicates always land on the same side — the guard against
+    * train/eval contamination through paraphrase-level duplicates that a
+    * per-document split cannot give. Deterministic (md5-prefix percentage
+    * like [[graft.functions.SketchFunctions.bernoulliSample]]) and
+    * re-run-stable. Returns (idCol, cluster, split) with split ∈
+    * {"train", "eval"}; expected eval mass ≈ evalPct% of CLUSTERS (use
+    * cluster-size weighting downstream if you need doc-mass balance). */
+  def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                       evalPct: Int, bands: Int = 4, shingle: Int = 3,
+                       bucketCap: Int = 64): org.apache.spark.sql.DataFrame =
+    dedupClusters(docs, idCol, textCol, bands, shingle, bucketCap)
+      .select(col(idCol), col("cluster"),
+        when(graft.functions.SketchFunctions.hashPct(col("cluster")) < evalPct, "eval")
+          .otherwise("train").as("split"))
+
   /** Per-cluster representative selection with a caller-supplied policy:
     * one row per near-dup cluster, the kept doc chosen by `orderBy` (the
     * first row of each cluster under that ordering; default longest text,

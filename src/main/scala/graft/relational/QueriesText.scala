@@ -240,6 +240,23 @@ object QueriesText {
               |SELECT dc.doc_id, dc.cluster, sz.cluster_size
               |FROM dc JOIN sz ON sz.cluster = dc.cluster""".stripMargin)),
 
+    // leakage-safe train/eval split: the split hashes the near-dup CLUSTER
+    // label (md5-prefix % 100, the q_sample_bernoulli rule), so paraphrase
+    // duplicates can never straddle the split — the per-document split's
+    // contamination failure mode, made structurally impossible. Both
+    // engines hash the identical cluster id, so the gate pins per-doc
+    // side assignment exactly.
+    Q("q_leakage_safe_split",
+      (s, dir) => docClusters(s, dir)
+        .select(col("doc_id"), col("cluster"),
+          when(graft.functions.SketchFunctions.hashPct(col("cluster")) < 20, "eval")
+            .otherwise("train").as("split")),
+      Some(s"""$clusterCte
+              |SELECT doc_id, cluster,
+              |CASE WHEN ('0x'||substr(md5(cluster::VARCHAR),1,4))::BIGINT % 100 < 20
+              |THEN 'eval' ELSE 'train' END AS split
+              |FROM dc""".stripMargin)),
+
     // per-cluster representative selection: instead of the min-id default,
     // keep the "best" doc of each near-dup cluster — here longest text,
     // ties broken by min doc_id (a quality-policy stand-in; the facade
