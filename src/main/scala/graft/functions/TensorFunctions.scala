@@ -53,8 +53,15 @@ object TensorFunctions {
 
   /** pad a 1-D array column with constant values (pad.py:10-73). */
   def padArray(data: Column, before: Column, after: Column, value: Double): Column =
-    concat(array_repeat(lit(value), before.cast("int")), data,
-           array_repeat(lit(value), after.cast("int")))
+    padArrayWith(data, before, after, lit(value))
+
+  /** pad with a per-row COMPUTED value — the reference's callable
+    * `padding_values` (pad.py:33-35, 63-64: e.g. `padding_values=numpy.min`
+    * pads with the array's own minimum). `value` is any scalar Column over
+    * the row, evaluated once (array_repeat is not a lambda HOF). */
+  def padArrayWith(data: Column, before: Column, after: Column, value: Column): Column =
+    concat(array_repeat(value, before.cast("int")), data,
+           array_repeat(value, after.cast("int")))
 
   /** pad_to_shape with left/right ratio split (pad.py:76-132):
     * before = floor(delta * ratio), after = delta - before. */

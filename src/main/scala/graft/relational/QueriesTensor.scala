@@ -184,6 +184,15 @@ object QueriesTensor {
       Some(explodeSql(arrCte,
         "SELECT id, [0.0::DOUBLE, 0.0::DOUBLE] || data || [0.0::DOUBLE] AS data FROM arr"))),
 
+    // callable padding_values (pad.py:33-35, 63-64): pad with the array's
+    // OWN minimum — the reference's `padding_values=numpy.min` idiom; the
+    // padded value is copied exactly on both engines, no rounding
+    Q("q_pad_min",
+      (s, dir) => explodePos(arrDf(s, dir).select(col("id"),
+        padArrayWith(col("data"), lit(2), lit(1), array_min(col("data"))).as("data"))),
+      Some(explodeSql(arrCte,
+        "SELECT id, [list_min(data), list_min(data)] || data || [list_min(data)] AS data FROM arr"))),
+
     Q("q_pad_to_shape",
       (s, dir) => explodePos(arrDf(s, dir).where(size(col("data")) <= 8)
         .select(col("id"), padToShape(col("data"), 8, 0.5, 0.0).as("data"))),
