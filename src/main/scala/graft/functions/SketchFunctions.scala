@@ -46,6 +46,25 @@ object SketchFunctions {
           .otherwise(col("k_actual").cast("double")))
   }
 
+  /** Fixed-width histogram over [lo, hi): `bins` buckets, values at or
+    * above `hi` clamp into the last bucket, below `lo` into the first —
+    * the distribution-summary primitive for corpus reports (quality-score
+    * / doc-length histograms). One shuffle on the bucket id (≤ bins
+    * groups) after a map-side partial count; empty buckets are emitted
+    * with count 0 so the output is always exactly `bins` rows. The bucket
+    * rule is plain floor arithmetic (not width_bucket) so an oracle can
+    * reproduce it bit-for-bit. */
+  def histogram(df: DataFrame, value: Column, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "histogram needs bins >= 1 and hi > lo")
+    val b = least(lit(bins - 1), greatest(lit(0),
+      floor((value - lit(lo)) / lit(hi - lo) * lit(bins)).cast("int")))
+    val counts = df.select(b.as("bucket")).groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val all = df.sparkSession.range(bins).select(col("id").cast("int").as("bucket"))
+    all.join(counts, Seq("bucket"), "left")
+      .select(col("bucket").cast("long").as("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose key hashes under
     * `pct`. Partition-local, no shuffle, reproducible. */
   def bernoulliSample(df: DataFrame, key: Column, pct: Int): DataFrame =

@@ -702,6 +702,19 @@ object QueriesText {
 
     // Deterministic 10% Bernoulli sample keyed on (orderkey, linenumber):
     // re-runs (and the oracle) select the identical sample.
+    // fixed-width histogram of document lengths: 16 buckets over [0, 4000),
+    // clamped at both ends; floor-arithmetic bucket rule identical on both
+    // engines (integer-valued doubles — hash-exact), empty buckets emitted
+    Q("q_histogram",
+      (s, dir) => graft.functions.SketchFunctions.histogram(
+        T(s, dir, "documents").select(length(col("text")).cast("double").as("v")),
+        col("v"), 0.0, 4000.0, 16),
+      Some("""WITH h AS (SELECT least(15, greatest(0,
+             |  CAST(floor(length(text)::DOUBLE / 4000.0 * 16) AS INT))) AS bucket,
+             |  count(*) AS cnt FROM documents GROUP BY 1)
+             |SELECT t.b::BIGINT AS bucket, coalesce(h.cnt, 0)::BIGINT AS cnt
+             |FROM range(16) t(b) LEFT JOIN h ON h.bucket = t.b""".stripMargin)),
+
     Q("q_sample_bernoulli",
       (s, dir) => graft.functions.SketchFunctions.bernoulliSample(
           T(s, dir, "lineitem"),
