@@ -65,6 +65,20 @@ object SketchFunctions {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Deterministic per-group cap: keep at most `k` rows per group, chosen
+    * as the k SMALLEST key-hashes — the "at most K documents per
+    * domain/language" curation rule, re-run-stable (same keys → same
+    * survivors) and unbiased within the group (hash order is uniform).
+    * One shuffle on the group key; the rank prunes executor state to
+    * O(k) per group via the windowed top-k. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[Column], key: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*).orderBy(col("__caph"), key.cast("string"))
+    df.withColumn("__caph", hash60(key))
+      .withColumn("__capr", row_number().over(w))
+      .where(col("__capr") <= k)
+      .drop("__caph", "__capr")
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose key hashes under
     * `pct`. Partition-local, no shuffle, reproducible. */
   def bernoulliSample(df: DataFrame, key: Column, pct: Int): DataFrame =

@@ -715,6 +715,20 @@ object QueriesText {
              |SELECT t.b::BIGINT AS bucket, coalesce(h.cnt, 0)::BIGINT AS cnt
              |FROM range(16) t(b) LEFT JOIN h ON h.bucket = t.b""".stripMargin)),
 
+    // deterministic per-group cap: at most 50 docs per language, survivors
+    // = the 50 smallest doc-id hashes (md5-prefix, the q_sample_bernoulli
+    // hash) — the "cap each domain's share" curation rule, re-run-stable;
+    // the oracle ranks by the identical hash
+    Q("q_cap_per_group",
+      (s, dir) => graft.functions.SketchFunctions.capPerGroup(
+          T(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq(col("lang")), col("doc_id"), 50)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             |  ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id::VARCHAR) AS rn
+             |FROM documents)
+             |SELECT doc_id, lang FROM r WHERE rn <= 50""".stripMargin)),
+
     Q("q_sample_bernoulli",
       (s, dir) => graft.functions.SketchFunctions.bernoulliSample(
           T(s, dir, "lineitem"),
