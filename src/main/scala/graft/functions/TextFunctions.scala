@@ -178,6 +178,28 @@ object TextFunctions {
     * character classes + greedy `+` — the regex subset where Java
     * (Spark) and RE2 (DuckDB) semantics coincide, so the redacted text is
     * engine-independent and oracle-able. */
+  /** Per-document unigram LM log-probability — the corpus-LM quality
+    * signal (CCNet-style filtering: documents whose tokens are improbable
+    * under a language model trained on the corpus itself score low).
+    * Model: add-one-smoothed unigram over the corpus token stream,
+    * p(term) = (count+1)/(total+vocab); score(doc) = Σ tf·ln p / Σ tf
+    * (token-mass-weighted mean). Takes the shared (doc, term) occurrence
+    * frame; two one-shuffle aggs plus broadcast joins of the O(vocab)
+    * count table — no per-doc state beyond the hash agg. */
+  def unigramLogProb(toks: org.apache.spark.sql.DataFrame,
+                     docIdCol: String, termCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = toks.groupBy(col(docIdCol), col(termCol)).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col(termCol)).agg(sum(col("tf")).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("total"))
+    val voc = cnt.agg(count(lit(1)).as("vocab"))
+    tf.join(broadcast(cnt), termCol)
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
+      .groupBy(col(docIdCol))
+      .agg((sum(col("tf").cast("double") *
+          log((col("cnt") + 1).cast("double") / (col("total") + col("vocab")).cast("double"))) /
+        sum(col("tf")).cast("double")).as("lm_logprob"))
+  }
+
   def redact(text: Column): Column =
     regexp_replace(
       regexp_replace(text, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),

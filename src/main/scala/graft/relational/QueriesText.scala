@@ -841,6 +841,27 @@ object QueriesText {
     // TF-IDF per (doc, term) with +1-smoothed idf. ln() may differ by an
     // ulp between engines, so scores are rounded to 6 places on both sides;
     // tf/df are exact integers.
+    // corpus-LM quality signal (CCNet-style): per-doc mean token
+    // log-probability under an add-one-smoothed unigram model trained on
+    // the corpus itself. ln + float mean: diffs ~1e-14 relative, far
+    // inside round(_, 4) (the q_tfidf precedent)
+    Q("q_lm_score",
+      (s, dir) => graft.functions.TextFunctions.unigramLogProb(
+          docTokens(s, dir), "doc_id", "term")
+        .select(col("doc_id"), round(col("lm_logprob"), 4).as("lm_logprob")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+             |tot AS (SELECT count(*) AS total FROM toks),
+             |voc AS (SELECT count(*) AS vocab FROM cnt)
+             |SELECT t.doc_id,
+             |round(sum(t.tf::DOUBLE * ln((c.cnt + 1)::DOUBLE / (total + vocab)::DOUBLE))
+             |  / sum(t.tf)::DOUBLE, 4) AS lm_logprob
+             |FROM tf t JOIN cnt c USING (term), tot, voc
+             |GROUP BY t.doc_id""".stripMargin)),
+
     Q("q_tfidf",
       (s, dir) => {
         val docs = T(s, dir, "documents")
