@@ -105,8 +105,17 @@ object RadonKernel {
         var acc = 0.0
         var i = lim(j)
         val end = size - lim(j)
+        // the ray advances linearly in i: step the two source coordinates
+        // incrementally (2 adds) instead of recomputing the closed form
+        // (4 mul + 4 add) per sample; accumulated FP drift over <= size
+        // steps is ~size·eps·|coord| ≈ 1e-13 — far inside the gates'
+        // round(_, 4) and the bilinear kernel's continuity
+        var rr = j * (-s) + i * c - cShift
+        var cc = j * c + i * s - rShift
         while (i < end) {
-          acc += interpolate2d(clean, size, j * (-s) + i * c - cShift, j * c + i * s - rShift)
+          acc += interpolate2d(clean, size, rr, cc)
+          rr += c
+          cc += s
           i += 1
         }
         out(j * nA + a) = acc
