@@ -90,6 +90,17 @@ object Graft {
     graft.operators.DistributedLabel.apply3(tiles, tileSize, grid, connectivity)(
       tiles.sparkSession)
 
+  /** 2-D counterpart of [[labelVolume]]: distributed connected components
+    * over tiled boolean masks. `connectivity` 1 (cross, skimage conn-1) or
+    * 2 (8-adjacency); conn-1 merges tiles with the cheaper face-key
+    * equi-join, conn-2 with the shell-probe exchange (corner cells of four
+    * tiles can meet diagonally). Shuffle O(perimeter), never O(area). */
+  def labelImage(tiles: org.apache.spark.sql.Dataset[graft.operators.TiledStencil.Tile],
+                 tileSize: Int, gridRows: Int, gridCols: Int, connectivity: Int = 1)
+                : org.apache.spark.sql.DataFrame =
+    graft.operators.DistributedLabel(tiles, tileSize, gridRows, gridCols, connectivity)(
+      tiles.sparkSession)
+
   // object-storage mirrors for cached volume inputs, keyed by the input
   // plan's semantic hash: Spark's in-memory columnar cache re-materializes
   // ARRAY columns at ~0.16 s/pass on 512^3 (the vectorized cache reader

@@ -22,7 +22,8 @@ import graft.operators.TiledStencil.Tile
   *     index, which equals the reference's row-major first-appearance
   *     numbering — so results match the single-node kernel exactly.
   *
-  * Connectivity 1 (cross adjacency), boolean masks.
+  * Boolean masks; connectivity 1..ndim in both the 2-D and 3-D forms
+  * (conn-1 merges via face keys, conn ≥ 2 via the shell-probe equi-join).
   */
 object DistributedLabel {
 
@@ -56,8 +57,13 @@ object DistributedLabel {
       .select(col("g"), col("label").cast("long").as("label"))
   }
 
-  /** Returns (global flat pixel index, label) for every true pixel. */
-  def apply(tiles: Dataset[Tile], ts: Int, gridRows: Int, gridCols: Int)
+  /** Returns (global flat pixel index, label) for every true pixel.
+    * `connectivity` 1 (cross) or 2 (8-adjacency, the skimage conn-2):
+    * conn-1 merges across tiles by face-key matching; conn-2 switches to
+    * the same shell-probe equi-join as the 3-D form (corner cells of four
+    * tiles can meet diagonally), shuffle O(perimeter × neighborhood). */
+  def apply(tiles: Dataset[Tile], ts: Int, gridRows: Int, gridCols: Int,
+            connectivity: Int = 1)
            (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val cols = gridCols * ts
@@ -65,7 +71,7 @@ object DistributedLabel {
     // 1. local labeling; emit (g, rep) per true pixel + border cells
     val localized = tiles.flatMap { t =>
       val data = t.data.map(b => if (b) 1.0 else 0.0)
-      val res = LabelKernel.label(data, Array(ts, ts), connectivity = 1)
+      val res = LabelKernel.label(data, Array(ts, ts), connectivity = connectivity)
       // rep per local label = min global index
       val rep = scala.collection.mutable.Map.empty[Long, Long]
       var i = 0
@@ -90,40 +96,76 @@ object DistributedLabel {
     // 2. border edges: vertical boundaries between (ti,tj) and (ti,tj+1)
     // keyed by (boundary id, row); horizontal analogously. Two sides with
     // the same key and both true -> edge between reps.
-    val borders = tiles.flatMap { t =>
-      val data = t.data.map(b => if (b) 1.0 else 0.0)
-      val res = LabelKernel.label(data, Array(ts, ts), connectivity = 1)
-      val rep = scala.collection.mutable.Map.empty[Long, Long]
-      for (i <- 0 until ts * ts; if res.labels(i) != 0) {
-        val g = (t.ti.toLong * ts + i / ts) * cols + (t.tj.toLong * ts + i % ts)
-        val lb = res.labels(i)
-        rep(lb) = rep.get(lb).map(math.min(_, g)).getOrElse(g)
+    val edges =
+      if (connectivity == 1) {
+        val borders = tiles.flatMap { t =>
+          val data = t.data.map(b => if (b) 1.0 else 0.0)
+          val res = LabelKernel.label(data, Array(ts, ts), connectivity = 1)
+          val rep = scala.collection.mutable.Map.empty[Long, Long]
+          for (i <- 0 until ts * ts; if res.labels(i) != 0) {
+            val g = (t.ti.toLong * ts + i / ts) * cols + (t.tj.toLong * ts + i % ts)
+            val lb = res.labels(i)
+            rep(lb) = rep.get(lb).map(math.min(_, g)).getOrElse(g)
+          }
+          def repAt(i: Int, j: Int): Option[Long] = {
+            val lb = res.labels(i * ts + j)
+            if (lb == 0) None else Some(rep(lb))
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Border]
+          // vertical boundary to the right: boundary id = (ti, tj) pair hashed
+          for (i <- 0 until ts) {
+            repAt(i, ts - 1).foreach { r =>
+              out += Border(((t.ti.toLong * gridCols + t.tj) << 1) | 0, i, 0, r) }
+            if (t.tj > 0) repAt(i, 0).foreach { r =>
+              out += Border(((t.ti.toLong * gridCols + (t.tj - 1)) << 1) | 0, i, 1, r) }
+          }
+          // horizontal boundary below
+          for (j <- 0 until ts) {
+            repAt(ts - 1, j).foreach { r =>
+              out += Border(((t.ti.toLong * gridCols + t.tj) << 1) | 1, j, 0, r) }
+            if (t.ti > 0) repAt(0, j).foreach { r =>
+              out += Border((((t.ti - 1).toLong * gridCols + t.tj) << 1) | 1, j, 1, r) }
+          }
+          out
+        }.toDF("bkey", "pos", "side", "rep")
+        borders.where(col("side") === 0).as("a")
+          .join(borders.where(col("side") === 1).as("b"), Seq("bkey", "pos"))
+          .select(col("a.rep").as("src"), col("b.rep").as("dst"))
+          .where(col("src") =!= col("dst"))
+      } else {
+        // conn-2 (8-adjacency): shell-probe equi-join like the 3-D form —
+        // a tile-corner cell can meet a diagonal tile's corner, which the
+        // face-key scheme cannot express
+        val (nR, nC) = (gridRows.toLong * ts, gridCols.toLong * ts)
+        val shell = tiles.flatMap { t =>
+          val data = t.data.map(b => if (b) 1.0 else 0.0)
+          val res = LabelKernel.label(data, Array(ts, ts), connectivity = connectivity)
+          val rep = scala.collection.mutable.Map.empty[Long, Long]
+          for (f <- 0 until ts * ts; if res.labels(f) != 0) {
+            val g = (t.ti.toLong * ts + f / ts) * cols + (t.tj.toLong * ts + f % ts)
+            rep(res.labels(f)) = rep.get(res.labels(f)).map(math.min(_, g)).getOrElse(g)
+          }
+          for {
+            i <- 0 until ts; j <- 0 until ts
+            if i == 0 || i == ts - 1 || j == 0 || j == ts - 1
+            lb = res.labels(i * ts + j) if lb != 0
+          } yield (t.ti.toLong * ts + i, t.tj.toLong * ts + j, rep(lb))
+        }.toDF("gi", "gj", "rep").cache()
+        val offsets = Seq(-1, 0, 1).flatMap(di => Seq(-1, 0, 1).map(dj => (di, dj)))
+          .filter { case (di, dj) => di != 0 || dj != 0 }
+        val probes = shell.crossJoin(broadcast(offsets.toDF("di", "dj")))
+          .select(col("gi"), col("gj"), col("rep"),
+            (col("gi") + col("di")).as("ni"), (col("gj") + col("dj")).as("nj"))
+          .where(col("ni") >= 0 && col("ni") < nR && col("nj") >= 0 && col("nj") < nC)
+          .where((col("ni") / ts).cast("long") =!= (col("gi") / ts).cast("long") ||
+            (col("nj") / ts).cast("long") =!= (col("gj") / ts).cast("long"))
+          .select(col("ni"), col("nj"), col("rep"))
+        probes.join(
+            shell.select(col("gi").as("ni"), col("gj").as("nj"), col("rep").as("rep2")),
+            Seq("ni", "nj"))
+          .select(col("rep").as("src"), col("rep2").as("dst"))
+          .where(col("src") =!= col("dst"))
       }
-      def repAt(i: Int, j: Int): Option[Long] = {
-        val lb = res.labels(i * ts + j)
-        if (lb == 0) None else Some(rep(lb))
-      }
-      val out = scala.collection.mutable.ArrayBuffer.empty[Border]
-      // vertical boundary to the right: boundary id = (ti, tj) pair hashed
-      for (i <- 0 until ts) {
-        repAt(i, ts - 1).foreach { r =>
-          out += Border(((t.ti.toLong * gridCols + t.tj) << 1) | 0, i, 0, r) }
-        if (t.tj > 0) repAt(i, 0).foreach { r =>
-          out += Border(((t.ti.toLong * gridCols + (t.tj - 1)) << 1) | 0, i, 1, r) }
-      }
-      // horizontal boundary below
-      for (j <- 0 until ts) {
-        repAt(ts - 1, j).foreach { r =>
-          out += Border(((t.ti.toLong * gridCols + t.tj) << 1) | 1, j, 0, r) }
-        if (t.ti > 0) repAt(0, j).foreach { r =>
-          out += Border((((t.ti - 1).toLong * gridCols + t.tj) << 1) | 1, j, 1, r) }
-      }
-      out
-    }.toDF("bkey", "pos", "side", "rep")
-    val edges = borders.where(col("side") === 0).as("a")
-      .join(borders.where(col("side") === 1).as("b"), Seq("bkey", "pos"))
-      .select(col("a.rep").as("src"), col("b.rep").as("dst"))
-      .where(col("src") =!= col("dst"))
     val symEdges = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
 

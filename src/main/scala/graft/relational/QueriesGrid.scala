@@ -1196,6 +1196,44 @@ object QueriesGrid {
               |comp AS (SELECT s AS id, min(t) AS rep FROM reach GROUP BY s),
               |lab AS (SELECT rep, CAST(row_number() OVER (ORDER BY rep) AS BIGINT) AS label
               |  FROM (SELECT DISTINCT rep FROM comp) d)
+              |SELECT c.id AS g, l.label FROM comp c JOIN lab l ON l.rep = c.rep""".stripMargin)),
+
+    // 2-D label at connectivity 2 (8-adjacency) through the DISTRIBUTED
+    // tiled path — q_label2d gates the kernel; this gates the cross-tile
+    // shell-probe exchange (corner cells of four tiles can meet diagonally,
+    // which the conn-1 face-key merge cannot express). Sparse mask
+    // (floor(v) % 5 bucket) keeps several components alive under the
+    // permissive corner adjacency. Oracle: recursive-CTE transitive closure
+    // over Chebyshev-distance-1 neighbors.
+    Q("q_label2d_conn2",
+      (s, dir) => {
+        import s.implicits._
+        val ts = 4
+        val sparse = valueGrid(s, dir).select(col("i"), col("j"),
+          when(col("v") > 0.0 && floor(col("v")) % 5 === 0, 1).otherwise(0).as("v"))
+        val tiles = sparse
+          .select((col("i") / ts).cast("int").as("ti"), (col("j") / ts).cast("int").as("tj"),
+            (col("i") % ts).as("li"), (col("j") % ts).as("lj"), col("v"))
+          .groupBy("ti", "tj")
+          .agg(transform(array_sort(collect_list(struct(col("li"), col("lj"), col("v")))),
+            x => x.getField("v") === 1).as("data"))
+          .select(lit(0L).as("id"), col("ti"), col("tj"), col("data"))
+          .as[graft.operators.TiledStencil.Tile]
+        graft.operators.DistributedLabel(tiles, ts, N / ts, N / ts, connectivity = 2)(s)
+          .select(col("g"), col("label"))
+      },
+      Some(s"""WITH RECURSIVE $valueGridCte,
+              |ms AS (SELECT i, j,
+              |  CASE WHEN v > 0.0 AND CAST(floor(v) AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END AS v
+              |  FROM grid),
+              |pts AS (SELECT i * $N + j AS id, i, j FROM ms WHERE v = 1),
+              |edge AS (SELECT a.id AS s, b.id AS t FROM pts a JOIN pts b
+              |  ON greatest(abs(a.i - b.i), abs(a.j - b.j)) = 1),
+              |reach(s, t) AS (SELECT id, id FROM pts
+              |  UNION SELECT r.s, e.t FROM reach r JOIN edge e ON e.s = r.t),
+              |comp AS (SELECT s AS id, min(t) AS rep FROM reach GROUP BY s),
+              |lab AS (SELECT rep, CAST(row_number() OVER (ORDER BY rep) AS BIGINT) AS label
+              |  FROM (SELECT DISTINCT rep FROM comp) d)
               |SELECT c.id AS g, l.label FROM comp c JOIN lab l ON l.rep = c.rep""".stripMargin))
   )
 }

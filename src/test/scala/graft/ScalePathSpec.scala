@@ -160,6 +160,23 @@ class DistributedLabelSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("2-D tiled labeling at connectivity 2 (8-adjacency) matches the kernel") {
+    // sparse mask: diagonal tile-corner merges must actually decide
+    // components for this to discriminate
+    val rng = new scala.util.Random(17)
+    val (rows, cols, ts) = (32, 32, 16)
+    val mask = Array.fill(rows * cols)(rng.nextInt(4) == 0)
+    val tiles = TiledStencil.tile(mask, rows, cols, ts).toDS()
+    val got = DistributedLabel(tiles, ts, rows / ts, cols / ts, connectivity = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = LabelKernel.label(mask.map(b => if (b) 1.0 else 0.0),
+      Array(rows, cols), connectivity = 2)
+    val expected = ref.labels.zipWithIndex.collect {
+      case (lb, i) if lb != 0 => i.toLong -> lb
+    }.toMap
+    assert(got == expected)
+  }
+
   test("3-D tiled labeling at connectivity 2 and 3 matches the kernel") {
     // sparse mask so edge/corner adjacency actually decides components —
     // a dense mask converges to one blob under 18/26-adjacency and would
