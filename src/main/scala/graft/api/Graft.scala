@@ -427,6 +427,17 @@ object Graft {
         (col("top_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023): per-doc mean token
+    * log-likelihood ratio of the unigram model fit on `target` docs over
+    * the model fit on the whole `docs` corpus — the published
+    * data-selection rule is resampling ∝ exp(weight). One corpus shuffle
+    * (the tf agg); both models broadcast as O(vocab) count tables. */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, target: org.apache.spark.sql.DataFrame,
+                  idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    TextFunctions.dsirLogRatio(
+      docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term")),
+      target.select(col(idCol)), idCol, "term")
+
   /** Temperature-scaled domain mixing weights: per-`groupCol` token mass
     * raised to `alpha` (alpha < 1 upweights small domains, the standard
     * multilingual/multi-source resampling dial), normalized over the tiny

@@ -200,6 +200,36 @@ object TextFunctions {
         sum(col("tf")).cast("double")).as("lm_logprob"))
   }
 
+  /** DSIR-style importance log-ratio (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * token-mass-weighted mean log-likelihood ratio between a TARGET unigram
+    * model (docs in `targetIds`) and the RAW-corpus unigram model, both
+    * add-one smoothed over the raw vocabulary. Positive = reads more like
+    * the target than the corpus average; resampling ∝ exp(weight) (or
+    * thresholding the ratio) is the published selection rule. Scale shape:
+    * the corpus shuffles once into the (doc, term) tf agg (shared with
+    * [[unigramLogProb]]); both models are O(vocab) count tables that join
+    * back by broadcast, so the 100 TB side never re-shuffles. */
+  def dsirLogRatio(toks: org.apache.spark.sql.DataFrame,
+                   targetIds: org.apache.spark.sql.DataFrame,
+                   docIdCol: String, termCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = toks.groupBy(col(docIdCol), col(termCol)).agg(count(lit(1)).as("tf"))
+    val tgtTf = tf.join(targetIds.select(col(docIdCol)), Seq(docIdCol), "left_semi")
+    val rawCnt = tf.groupBy(col(termCol)).agg(sum(col("tf")).as("rcnt"))
+    val tgtCnt = tgtTf.groupBy(col(termCol)).agg(sum(col("tf")).as("tcnt"))
+    val rawTot = toks.agg(count(lit(1)).as("rtot"))
+    val tgtTot = tgtTf.agg(sum(col("tf")).as("ttot"))
+    val voc = rawCnt.agg(count(lit(1)).as("vocab"))
+    val stats = rawCnt.join(tgtCnt, Seq(termCol), "left").na.fill(0L, Seq("tcnt"))
+    tf.join(broadcast(stats), termCol)
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot)).crossJoin(broadcast(voc))
+      .groupBy(col(docIdCol))
+      .agg((sum(col("tf").cast("double") *
+          (log((col("tcnt") + 1).cast("double") / (col("ttot") + col("vocab")).cast("double")) -
+           log((col("rcnt") + 1).cast("double") / (col("rtot") + col("vocab")).cast("double")))) /
+        sum(col("tf")).cast("double")).as("dsir_logratio"))
+  }
+
   def redact(text: Column): Column =
     regexp_replace(
       regexp_replace(text, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),

@@ -862,6 +862,36 @@ object QueriesText {
              |FROM tf t JOIN cnt c USING (term), tot, voc
              |GROUP BY t.doc_id""".stripMargin)),
 
+    // DSIR importance weights (Xie et al. 2023): per-doc mean token
+    // log-likelihood ratio of a TARGET unigram model (here: lang='en'
+    // docs — select multilingual raw data that reads like the English
+    // target) over the raw-corpus model, both add-one smoothed on the raw
+    // vocabulary. The corpus shuffles once (the shared tf agg); both
+    // models are O(vocab) broadcast tables.
+    Q("q_dsir_weights",
+      (s, dir) => graft.functions.TextFunctions.dsirLogRatio(
+          docTokens(s, dir),
+          T(s, dir, "documents").where(col("lang") === "en").select(col("doc_id")),
+          "doc_id", "term")
+        .select(col("doc_id"), round(col("dsir_logratio"), 4).as("dsir_logratio")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |raw AS (SELECT term, sum(tf) AS rcnt FROM tf GROUP BY 1),
+             |tgt AS (SELECT t.term, sum(t.tf) AS tcnt FROM tf t
+             |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+             |rt AS (SELECT count(*) AS rtot FROM toks),
+             |tt AS (SELECT sum(t.tf) AS ttot FROM tf t
+             |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+             |voc AS (SELECT count(*) AS vocab FROM raw)
+             |SELECT t.doc_id,
+             |round(sum(t.tf::DOUBLE * (ln((coalesce(g.tcnt, 0) + 1)::DOUBLE / (ttot + vocab)::DOUBLE)
+             |                        - ln((r.rcnt + 1)::DOUBLE / (rtot + vocab)::DOUBLE)))
+             |  / sum(t.tf)::DOUBLE, 4) AS dsir_logratio
+             |FROM tf t JOIN raw r USING (term) LEFT JOIN tgt g USING (term), rt, tt, voc
+             |GROUP BY t.doc_id""".stripMargin)),
+
     Q("q_tfidf",
       (s, dir) => {
         val docs = T(s, dir, "documents")

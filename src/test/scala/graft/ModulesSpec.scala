@@ -732,6 +732,24 @@ class GraftPipelineFacadeSpec extends AnyFunSuite {
     assert(math.abs(m._4 - 4.0 / 5.0) < 1e-12)         // "a a" 4 of 5 bigrams
   }
 
+  test("dsirWeights rank target-like docs above corpus-average docs") {
+    // target model fit on the "en"-ish docs; a held-out doc written in the
+    // target vocabulary must outscore one written in the other vocabulary
+    val docs = Seq(
+      (1L, "cat dog bird cat dog fish", "en"),
+      (2L, "dog cat cat bird dog bird", "en"),
+      (3L, "rojo azul verde rojo azul", "es"),
+      (4L, "verde rojo rojo azul azul", "es"),
+      (5L, "cat bird dog fish cat", "??"),   // target-like, unlabeled
+      (6L, "azul verde rojo rojo", "??")     // corpus-other, unlabeled
+    ).toDF("doc_id", "text", "lang")
+    val target = docs.where($"lang" === "en").select("doc_id")
+    val w = graft.api.Graft.dsirWeights(docs, target, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(w(5L) > 0.0 && w(6L) < 0.0 && w(5L) > w(6L))
+    assert(w(1L) > w(3L))
+  }
+
   test("domainMixWeights follows the alpha power law and sums to 1") {
     // src0: 4 docs x 25 tokens = 100; src1: 4 docs x 100 tokens = 400
     val docs = (Seq.fill(4)("w " * 24 + "w").map(("src0", _)) ++
