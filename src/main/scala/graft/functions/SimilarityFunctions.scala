@@ -122,4 +122,45 @@ object SimilarityFunctions {
       .where(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  /** SemDeDup-style semantic deduplication scoped to coarse-quantizer
+    * cells (Abbas et al. 2023, arXiv:2303.09540): every vector joins its
+    * max-cosine centroid cell (the [[ivfTopK]] assignment rule); within a
+    * cell, pairs at cosine ≥ `tau` form a similarity graph whose connected
+    * components are semantic-duplicate groups; each group keeps ONE
+    * member — the paper's rule: the vector LEAST similar to its centroid
+    * survives (low-ccos = the most informative exemplar; ties to min id).
+    *
+    * Scale shape: centroids broadcast (k-means trains offline at real
+    * scale), cell assignment is map-only over the corpus, pair generation
+    * is a per-cell self-join — O(B²) per cell with B bounded by quantizer
+    * granularity, never corpus-wide all-pairs — and components run through
+    * GraphCC's partitioned min-label fixpoint. Cosines round to 6 places
+    * before every comparison so assignment, edges, and the keep ordering
+    * are engine-deterministic. Returns (vec_id, cell, cluster, keep). */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cen = centroids.select(col(idCol).as("cid"), col(embCol).as("cemb"))
+    val scoredAsn = corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
+      .crossJoin(broadcast(cen))
+      .withColumn("ccos", round(cosine(col("ce"), col("cemb")), 6))
+    val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val cells = scoredAsn.withColumn("cr", row_number().over(aw)).where(col("cr") === 1)
+      .select(col("vec_id"), col("ce"), col("cid"), col("ccos"))
+    val a = cells.select(col("cid"), col("vec_id").as("id1"), col("ce").as("ea"))
+    val b = cells.select(col("cid"), col("vec_id").as("id2"), col("ce").as("eb"))
+    val edges = a.join(b, Seq("cid")).where(col("id1") < col("id2"))
+      .where(round(cosine(col("ea"), col("eb")), 6) >= tau)
+      .select(col("id1"), col("id2"))
+    val labels = graft.operators.GraphCC.minLabels(
+      cells.select(col("vec_id")).as[Long].rdd,
+      edges.as[(Long, Long)].rdd)(s)
+    val keepW = Window.partitionBy("cluster").orderBy(col("ccos").asc, col("vec_id"))
+    cells.join(labels.toDF("vec_id", "cluster"), Seq("vec_id"))
+      .withColumn("rn", row_number().over(keepW))
+      .select(col("vec_id"), col("cid").as("cell"), col("cluster"),
+        (col("rn") === 1).as("keep"))
+  }
 }

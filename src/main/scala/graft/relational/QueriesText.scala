@@ -580,6 +580,44 @@ object QueriesText {
            |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin
       }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup scoped to IVF cells —
+    // within each max-cosine centroid cell, pairs at cosine >= 0.3 form
+    // groups (connected components) and each group keeps only the member
+    // LEAST similar to its centroid (the paper's keep rule; ties min id).
+    // Per-cell self-join bounds candidate pairs (never corpus all-pairs);
+    // the oracle replays assignment, edges, closure, and the keep window.
+    Q("q_semdedup",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        graft.functions.SimilarityFunctions.semDedup(
+          e, e.where(col("vec_id") % 100 === 0), tau = 0.3)
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        s"""WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings),
+           |cen AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |casn AS (SELECT v.vec_id, cen.cid, ${cos("v.embedding", "cen.cemb")} AS ccos
+           |  FROM v CROSS JOIN cen),
+           |cells AS (SELECT vec_id, cid, ccos FROM (SELECT vec_id, cid, ccos,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr FROM casn)
+           |  WHERE cr = 1),
+           |e AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM cells a
+           |  JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  JOIN v x ON x.vec_id = a.vec_id JOIN v y ON y.vec_id = b.vec_id
+           |  WHERE ${cos("x.embedding", "y.embedding")} >= 0.3),
+           |sym AS (SELECT id1, id2 FROM e UNION SELECT id2, id1 FROM e),
+           |reach(s, t) AS (SELECT vec_id, vec_id FROM cells
+           |  UNION SELECT r.s, e2.id2 FROM reach r JOIN sym e2 ON e2.id1 = r.t),
+           |comp AS (SELECT s AS vec_id, min(t) AS cluster FROM reach GROUP BY s),
+           |r AS (SELECT c.vec_id, c.cid AS cell, p.cluster, c.ccos,
+           |  row_number() OVER (PARTITION BY p.cluster ORDER BY c.ccos ASC, c.vec_id) AS rn
+           |  FROM cells c JOIN comp p ON p.vec_id = c.vec_id)
+           |SELECT vec_id, cell, cluster, rn = 1 AS keep FROM r""".stripMargin
+      }),
+
     // ---- backend dispatch (/root/reference/imops/backend.py:7-95) ----
     // The same minhash signature computed through BOTH execution backends
     // via the facade's conf-scoped dispatch (`withBackend` = the

@@ -166,6 +166,29 @@ class SimilaritySpec extends AnyFunSuite {
     val out = SimilarityFunctions.lshTopK(vecs.where($"vec_id" < 3), vecs, k = 5)
     assert(out.groupBy("qid").count().as[(Long, Long)].collect().forall(_._2 == 5))
   }
+
+  test("semDedup groups within cells and keeps the least-prototypical member") {
+    // two orthogonal cells; ids 1/2/3 land in cell 0 (id 3 slightly
+    // off-axis = least similar to the centroid), id 4 alone in cell 10.
+    // 1-2-3 are mutually near-identical -> one group, keep = 3.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)),         // centroid of cell 0
+      (10L, Seq(0f, 1f, 0f)),        // centroid of cell 10
+      (1L, Seq(1f, 0.01f, 0f)),
+      (2L, Seq(1f, 0.02f, 0f)),
+      (3L, Seq(1f, 0.2f, 0f)),
+      (4L, Seq(0.1f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityFunctions.semDedup(
+        vecs.where($"vec_id" =!= 0L && $"vec_id" =!= 10L),
+        vecs.where($"vec_id" === 0L || $"vec_id" === 10L), tau = 0.95)
+      .select("vec_id", "cell", "cluster", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (0L, 1L, false) && out(2L) == (0L, 1L, false))
+    assert(out(3L) == (0L, 1L, true), "farthest-from-centroid member survives")
+    assert(out(4L) == (10L, 4L, true), "singleton keeps itself")
+  }
 }
 
 class QuerySmokeSpec extends AnyFunSuite {
