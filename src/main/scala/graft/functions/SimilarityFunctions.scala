@@ -123,6 +123,50 @@ object SimilarityFunctions {
       .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Lloyd refinement of a coarse quantizer over the embedding column —
+    * the trainer for the centroids [[ivfTopK]] and [[semDedup]] take as
+    * input. Classic distributed k-means shape: centroids are DRIVER state
+    * (O(cells·dim) doubles — the only thing ever collected), broadcast
+    * into a map-only assignment pass; the refit is one groupBy over
+    * (cell, component) — two shuffle-light jobs per iteration no matter
+    * the corpus size. Spherical (cosine) k-means, the metric the IVF
+    * probe itself uses. Assignment cosines and refit centroid components
+    * round to 6 places every iteration, so the trained quantizer is
+    * reproducible across engines and partition orders; cells that lose
+    * all members keep their previous centroid. `iters` assignment passes
+    * run with `iters - 1` refits between them; returns the final
+    * assignment (vec_id, cell, ccos). */
+  def kmeansAssign(corpus: DataFrame, init: DataFrame, iters: Int = 2,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val v = corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
+    var cen: Map[Long, Seq[Double]] = init
+      .select(col(idCol).cast("long").as("cid"),
+        transform(col(embCol), x => round(x.cast("double"), 6)).as("cemb"))
+      .as[(Long, Seq[Double])].collect().toMap
+    var out: DataFrame = v.sparkSession.emptyDataFrame
+    for (it <- 1 to iters) {
+      val cenDf = cen.toSeq.sortBy(_._1).toDF("cid", "cemb")
+      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val asn = v.crossJoin(broadcast(cenDf))
+        .withColumn("ccos", round(cosine(col("ce"), col("cemb")), 6))
+        .withColumn("cr", row_number().over(aw)).where(col("cr") === 1)
+        .select(col("vec_id"), col("ce"), col("cid"), col("ccos"))
+      out = asn.select(col("vec_id"), col("cid").as("cell"), col("ccos"))
+      if (it < iters) {
+        val refit = asn
+          .select(col("cid"), posexplode(col("ce")).as(Seq("k", "x")))
+          .groupBy("cid", "k").agg(round(avg(col("x").cast("double")), 6).as("m"))
+          .as[(Long, Int, Double)].collect()
+          .groupBy(_._1).map { case (cid, rs) =>
+            cid -> rs.sortBy(_._2).map(_._3).toSeq }
+        cen = cen.map { case (cid, old) => cid -> refit.getOrElse(cid, old) }
+      }
+    }
+    out
+  }
+
   /** SemDeDup-style semantic deduplication scoped to coarse-quantizer
     * cells (Abbas et al. 2023, arXiv:2303.09540): every vector joins its
     * max-cosine centroid cell (the [[ivfTopK]] assignment rule); within a

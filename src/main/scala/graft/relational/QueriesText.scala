@@ -618,6 +618,44 @@ object QueriesText {
            |SELECT vec_id, cell, cluster, rn = 1 AS keep FROM r""".stripMargin
       }),
 
+    // Lloyd k-means refinement (2 assignment passes, 1 refit) — the
+    // quantizer trainer behind q_ann_ivf/q_semdedup's centroids. The
+    // oracle unrolls both iterations with centroids as (cid, k, val)
+    // rows; every cosine and every refit component rounds to 6 places on
+    // both engines, which is what makes iterated FP averaging gateable.
+    Q("q_kmeans",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        graft.functions.SimilarityFunctions.kmeansAssign(
+          e, e.where(col("vec_id") % 100 === 0), iters = 2)
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+             |dims AS (SELECT k FROM range(64) t(k)),
+             |nv AS (SELECT v.vec_id, sqrt(sum(pow(cast(v.embedding[d.k+1] AS DOUBLE), 2))) AS nrm
+             |  FROM v CROSS JOIN dims d GROUP BY v.vec_id),
+             |cen0 AS (SELECT c.vec_id AS cid, d.k, round(cast(c.embedding[d.k+1] AS DOUBLE), 6) AS val
+             |  FROM v c CROSS JOIN dims d WHERE c.vec_id % 100 = 0),
+             |nc0 AS (SELECT cid, sqrt(sum(val * val)) AS nrm FROM cen0 GROUP BY cid),
+             |dp0 AS (SELECT v.vec_id, c.cid, sum(cast(v.embedding[c.k+1] AS DOUBLE) * c.val) AS dp
+             |  FROM v JOIN cen0 c ON true GROUP BY 1, 2),
+             |asn1 AS (SELECT vec_id, cid FROM (SELECT d.vec_id, d.cid,
+             |  row_number() OVER (PARTITION BY d.vec_id
+             |    ORDER BY round(d.dp / (nv.nrm * n.nrm), 6) DESC, d.cid) AS cr
+             |  FROM dp0 d JOIN nv ON nv.vec_id = d.vec_id JOIN nc0 n ON n.cid = d.cid) WHERE cr = 1),
+             |cen1 AS (SELECT c0.cid, c0.k, coalesce(r.val, c0.val) AS val FROM cen0 c0
+             |  LEFT JOIN (SELECT a.cid, d.k, round(avg(cast(v.embedding[d.k+1] AS DOUBLE)), 6) AS val
+             |    FROM asn1 a JOIN v USING (vec_id) CROSS JOIN dims d GROUP BY 1, 2) r
+             |  ON r.cid = c0.cid AND r.k = c0.k),
+             |nc1 AS (SELECT cid, sqrt(sum(val * val)) AS nrm FROM cen1 GROUP BY cid),
+             |dp1 AS (SELECT v.vec_id, c.cid, sum(cast(v.embedding[c.k+1] AS DOUBLE) * c.val) AS dp
+             |  FROM v JOIN cen1 c ON true GROUP BY 1, 2)
+             |SELECT vec_id, cid AS cell, ccos FROM (SELECT d.vec_id, d.cid,
+             |  round(d.dp / (nv.nrm * n.nrm), 6) AS ccos,
+             |  row_number() OVER (PARTITION BY d.vec_id
+             |    ORDER BY round(d.dp / (nv.nrm * n.nrm), 6) DESC, d.cid) AS cr
+             |  FROM dp1 d JOIN nv ON nv.vec_id = d.vec_id JOIN nc1 n ON n.cid = d.cid)
+             |WHERE cr = 1""".stripMargin)),
+
     // ---- backend dispatch (/root/reference/imops/backend.py:7-95) ----
     // The same minhash signature computed through BOTH execution backends
     // via the facade's conf-scoped dispatch (`withBackend` = the

@@ -167,6 +167,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.groupBy("qid").count().as[(Long, Long)].collect().forall(_._2 == 5))
   }
 
+  test("kmeansAssign refit moves centroids onto the data mass") {
+    // init centroid 100 sits diagonally BETWEEN the clusters, 200 on
+    // cluster B; pass 1 assigns by the init geometry, the refit pulls 100
+    // onto cluster A's mean, so pass 2 keeps the partition but with a
+    // strictly better fit for every A point
+    val vecs = Seq(
+      (100L, Seq(0.7f, 0.7f)), (200L, Seq(0f, 1f)),          // init centroids
+      (1L, Seq(1f, 0f)), (2L, Seq(0.95f, 0.05f)), (3L, Seq(0.9f, -0.1f)),
+      (4L, Seq(0f, 1f)), (5L, Seq(0.1f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val corpus = vecs.where($"vec_id" < 100)
+    val init = vecs.where($"vec_id" >= 100)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val p1 = asMap(SimilarityFunctions.kmeansAssign(corpus, init, iters = 1))
+    val p2 = asMap(SimilarityFunctions.kmeansAssign(corpus, init, iters = 2))
+    assert(Seq(1L, 2L, 3L).forall(id => p1(id)._1 == 100L && p2(id)._1 == 100L))
+    assert(Seq(4L, 5L).forall(id => p1(id)._1 == 200L && p2(id)._1 == 200L))
+    assert(Seq(1L, 2L, 3L).forall(id => p2(id)._2 > p1(id)._2 + 0.1),
+      "refit centroid must fit cluster A much better than the diagonal init")
+  }
+
   test("semDedup groups within cells and keeps the least-prototypical member") {
     // two orthogonal cells; ids 1/2/3 land in cell 0 (id 3 slightly
     // off-axis = least similar to the centroid), id 4 alone in cell 10.
