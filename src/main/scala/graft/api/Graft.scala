@@ -427,6 +427,28 @@ object Graft {
         (col("top_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
   }
 
+  /** Gopher-style quality rule battery (Rae et al. 2021 §A1.1): the
+    * word-level keep/drop rules — token count in [minTokens, maxTokens],
+    * mean word length in [3, 10], ≥ 80% of words containing an alphabetic
+    * character, and at least `minStopwords` of the stopword list present —
+    * as per-document metrics plus one folded `keep` boolean. Every rule
+    * compares a 4-place-rounded metric, so the decision boundary is
+    * engine-exact. Stateless map; no shuffle. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 50, maxTokens: Int = 100000,
+                  stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"),
+                  minStopwords: Int = 2): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nTok = size(toks)
+    val awl = round(TextFunctions.avgWordLen(col(textCol)), 4)
+    val alpha = round(size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nTok, 4)
+    val nStop = size(filter(array(stopwords.map(lit): _*), sw => array_contains(toks, sw)))
+    docs.select(col(idCol), nTok.as("n_tokens"), awl.as("avg_word_len"),
+      alpha.as("alpha_frac"), nStop.as("n_stopwords"),
+      (nTok.between(minTokens, maxTokens) &&
+        awl.between(3.0, 10.0) && alpha >= 0.8 && nStop >= minStopwords).as("keep"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023): per-doc mean token
     * log-likelihood ratio of the unigram model fit on `target` docs over
     * the model fit on the whole `docs` corpus — the published

@@ -436,6 +436,31 @@ object QueriesText {
              |  / len(string_split(text, ' ')), 4) AS stop_ratio
              |FROM documents""".stripMargin)),
 
+    // Gopher-style quality rule battery (Rae et al. 2021 §A1.1): the
+    // published keep/drop word-level rules that complement q_quality's raw
+    // metrics and q_repetition's duplicate fractions — token-count window,
+    // mean-word-length window, alphabetic-word fraction, minimum distinct
+    // stopword hits — folded into one boolean `keep` per document. All
+    // rules compare ROUNDED metrics on both engines so the boundary
+    // behavior is engine-exact. Stateless map over the corpus.
+    Q("q_gopher_rules",
+      (s, dir) => graft.api.Graft.gopherRules(
+        T(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH m AS (SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  round(cast(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             |    / len(string_split(text, ' ')), 4) AS avg_word_len,
+             |  round(cast(len(list_filter(string_split(text, ' '),
+             |      w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+             |    / len(string_split(text, ' ')), 4) AS alpha_frac,
+             |  len(list_filter(['the', 'a', 'of', 'and', 'to'],
+             |    sw -> list_contains(string_split(text, ' '), sw))) AS n_stopwords
+             |  FROM documents)
+             |SELECT doc_id, n_tokens, avg_word_len, alpha_frac, n_stopwords,
+             |(n_tokens BETWEEN 50 AND 100000 AND avg_word_len BETWEEN 3.0 AND 10.0
+             | AND alpha_frac >= 0.8 AND n_stopwords >= 2) AS keep
+             |FROM m""".stripMargin)),
+
     // PII-style redaction — the scrub step of a corpus-cleaning pipeline:
     // email-shaped spans then digit runs become typed placeholders; the
     // oracle recomputes the redacted text (DuckDB regexp_replace needs the
