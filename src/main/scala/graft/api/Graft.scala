@@ -438,12 +438,18 @@ object Graft {
                   minTokens: Int = 50, maxTokens: Int = 100000,
                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"),
                   minStopwords: Int = 2): org.apache.spark.sql.DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nTok = size(toks)
+    // token array pre-projected to a bound attribute: an outer expression
+    // referenced from inside an HOF lambda re-evaluates per element (the
+    // round-5 wordGrams lesson), so the stopword filter below must see a
+    // column, not the split expression
+    val base = docs.select(col(idCol), col(textCol),
+      split(col(textCol), " ").as("toks"))
+    val nTok = size(col("toks"))
     val awl = round(TextFunctions.avgWordLen(col(textCol)), 4)
-    val alpha = round(size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nTok, 4)
-    val nStop = size(filter(array(stopwords.map(lit): _*), sw => array_contains(toks, sw)))
-    docs.select(col(idCol), nTok.as("n_tokens"), awl.as("avg_word_len"),
+    val alpha = round(size(filter(col("toks"), w => w.rlike("[a-z]"))).cast("double") / nTok, 4)
+    val nStop = size(filter(array(stopwords.map(lit): _*),
+      sw => array_contains(col("toks"), sw)))
+    base.select(col(idCol), nTok.as("n_tokens"), awl.as("avg_word_len"),
       alpha.as("alpha_frac"), nStop.as("n_stopwords"),
       (nTok.between(minTokens, maxTokens) &&
         awl.between(3.0, 10.0) && alpha >= 0.8 && nStop >= minStopwords).as("keep"))
