@@ -132,8 +132,60 @@ object ScaleSoak {
         .toDF().count()
     }
 
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    emb0.persist().count()
+
+    /** Replicate ×n with re-keyed DENSE ids and a deterministic
+      * per-(copy, component) SIGN FLIP: within a copy every dot product is
+      * bit-exact to the base (the signs cancel), so each copy carries the
+      * base corpus's full similarity structure, while cross-copy cosines
+      * are near zero (≈ a random ±1 mask) — the corpus grows with n× the
+      * base's near-dup structure instead of n²-collinear clones. A small
+      * additive offset was measured useless here: components are
+      * ~N(0, 0.125), so ±0.018 left all copies collinear and inflated
+      * true pairs quadratically — the embedding analog of the per-token
+      * salting lesson above. */
+    def vecs(n: Int): DataFrame =
+      if (n == 1) emb0
+      else spark.range(n).select(col("id").as("copy")).crossJoin(emb0)
+        // re-key stride safely above ANY sf's base cardinality — a stride
+        // below it makes copies collide on vec_id and the assignment
+        // window silently dedupes the corpus back down
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(col("copy") === 0, x).otherwise(
+              (x * (lit(1) - lit(2) * pmod(hash(col("copy"), i), lit(2)))).cast("float")))
+            .as("embedding"))
+
+    /** SemDeDup at scale: quantizer granularity grows as k ∝ √N (the
+      * deployment convention that balances the O(N·k) assignment term
+      * against the O(N²/k) per-cell pair term — both land at n^1.5).
+      * Expected tail_time_ratio ≈ 3^1.5 ≈ 5.2; an all-pairs regression
+      * would read ≈ 9. The tail_shuffle_ratio crosses a plan transition
+      * here: ×10 is 20k vertices (GraphCC's ≤50k single-task union-find,
+      * near-zero shuffle), ×30 is 60k (the distributed pointer-doubling
+      * fixpoint) — absolute bytes stay two orders under the stencil
+      * pipelines'. */
+    def semdedupRun(n: Int): Long = {
+      val v = vecs(n)
+      val stride = 100L * math.max(1, math.sqrt(n.toDouble).toInt)
+      graft.functions.SimilarityFunctions.semDedup(
+        v, v.where(col("vec_id") % stride === 0), tau = 0.3).count()
+    }
+
+    /** k-means at scale: k FIXED (a deployment constant as the corpus
+      * grows) — assignment is a map-only broadcast pass so time scales
+      * O(N·k) = linearly in n, and the refit shuffle is bounded by
+      * partitions × cells × dim (map-side combine), ~flat in n. */
+    def kmeansRun(n: Int): Long = {
+      val v = vecs(n)
+      graft.functions.SimilarityFunctions.kmeansAssign(
+        v, emb0.where(col("vec_id") % 100 === 0), iters = 2).count()
+    }
+
     // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
-    lshRun(1); packRun(1); erodeRun(1); zoomRun(1)
+    lshRun(1); packRun(1); erodeRun(1); zoomRun(1); semdedupRun(1); kmeansRun(1)
 
     // three scale points: 1× → 10× may cross a plan transition (e.g. a
     // build side outgrowing the broadcast threshold, switching the banded
@@ -145,7 +197,7 @@ object ScaleSoak {
     val scales = Seq(1, 10, 30)
     val pipelines = Seq[(String, Int => Long)](
       ("lsh_dedup", lshRun), ("pack_sequences", packRun), ("tiled_erosion3d", erodeRun),
-      ("volume_zoom3d", zoomRun))
+      ("volume_zoom3d", zoomRun), ("semdedup", semdedupRun), ("kmeans_train", kmeansRun))
     val parts = pipelines.map { case (name, run) =>
       val pts = scales.map { n => n -> timed(run(n)) }
       val ptJson = pts.map { case (n, (sec, r, w, rows)) =>

@@ -191,8 +191,13 @@ object SimilarityFunctions {
       .crossJoin(broadcast(cen))
       .withColumn("ccos", round(cosine(col("ce"), col("cemb")), 6))
     val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    // the assignment feeds BOTH self-join sides, the component vertex set,
+    // and the final label join — cache it or the corpus × centroid
+    // cross-join re-executes four times (an 8× shuffle tail in the scale
+    // soak before this)
     val cells = scoredAsn.withColumn("cr", row_number().over(aw)).where(col("cr") === 1)
       .select(col("vec_id"), col("ce"), col("cid"), col("ccos"))
+      .cache()
     val a = cells.select(col("cid"), col("vec_id").as("id1"), col("ce").as("ea"))
     val b = cells.select(col("cid"), col("vec_id").as("id2"), col("ce").as("eb"))
     val edges = a.join(b, Seq("cid")).where(col("id1") < col("id2"))

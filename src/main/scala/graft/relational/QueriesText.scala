@@ -436,6 +436,37 @@ object QueriesText {
              |  / len(string_split(text, ' ')), 4) AS stop_ratio
              |FROM documents""".stripMargin)),
 
+    // Tokenizer vocabulary selection by mass coverage: rank terms by
+    // count (ties lexicographic) and admit the smallest prefix covering
+    // 95% of token mass — the vocab-building step of an LM pipeline. The
+    // threshold compares in EXACT integer arithmetic ((cum-cnt)*100 <
+    // total*95), so the boundary term is engine-exact with no FP at all.
+    // The window runs over the POST-AGG O(vocab) table (the corpus itself
+    // shuffles once into the count); a web-scale vocab would route the
+    // cumsum through operators.PrefixSum instead of one window partition.
+    Q("q_vocab_coverage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnts = docTokens(s, dir).groupBy("term").agg(count(lit(1)).as("cnt"))
+        val tot = cnts.agg(sum("cnt").as("total"))
+        val w = Window.orderBy(col("cnt").desc, col("term"))
+        cnts.withColumn("rank", row_number().over(w))
+          .withColumn("cum", sum("cnt").over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("term"), col("cnt"), col("rank").cast("long").as("rank"),
+            ((col("cum") - col("cnt")) * 100 < col("total") * 95).as("in_vocab"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+             |tot AS (SELECT sum(cnt) AS total FROM cnt),
+             |r AS (SELECT term, cnt,
+             |  row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+             |  sum(cnt) OVER (ORDER BY cnt DESC, term) AS cum FROM cnt)
+             |SELECT term, cnt, CAST(rank AS BIGINT) AS rank,
+             |(cum - cnt) * 100 < total * 95 AS in_vocab FROM r, tot""".stripMargin)),
+
     // Gopher-style quality rule battery (Rae et al. 2021 §A1.1): the
     // published keep/drop word-level rules that complement q_quality's raw
     // metrics and q_repetition's duplicate fractions — token-count window,
