@@ -455,6 +455,39 @@ object Graft {
         awl.between(3.0, 10.0) && alpha >= 0.8 && nStop >= minStopwords).as("keep"))
   }
 
+  /** BPE tokenizer training — the first `merges` merge rules learned from
+    * the corpus (Sennrich et al. 2016). The only corpus-scale work is ONE
+    * shuffle into the (word, count) vocabulary; every merge round then
+    * runs on that O(vocab) table: adjacent symbol pairs weighted by word
+    * count, the arg-max pair (ties count-desc then lexicographic — fully
+    * deterministic), and a row-local greedy left-to-right re-segmentation
+    * ([[TextFunctions.bpeMergePair]]). The driver holds only the learned
+    * rules (`merges` rows). Returns (round, pair_a, pair_b, pair_count). */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+               merges: Int = 3): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var vocab = docs
+      .select(explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("wc"))
+      .withColumn("syms",
+        expr("transform(sequence(0, length(term)-1), i -> substr(term, i+1, 1))"))
+      .persist()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to merges) {
+      val top = vocab.where(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect()(0)
+      out += ((r.toLong, top._1, top._2, top._3))
+      vocab = vocab.withColumn("syms",
+        TextFunctions.bpeMergeUdf(col("syms"), lit(top._1), lit(top._2)))
+    }
+    out.toSeq.toDF("round", "pair_a", "pair_b", "pair_count")
+  }
+
   /** DSIR importance weights (Xie et al. 2023): per-doc mean token
     * log-likelihood ratio of the unigram model fit on `target` docs over
     * the model fit on the whole `docs` corpus — the published

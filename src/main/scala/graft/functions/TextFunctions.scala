@@ -230,6 +230,22 @@ object TextFunctions {
         sum(col("tf")).cast("double")).as("dsir_logratio"))
   }
 
+  /** One BPE merge applied greedily left-to-right: every non-overlapping
+    * adjacent occurrence of (a, b) becomes the fused symbol a+b, scanning
+    * from the left and consuming two symbols per match — the classic
+    * byte-pair-encoding application rule. Row-local, O(|word|). */
+  def bpeMergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+  val bpeMergeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(bpeMergePair _)
+
   def redact(text: Column): Column =
     regexp_replace(
       regexp_replace(text, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),

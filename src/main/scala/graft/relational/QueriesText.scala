@@ -436,6 +436,61 @@ object QueriesText {
              |  / len(string_split(text, ' ')), 4) AS stop_ratio
              |FROM documents""".stripMargin)),
 
+    // BPE tokenizer training, first 3 merges (Sennrich et al. 2016): the
+    // corpus collapses once into the (word, count) vocab; each round finds
+    // the max-count adjacent symbol pair (ties count-desc, then
+    // lexicographic) and re-segments greedily left-to-right. The oracle
+    // unrolls all three rounds; merge APPLICATION — inherently sequential
+    // per word — is a recursive CTE walking each word's symbol list with
+    // an accumulator, consuming 2 symbols on a match and 1 otherwise,
+    // exactly the kernel's scan rule (TextFunctions.bpeMergePair).
+    Q("q_bpe_train",
+      (s, dir) => graft.api.Graft.bpeTrain(
+        T(s, dir, "documents"), "doc_id", "text", merges = 3),
+      Some("""WITH RECURSIVE toks AS (SELECT
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |words AS (SELECT term, count(*) AS wc,
+             |  list_transform(range(1, length(term) + 1), i -> substr(term, i, 1)) AS syms
+             |  FROM toks GROUP BY term),
+             |p1 AS (SELECT w.syms[t.i] AS a, w.syms[t.i+1] AS b, sum(w.wc) AS cnt
+             |  FROM words w, range(1, 64) t(i) WHERE t.i <= len(w.syms) - 1 GROUP BY 1, 2),
+             |t1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+             |s1(term, i, acc) AS (
+             |  SELECT term, 1, CAST([] AS VARCHAR[]) FROM words
+             |  UNION ALL
+             |  SELECT s.term,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN s.i + 2 ELSE s.i + 1 END,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN list_append(s.acc, t.a || t.b) ELSE list_append(s.acc, w.syms[s.i]) END
+             |  FROM s1 s JOIN words w ON w.term = s.term CROSS JOIN t1 t
+             |  WHERE s.i <= len(w.syms)),
+             |w1 AS (SELECT s.term, w.wc, s.acc AS syms FROM s1 s JOIN words w USING (term)
+             |  WHERE s.i > len(w.syms)),
+             |p2 AS (SELECT w.syms[t.i] AS a, w.syms[t.i+1] AS b, sum(w.wc) AS cnt
+             |  FROM w1 w, range(1, 64) t(i) WHERE t.i <= len(w.syms) - 1 GROUP BY 1, 2),
+             |t2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+             |s2(term, i, acc) AS (
+             |  SELECT term, 1, CAST([] AS VARCHAR[]) FROM w1
+             |  UNION ALL
+             |  SELECT s.term,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN s.i + 2 ELSE s.i + 1 END,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN list_append(s.acc, t.a || t.b) ELSE list_append(s.acc, w.syms[s.i]) END
+             |  FROM s2 s JOIN w1 w ON w.term = s.term CROSS JOIN t2 t
+             |  WHERE s.i <= len(w.syms)),
+             |w2 AS (SELECT s.term, w.wc, s.acc AS syms FROM s2 s JOIN w1 w USING (term)
+             |  WHERE s.i > len(w.syms)),
+             |p3 AS (SELECT w.syms[t.i] AS a, w.syms[t.i+1] AS b, sum(w.wc) AS cnt
+             |  FROM w2 w, range(1, 64) t(i) WHERE t.i <= len(w.syms) - 1 GROUP BY 1, 2),
+             |t3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS round, a AS pair_a, b AS pair_b,
+             |  CAST(cnt AS BIGINT) AS pair_count FROM t1
+             |UNION ALL SELECT CAST(2 AS BIGINT), a, b, CAST(cnt AS BIGINT) FROM t2
+             |UNION ALL SELECT CAST(3 AS BIGINT), a, b, CAST(cnt AS BIGINT) FROM t3""".stripMargin)),
+
     // Tokenizer vocabulary selection by mass coverage: rank terms by
     // count (ties lexicographic) and admit the smallest prefix covering
     // 95% of token mass — the vocab-building step of an LM pipeline. The

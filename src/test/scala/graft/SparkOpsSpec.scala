@@ -116,6 +116,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     val out = df.select(TextFunctions.langId($"text")).as[String].collect()
     assert(out.sameElements(Array("en", "es")))
   }
+
+  test("bpeMergePair is greedy left-to-right with non-overlapping matches") {
+    assert(TextFunctions.bpeMergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(TextFunctions.bpeMergePair(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(TextFunctions.bpeMergePair(Seq("x"), "a", "b") == Seq("x"))
+    // fused symbols participate in later merges as single units
+    assert(TextFunctions.bpeMergePair(Seq("ab", "c"), "ab", "c") == Seq("abc"))
+  }
+
+  test("bpeTrain learns the dominant pair then builds on the fused symbol") {
+    // "abab" x3 + "abc": round 1 must merge (a,b) (count 7 beats (b,a) 3);
+    // round 2 sees fused "ab" symbols and merges (ab,ab) from the x3 word
+    val docs = Seq((1L, "abab abab abab abc")).toDF("doc_id", "text")
+    val rules = graft.api.Graft.bpeTrain(docs, "doc_id", "text", merges = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(rules(0) == (1L, "a", "b", 7L))
+    assert(rules(1) == (2L, "ab", "ab", 3L))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
