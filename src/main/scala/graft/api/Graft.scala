@@ -488,6 +488,40 @@ object Graft {
     out.toSeq.toDF("round", "pair_a", "pair_b", "pair_count")
   }
 
+  /** BPE encoding with rules trained by the same procedure as
+    * [[bpeTrain]]: learns `merges` rules, applies them in order to the
+    * O(vocab) word table, then joins the final segmentation back onto the
+    * corpus occurrences — the 100 TB side touches only a broadcast-sized
+    * (word → symbol count) map, one narrow join, one per-doc agg. Returns
+    * (doc id, total BPE symbol count) — the post-tokenizer length used
+    * for packing/budgeting. */
+  def bpeEncodeCounts(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                      merges: Int = 3): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val occurrences = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+    var vocab = occurrences
+      .groupBy("term").agg(count(lit(1)).as("wc"))
+      .withColumn("syms",
+        expr("transform(sequence(0, length(term)-1), i -> substr(term, i+1, 1))"))
+      .persist()
+    for (_ <- 1 to merges) {
+      val top = vocab.where(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect()(0)
+      vocab = vocab.withColumn("syms",
+        TextFunctions.bpeMergeUdf(col("syms"), lit(top._1), lit(top._2)))
+    }
+    occurrences
+      .join(broadcast(vocab.select(col("term"), size(col("syms")).cast("long").as("n_syms"))),
+        Seq("term"))
+      .groupBy(col(idCol)).agg(sum(col("n_syms")).as("n_bpe_symbols"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023): per-doc mean token
     * log-likelihood ratio of the unigram model fit on `target` docs over
     * the model fit on the whole `docs` corpus — the published

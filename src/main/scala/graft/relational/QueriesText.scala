@@ -491,6 +491,68 @@ object QueriesText {
              |UNION ALL SELECT CAST(2 AS BIGINT), a, b, CAST(cnt AS BIGINT) FROM t2
              |UNION ALL SELECT CAST(3 AS BIGINT), a, b, CAST(cnt AS BIGINT) FROM t3""".stripMargin)),
 
+    // BPE ENCODE with the trained rules: the 3 learned merges apply to the
+    // O(vocab) word table and the final per-word symbol count joins back
+    // onto corpus occurrences (broadcast map + per-doc agg — the corpus
+    // never re-shuffles beyond the occurrence agg). Gates the downstream
+    // half of the tokenizer: post-BPE sequence length per document.
+    Q("q_bpe_encode",
+      (s, dir) => graft.api.Graft.bpeEncodeCounts(
+        T(s, dir, "documents"), "doc_id", "text", merges = 3),
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |words AS (SELECT term, count(*) AS wc,
+             |  list_transform(range(1, length(term) + 1), i -> substr(term, i, 1)) AS syms
+             |  FROM toks GROUP BY term),
+             |p1 AS (SELECT w.syms[t.i] AS a, w.syms[t.i+1] AS b, sum(w.wc) AS cnt
+             |  FROM words w, range(1, 64) t(i) WHERE t.i <= len(w.syms) - 1 GROUP BY 1, 2),
+             |t1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+             |s1(term, i, acc) AS (
+             |  SELECT term, 1, CAST([] AS VARCHAR[]) FROM words
+             |  UNION ALL
+             |  SELECT s.term,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN s.i + 2 ELSE s.i + 1 END,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN list_append(s.acc, t.a || t.b) ELSE list_append(s.acc, w.syms[s.i]) END
+             |  FROM s1 s JOIN words w ON w.term = s.term CROSS JOIN t1 t
+             |  WHERE s.i <= len(w.syms)),
+             |w1 AS (SELECT s.term, w.wc, s.acc AS syms FROM s1 s JOIN words w USING (term)
+             |  WHERE s.i > len(w.syms)),
+             |p2 AS (SELECT w.syms[t.i] AS a, w.syms[t.i+1] AS b, sum(w.wc) AS cnt
+             |  FROM w1 w, range(1, 64) t(i) WHERE t.i <= len(w.syms) - 1 GROUP BY 1, 2),
+             |t2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+             |s2(term, i, acc) AS (
+             |  SELECT term, 1, CAST([] AS VARCHAR[]) FROM w1
+             |  UNION ALL
+             |  SELECT s.term,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN s.i + 2 ELSE s.i + 1 END,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN list_append(s.acc, t.a || t.b) ELSE list_append(s.acc, w.syms[s.i]) END
+             |  FROM s2 s JOIN w1 w ON w.term = s.term CROSS JOIN t2 t
+             |  WHERE s.i <= len(w.syms)),
+             |w2 AS (SELECT s.term, w.wc, s.acc AS syms FROM s2 s JOIN w1 w USING (term)
+             |  WHERE s.i > len(w.syms)),
+             |p3 AS (SELECT w.syms[t.i] AS a, w.syms[t.i+1] AS b, sum(w.wc) AS cnt
+             |  FROM w2 w, range(1, 64) t(i) WHERE t.i <= len(w.syms) - 1 GROUP BY 1, 2),
+             |t3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+             |s3(term, i, acc) AS (
+             |  SELECT term, 1, CAST([] AS VARCHAR[]) FROM w2
+             |  UNION ALL
+             |  SELECT s.term,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN s.i + 2 ELSE s.i + 1 END,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN list_append(s.acc, t.a || t.b) ELSE list_append(s.acc, w.syms[s.i]) END
+             |  FROM s3 s JOIN w2 w ON w.term = s.term CROSS JOIN t3 t
+             |  WHERE s.i <= len(w.syms)),
+             |w3 AS (SELECT s.term, len(s.acc) AS n_syms FROM s3 s JOIN w2 w USING (term)
+             |  WHERE s.i > len(w.syms))
+             |SELECT t.doc_id, CAST(sum(w.n_syms) AS BIGINT) AS n_bpe_symbols
+             |FROM toks t JOIN w3 w USING (term) GROUP BY t.doc_id""".stripMargin)),
+
     // Tokenizer vocabulary selection by mass coverage: rank terms by
     // count (ties lexicographic) and admit the smallest prefix covering
     // 95% of token mass — the vocab-building step of an LM pipeline. The
