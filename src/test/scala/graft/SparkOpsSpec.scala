@@ -231,6 +231,44 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class PipelinePlanSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val docs = (1 to 200).map(i =>
+    (i.toLong, s"alpha beta w$i gamma ${if (i % 2 == 0) "delta" else "eps"}"))
+    .toDF("doc_id", "text")
+
+  test("dsirWeights joins the model tables by broadcast, never sort-merge") {
+    val target = docs.where($"doc_id" % 3 === 0).select("doc_id")
+    val plan = graft.api.Graft.dsirWeights(docs, target, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"stats join not broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"an O(vocab) model table planned a sort-merge join:\n${plan.take(1500)}")
+  }
+
+  test("bpeEncodeCounts joins the segmentation map by broadcast") {
+    val plan = graft.api.Graft.bpeEncodeCounts(docs, "doc_id", "text", merges = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab segmentation map not broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"), s"corpus re-sorted for the map join:\n${plan.take(1500)}")
+  }
+
+  test("semDedup assigns cells through a broadcast of the centroids") {
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Seq.tabulate(8)(k => if (k == i % 4) 1f else 0.01f * ((i + k) % 3))))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.SimilarityFunctions.semDedup(
+      vecs, vecs.where($"vec_id" < 4), tau = 0.9)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid cross join not broadcast:\n${plan.take(1500)}")
+    assert(out.count() == 64L)
+  }
+}
+
 class QuerySmokeSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
 
