@@ -467,12 +467,13 @@ object Graft {
                merges: Int = 3): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    var vocab = docs
+    val vocab0 = docs
       .select(explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("wc"))
       .withColumn("syms",
         expr("transform(sequence(0, length(term)-1), i -> substr(term, i+1, 1))"))
       .persist()
+    var vocab: org.apache.spark.sql.DataFrame = vocab0
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (r <- 1 to merges) {
       val top = vocab.where(size(col("syms")) >= 2)
@@ -485,6 +486,10 @@ object Graft {
       vocab = vocab.withColumn("syms",
         TextFunctions.bpeMergeUdf(col("syms"), lit(top._1), lit(top._2)))
     }
+    // the returned frame is built from the collected rules, not the vocab
+    // plan — safe to release the iteration cache here (bpeEncodeCounts
+    // cannot: its output still references the segmented vocab)
+    vocab0.unpersist()
     out.toSeq.toDF("round", "pair_a", "pair_b", "pair_count")
   }
 
