@@ -553,6 +553,80 @@ object QueriesText {
              |SELECT t.doc_id, CAST(sum(w.n_syms) AS BIGINT) AS n_bpe_symbols
              |FROM toks t JOIN w3 w USING (term) GROUP BY t.doc_id""".stripMargin)),
 
+    // Composition gate: pack documents into fixed 256-symbol training
+    // sequences by their BPE-ENCODED length — bpeEncodeCounts feeding the
+    // same two-phase distributed prefix scan as q_pack_sequences (the
+    // oracle's global window is correctness-only; the engine collects
+    // O(partitions) partials, never rows). Pins that the tokenizer and
+    // packing stages compose end-to-end.
+    Q("q_pack_bpe",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val lens = graft.api.Graft.bpeEncodeCounts(
+          T(s, dir, "documents"), "doc_id", "text", merges = 3)
+        graft.operators.PrefixSum.exclusive(lens, "doc_id", "n_bpe_symbols", 8)
+          .select(col("doc_id"), col("n_bpe_symbols"),
+            (col("cum") / 256).cast("long").as("seq_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |words AS (SELECT term, count(*) AS wc,
+             |  list_transform(range(1, length(term) + 1), i -> substr(term, i, 1)) AS syms
+             |  FROM toks GROUP BY term),
+             |p1 AS (SELECT w.syms[t.i] AS a, w.syms[t.i+1] AS b, sum(w.wc) AS cnt
+             |  FROM words w, range(1, 64) t(i) WHERE t.i <= len(w.syms) - 1 GROUP BY 1, 2),
+             |t1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+             |s1(term, i, acc) AS (
+             |  SELECT term, 1, CAST([] AS VARCHAR[]) FROM words
+             |  UNION ALL
+             |  SELECT s.term,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN s.i + 2 ELSE s.i + 1 END,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN list_append(s.acc, t.a || t.b) ELSE list_append(s.acc, w.syms[s.i]) END
+             |  FROM s1 s JOIN words w ON w.term = s.term CROSS JOIN t1 t
+             |  WHERE s.i <= len(w.syms)),
+             |w1 AS (SELECT s.term, w.wc, s.acc AS syms FROM s1 s JOIN words w USING (term)
+             |  WHERE s.i > len(w.syms)),
+             |p2 AS (SELECT w.syms[t.i] AS a, w.syms[t.i+1] AS b, sum(w.wc) AS cnt
+             |  FROM w1 w, range(1, 64) t(i) WHERE t.i <= len(w.syms) - 1 GROUP BY 1, 2),
+             |t2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+             |s2(term, i, acc) AS (
+             |  SELECT term, 1, CAST([] AS VARCHAR[]) FROM w1
+             |  UNION ALL
+             |  SELECT s.term,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN s.i + 2 ELSE s.i + 1 END,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN list_append(s.acc, t.a || t.b) ELSE list_append(s.acc, w.syms[s.i]) END
+             |  FROM s2 s JOIN w1 w ON w.term = s.term CROSS JOIN t2 t
+             |  WHERE s.i <= len(w.syms)),
+             |w2 AS (SELECT s.term, w.wc, s.acc AS syms FROM s2 s JOIN w1 w USING (term)
+             |  WHERE s.i > len(w.syms)),
+             |p3 AS (SELECT w.syms[t.i] AS a, w.syms[t.i+1] AS b, sum(w.wc) AS cnt
+             |  FROM w2 w, range(1, 64) t(i) WHERE t.i <= len(w.syms) - 1 GROUP BY 1, 2),
+             |t3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+             |s3(term, i, acc) AS (
+             |  SELECT term, 1, CAST([] AS VARCHAR[]) FROM w2
+             |  UNION ALL
+             |  SELECT s.term,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN s.i + 2 ELSE s.i + 1 END,
+             |    CASE WHEN s.i < len(w.syms) AND w.syms[s.i] = t.a AND w.syms[s.i+1] = t.b
+             |      THEN list_append(s.acc, t.a || t.b) ELSE list_append(s.acc, w.syms[s.i]) END
+             |  FROM s3 s JOIN w2 w ON w.term = s.term CROSS JOIN t3 t
+             |  WHERE s.i <= len(w.syms)),
+             |w3 AS (SELECT s.term, len(s.acc) AS n_syms FROM s3 s JOIN w2 w USING (term)
+             |  WHERE s.i > len(w.syms)),
+             |enc AS (SELECT t.doc_id, CAST(sum(w.n_syms) AS BIGINT) AS n_bpe_symbols
+             |  FROM toks t JOIN w3 w USING (term) GROUP BY t.doc_id)
+             |SELECT doc_id, n_bpe_symbols,
+             |((sum(n_bpe_symbols) OVER (ORDER BY doc_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  - n_bpe_symbols) // 256)::BIGINT AS seq_id
+             |FROM enc""".stripMargin)),
+
     // Tokenizer vocabulary selection by mass coverage: rank terms by
     // count (ties lexicographic) and admit the smallest prefix covering
     // 95% of token mass — the vocab-building step of an LM pipeline. The

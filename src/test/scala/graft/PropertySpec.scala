@@ -102,4 +102,19 @@ class PropertySpec extends AnyFunSuite {
     val again = imgs.map(RadonKernel.radonSlice(_, 16, theta))
     separate.zip(again).foreach { case (a, b) => assert(a.sameElements(b)) }
   }
+
+  test("bpeMergePair: concatenation preserved, no merged pair left adjacent") {
+    val syms = Seq("a", "b", "c")
+    for (_ <- 0 until 200) {
+      val in = Seq.fill(1 + rng.nextInt(12))(syms(rng.nextInt(3)))
+      val (a, b) = (syms(rng.nextInt(3)), syms(rng.nextInt(3)))
+      val out = graft.functions.TextFunctions.bpeMergePair(in, a, b)
+      // the underlying character stream is invariant under merging
+      assert(out.mkString == in.mkString, s"in=$in pair=($a,$b) out=$out")
+      // greedy left-to-right leaves no adjacent (a, b) — the BPE invariant
+      // that makes repeated application converge
+      assert(!out.sliding(2).exists(p => p.length == 2 && p(0) == a && p(1) == b),
+        s"in=$in pair=($a,$b) out=$out still contains the pair")
+    }
+  }
 }
