@@ -312,6 +312,28 @@ object Graft {
         (col("cum") / maxTokens).cast("long").as("seq_id"))
   }
 
+  /** [[packSequences]] over a DETERMINISTIC corpus shuffle: the training
+    * order is a total order on an md5-derived key composed with the id
+    * into a unique long ((h << 32) | id — collision-free), so re-running
+    * the pipeline yields byte-identical batch assignments on any engine
+    * or cluster layout, while documents land in hash-pseudo-random order
+    * (the reproducible-shuffle step before LM training). Same two-phase
+    * scan shape — one range-partitioned sort shuffle, O(partitions)
+    * driver partials. Requires ids in [0, 2^32). */
+  def packShuffled(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, maxTokens: Int,
+                   numParts: Int = 0): org.apache.spark.sql.DataFrame = {
+    implicit val s: SparkSession = docs.sparkSession
+    val parts = if (numParts > 0) numParts else s.sparkContext.defaultParallelism
+    val lens = docs.select(
+      (conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10).cast("long") *
+        lit(4294967296L) + col(idCol)).as("ord"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.exclusive(lens, "ord", "n_tokens", parts)
+      .select((col("ord") % 4294967296L).as(idCol), col("n_tokens"),
+        (col("cum") / maxTokens).cast("long").as("seq_id"))
+  }
+
   /** One-call corpus summary (volume, exact-dup rate, language spread) as
     * a single declarative plan — the q_corpus_report pipeline as API. */
   def corpusReport(docs: org.apache.spark.sql.DataFrame, idCol: String,

@@ -1493,6 +1493,34 @@ object QueriesText {
              |  - len(string_split(text, ' '))) // 512)::BIGINT AS seq_id
              |FROM documents""".stripMargin)),
 
+    // Deterministic corpus shuffle + packing: training order must be
+    // reproducible across runs and engines, so the "shuffle" is a total
+    // order on a hash key — md5-prefix composed with the id into a unique
+    // long ((h << 32) | doc_id, collision-free by construction) — and the
+    // running token sum packs over THAT order through the same two-phase
+    // PrefixSum scan (range-partitioned sort, O(partitions) driver
+    // partials). Re-running the pipeline yields byte-identical batches.
+    Q("q_pack_shuffled",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val lens = T(s, dir, "documents").select(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10).cast("long") *
+            lit(4294967296L) + col("doc_id")).as("ord"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.PrefixSum.exclusive(lens, "ord", "n_tokens", 8)
+          .select((col("ord") % 4294967296L).as("doc_id"), col("ord"), col("n_tokens"),
+            (col("cum") / 512).cast("long").as("seq_id"))
+      },
+      Some("""WITH lens AS (SELECT doc_id,
+             |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT * 4294967296 + doc_id AS ord,
+             |  len(string_split(text, ' '))::BIGINT AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, ord, n_tokens,
+             |((sum(n_tokens) OVER (ORDER BY ord
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  - n_tokens) // 512)::BIGINT AS seq_id
+             |FROM lens""".stripMargin)),
+
     // Unicode normalization (the canonicalize-before-dedup step): NFC +
     // accent fold + casefold. The gate builds text with BOTH composed
     // (chr(233) = é) and decomposed (e + chr(769) combining acute)
