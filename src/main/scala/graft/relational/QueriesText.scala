@@ -1362,6 +1362,38 @@ object QueriesText {
               |WHERE doc_id % 7 <> 0 AND gh IN (SELECT gh FROM ev)
               |GROUP BY doc_id""".stripMargin)),
 
+    // Contamination REPORT — the measurement counterpart of the
+    // q_decontaminate scrub: for each EVAL document, the fraction of its
+    // distinct 5-grams that appear anywhere in the training slice (the
+    // number a benchmark card reports). Scale shape: both joins broadcast
+    // the SMALL side — train grams semi-join the broadcast eval gram set
+    // (map-only over the 100 TB side) down to the hit set, which is ≤ the
+    // eval set and broadcasts back for the per-doc count.
+    Q("q_contamination",
+      (s, dir) => {
+        val gd = grams5(s, dir).select(col("doc_id"), md5(col("g")).as("gh")).distinct()
+        val ev = gd.where(col("doc_id") % 7 === 0)
+        val evGh = ev.select("gh").distinct()
+        val hitGh = gd.where(col("doc_id") % 7 =!= 0).select("gh")
+          .join(broadcast(evGh), Seq("gh"), "left_semi").distinct()
+        val hits = ev.join(broadcast(hitGh), Seq("gh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        ev.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hit"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_grams"), 4).as("contaminated_frac"))
+      },
+      Some(s"""${gramSql(5)},
+              |gd AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM g),
+              |ev AS (SELECT doc_id, gh FROM gd WHERE doc_id % 7 = 0),
+              |tr AS (SELECT DISTINCT gh FROM gd WHERE doc_id % 7 <> 0),
+              |hit AS (SELECT e.doc_id, count(*) AS n_hit FROM ev e
+              |  WHERE e.gh IN (SELECT gh FROM tr) GROUP BY e.doc_id),
+              |tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id)
+              |SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+              |round(coalesce(h.n_hit, 0)::DOUBLE / t.n_grams, 4) AS contaminated_frac
+              |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin)),
+
     // Gopher-style repetition quality metrics: duplicate-unigram fraction
     // and top-bigram fraction per document. The bigram mode goes through an
     // explode + two-level reduction rather than a per-row array histogram,
