@@ -228,6 +228,47 @@ object QueriesRelational {
              |cast(1 + sum(CASE WHEN gap > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
              |FROM g GROUP BY user_id""".stripMargin)),
 
+    // Time-series resample + gap fill: per-user 1-hour buckets from the
+    // user's first to last event, missing buckets materialized with
+    // n_events=0 and the value forward-filled from the last observed
+    // bucket (the QuestDB/Timescale `SAMPLE BY ... FILL(PREV)` shape).
+    // Bucketing is exact INTEGER division of the ns epoch (a double divide
+    // would lose precision above 2^53); the sum goes through decimal(18,2)
+    // so it is order-independent. Scale: one (user,bucket) shuffle with
+    // map-side partials; the dense grid is bounded by users x time-range /
+    // granularity — independent of input row count — and the forward fill
+    // is a per-user running window, partitioned on the same key as the
+    // join so AQE keeps it co-located.
+    Q("q_gap_fill",
+      (s, dir) => {
+        val agg = T(s, dir, "events")
+          .select(col("user_id"), expr("ts DIV 3600000000000").as("b"), col("value"))
+          .groupBy("user_id", "b")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        val grid = agg.groupBy("user_id")
+          .agg(min("b").as("lo"), max("b").as("hi"))
+          .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("b"))
+        val w = Window.partitionBy("user_id").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(agg, Seq("user_id", "b"), "left")
+          .withColumn("filled_value", last(col("sum_value"), ignoreNulls = true).over(w))
+          .select(col("user_id"), col("b"),
+            coalesce(col("n"), lit(0L)).as("n_events"), col("filled_value"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS b, value FROM events),
+             |agg AS (SELECT user_id, b, count(*) AS n,
+             |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |  FROM e GROUP BY user_id, b),
+             |bounds AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY user_id),
+             |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM bounds),
+             |j AS (SELECT g.user_id, g.b, coalesce(a.n, 0) AS n_events, a.sum_value
+             |  FROM grid g LEFT JOIN agg a USING (user_id, b))
+             |SELECT user_id, b, n_events,
+             |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+             |FROM j""".stripMargin)),
+
     // Banded range join (time-proximity self-join): pairs of events by the
     // same user within 5 minutes, via RangeJoin's bucketed equi-join (the
     // naive inequality join is a nested loop — see RangeJoin scaladoc).

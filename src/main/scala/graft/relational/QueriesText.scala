@@ -1342,6 +1342,59 @@ object QueriesText {
               |  round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac
               |FROM gh JOIN nd USING (gh) GROUP BY doc_id""".stripMargin)),
 
+    // ExactSubstr-style REWRITE (the removal counterpart of the
+    // q_doc_dup_fraction score — cf. Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): drop every token
+    // covered by a word-5-gram that also occurs in ANOTHER document, then
+    // reassemble the text. This is the aggressive both-copies scrub; the
+    // keep-one-copy policy is cleanCorpus's exact/near dedup. Scale shape:
+    // the dup decision is ONE shuffle on the gram hash (same window as
+    // q_doc_dup_fraction); what flows back to the text is only the per-doc
+    // duplicated START POSITIONS — O(dup grams), not O(text) — on a
+    // doc_id-co-partitioned join, so the 100 TB of text shuffles at most
+    // once, on its own key. The position→token mask is a row-local
+    // indexed-lambda filter (a gram at start p covers tokens [p, p+4]).
+    Q("q_remove_dup_spans",
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val g = toks.select(col("doc_id"),
+          posexplode(wordGrams(col("toks"), 5)).as(Seq("pos", "g")))
+        val w = Window.partitionBy(md5(col("g")))
+        val starts = g
+          .select(col("doc_id"), col("pos"),
+            (min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w)).as("dup"))
+          .where(col("dup"))
+          .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+        toks.join(starts, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("toks"),
+            coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+          .select(col("doc_id"), col("toks"),
+            filter(col("toks"), (_, i) =>
+              !exists(col("starts"), p => p <= i && i <= p + 4)).as("kept"))
+          .select(col("doc_id"),
+            array_join(col("kept"), " ").as("clean_text"),
+            size(col("toks")).as("n_tokens"),
+            (size(col("toks")) - size(col("kept"))).as("n_removed"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos FROM t),
+             |gh AS (SELECT doc_id, pos,
+             |  md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] || ' ' ||
+             |      toks[pos+3] || ' ' || toks[pos+4]) AS gh FROM g),
+             |ndc AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM gh GROUP BY gh),
+             |dup AS (SELECT h.doc_id, h.pos FROM gh h JOIN ndc USING (gh) WHERE ndc.nd >= 2),
+             |sa AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM dup GROUP BY doc_id),
+             |j AS (SELECT t.doc_id, t.toks, coalesce(sa.starts, []) AS starts
+             |  FROM t LEFT JOIN sa USING (doc_id)),
+             |k AS (SELECT doc_id, toks,
+             |  list_filter(toks, (x, i) -> len(list_filter(starts, p -> p <= i AND i <= p + 4)) = 0) AS kept
+             |  FROM j)
+             |-- DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+             |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+             |  len(toks) AS n_tokens, len(toks) - len(kept) AS n_removed
+             |FROM k""".stripMargin)),
+
     // benchmark decontamination: flag training docs sharing any 5-gram with
     // the held-out eval slice (doc_id % 7 == 0 stands in for the benchmark
     // set). The eval gram set is tiny next to the corpus, so it broadcasts:
