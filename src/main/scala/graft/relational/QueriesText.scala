@@ -944,6 +944,51 @@ object QueriesText {
              |     ELSE count(*)::DOUBLE END AS est_distinct
              |FROM k GROUP BY o_orderstatus""".stripMargin)),
 
+    // KMV set-operation estimates BETWEEN two corpus slices (even vs odd
+    // doc_id): union cardinality, Jaccard, and intersection size of their
+    // word-3-gram sets from one k-min sketch over the union. Estimator:
+    // J ~= |{h in U_k : h in A and h in B}| / |U_k| (Beyer et al. 2007).
+    // Scale shape: gram hashes reduce by ONE groupBy(h) carrying per-side
+    // membership flags as max-flags (mergeable — partial agg on 100 TB),
+    // the k-min selection is a global TakeOrdered (no full sort), and the
+    // final row is an O(k) aggregate. The gram text never shuffles.
+    Q("q_kmv_jaccard",
+      (s, dir) => {
+        val k = 128
+        val t = T(s, dir, "documents").select((col("doc_id") % 2).as("side"),
+          explode(shingles(col("text"), 3)).as("g"))
+        val m = t.select(col("side"), graft.functions.SketchFunctions.hash60(col("g")).as("h"))
+          .groupBy("h")
+          .agg(max(when(col("side") === 0, 1).otherwise(0)).as("ina"),
+            max(when(col("side") === 1, 1).otherwise(0)).as("inb"))
+        val uk = m.orderBy("h").limit(k)
+        val est = when(col("k_actual") === k,
+          lit((k - 1).toDouble) * lit(1.152921504606846976e18) / col("kth").cast("double"))
+          .otherwise(col("k_actual").cast("double"))
+        uk.agg(count(lit(1)).as("k_actual"), max("h").as("kth"),
+            sum(col("ina") * col("inb")).as("n_both"))
+          .select(col("k_actual"), col("kth"), col("n_both"),
+            round(est, 4).as("est_union"),
+            round(col("n_both").cast("double") / col("k_actual"), 4).as("jaccard"),
+            round(est * col("n_both") / col("k_actual"), 4).as("est_intersection"))
+      },
+      Some("""WITH t AS (SELECT doc_id % 2 AS side, string_split(text, ' ') AS toks FROM documents),
+             |g AS (SELECT side, unnest(list_transform(range(1, len(toks) - 1), i ->
+             |  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM t),
+             |m AS (SELECT ('0x'||substr(md5(g),1,15))::BIGINT AS h,
+             |  max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ina,
+             |  max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS inb FROM g GROUP BY 1),
+             |uk AS (SELECT * FROM (SELECT m.*, row_number() OVER (ORDER BY h) AS r FROM m)
+             |  WHERE r <= 128),
+             |ag AS (SELECT count(*) AS k_actual, max(h) AS kth,
+             |  cast(sum(ina * inb) AS BIGINT) AS n_both FROM uk),
+             |e AS (SELECT *, CASE WHEN k_actual = 128
+             |  THEN 127.0 * 1152921504606846976 / kth ELSE k_actual::DOUBLE END AS est FROM ag)
+             |SELECT k_actual, kth, n_both, round(est, 4) AS est_union,
+             |  round(n_both::DOUBLE / k_actual, 4) AS jaccard,
+             |  round(est * n_both / k_actual, 4) AS est_intersection
+             |FROM e""".stripMargin)),
+
     // HyperLogLog distinct estimate per group (p=4, 16 registers): the
     // mergeable counterpart to KMV above — registers combine by max, so
     // per-partition partial aggregation (and cross-day sketch union) is
@@ -1070,6 +1115,58 @@ object QueriesText {
       Some("""SELECT doc_id, lang FROM documents
              |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,4))::BIGINT % 100 <
              |  CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis 2006):
+    // top-5 per source by key u^(1/w) with u a deterministic md5-uniform
+    // and w = n_chars — longer documents proportionally likelier, yet
+    // re-run-stable. Ranking uses the equivalent ln(u)/w form SCALED AND
+    // ROUNDED TO AN INTEGER (1e6 ulp) so a 1-ulp libm ln() divergence
+    // between engines cannot reorder the boundary; ties break on doc_id.
+    // One window shuffle on the group key; no global sort.
+    Q("q_weighted_sample",
+      (s, dir) => {
+        val u = (graft.functions.SketchFunctions.hash60(col("doc_id")) + 1)
+          .cast("double") / lit(1.152921504606846976e18)
+        val key = round(log(u) / col("n_chars") * lit(1e6), 0).cast("long")
+        val w = Window.partitionBy("source").orderBy(col("key").desc, col("doc_id"))
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"), key.as("key"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+      },
+      Some("""WITH b AS (SELECT doc_id, source, n_chars,
+             |  cast(round(ln((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT + 1)::DOUBLE
+             |    / 1152921504606846976) / n_chars * 1000000, 0) AS BIGINT) AS key
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, n_chars,
+             |  row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk FROM b)
+             |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 5""".stripMargin)),
+
+    // Per-document character-level Shannon entropy (bits/char): the
+    // classic gibberish/boilerplate quality signal — low entropy flags
+    // repeated filler, high entropy flags random noise. H = log2(n) -
+    // sum(c*ln c)/(n*ln 2) from the per-doc char histogram: explode to
+    // (doc, char) counts (bounded by alphabet size per doc), one per-doc
+    // reduction; round(4) absorbs sub-ulp ln() and sum-order noise (the
+    // q_lm_score acceptance).
+    Q("q_entropy",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+        .select(col("doc_id"), col("n").as("n_chars_tot"),
+          round((log(col("n").cast("double")) - col("slc") / col("n").cast("double"))
+            / log(lit(2.0)), 4).as("char_entropy")),
+      Some("""WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+             |cc AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+             |ag AS (SELECT doc_id, sum(c) AS n, sum(c::DOUBLE * ln(c::DOUBLE)) AS slc
+             |  FROM cc GROUP BY doc_id)
+             |SELECT doc_id, cast(n AS BIGINT) AS n_chars_tot,
+             |  round((ln(n::DOUBLE) - slc / n::DOUBLE) / ln(2.0), 4) AS char_entropy
+             |FROM ag""".stripMargin)),
 
     // Edit-distance fuzzy dedup: LSH-blocked candidate pairs scored with
     // levenshtein on the 64-char prefix (O(n·m) per pair is only paid on
