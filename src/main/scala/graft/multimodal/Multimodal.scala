@@ -110,6 +110,28 @@ object Multimodal {
       }
   }
 
+  /** 64-bit average hash (aHash) of a decoded frame — the classic image
+    * near-dup fingerprint: bit i is set iff pixel i sits strictly above the
+    * frame mean. The comparison is the integer-exact cross-multiplied form
+    * `px(i) * n > sum` (no division), so an oracle can replay it in exact
+    * arithmetic. Returned as two 32-bit halves (bits 0-31, 32-63) in Longs
+    * so SQL twins avoid the 1L<<63 sign-bit overflow. Frames are expected
+    * pre-resized to 8x8 (64 px); any length up to 64 hashes the prefix. */
+  def averageHash64(pixels: Array[Double]): (Long, Long) = {
+    val n = math.min(pixels.length, 64)
+    var sum = 0.0; var i = 0
+    while (i < n) { sum += pixels(i); i += 1 }
+    var lo = 0L; var hi = 0L
+    i = 0
+    while (i < n) {
+      if (pixels(i) * n > sum) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (lo, hi)
+  }
+
   // ---- audio ----
 
   final case class AudioMeta(format: String, sampleRate: Int, channels: Int,

@@ -436,6 +436,62 @@ object QueriesRelational {
       Some("""SELECT doc_id, 'jpeg' AS fmt, 8 AS width, 8 AS height,
              |1 AS channels, true AS full_frame FROM documents""".stripMargin)),
 
+    // Image near-dup detection: 64-bit average hash (aHash) of each decoded
+    // frame, hamming-<=3 pairs found by 4x16-bit pigeonhole band blocking
+    // (<=3 differing bits over 4 bands leave at least one band identical —
+    // never all-pairs) with the standard per-bucket 64-cap. The hash bit
+    // rule is the cross-multiplied integer-exact px*n > sum, and the stub
+    // codec's pixels are a deterministic function of the payload, so the
+    // oracle replays the whole hash in exact arithmetic. At 100 TB only
+    // (band, 16-bit key) pairs shuffle — two longs per image, not pixels.
+    Q("q_image_phash",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val payload = T(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val hashes = graft.multimodal.Multimodal.decode(payload, "doc_id", "payload")
+          .map { d =>
+            val (lo, hi) = graft.multimodal.Multimodal.averageHash64(d.pixels)
+            (d.id, lo, hi)
+          }.toDF("doc_id", "h_lo", "h_hi")
+        val bands = hashes.select(col("doc_id"), col("h_lo"), col("h_hi"),
+          posexplode(array(
+            col("h_lo").bitwiseAND(lit(65535L)),
+            shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+            col("h_hi").bitwiseAND(lit(65535L)),
+            shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("band", "bh")))
+        graft.operators.LshBlocking
+          .candidatePairs(bands, "band", "bh", "doc_id", cap = 64,
+            carry = Seq("h_lo", "h_hi"))
+          .distinct()
+          .select(col("id1"), col("id2"),
+            (bit_count(col("h_lo_1").bitwiseXOR(col("h_lo_2"))) +
+              bit_count(col("h_hi_1").bitwiseXOR(col("h_hi_2")))).cast("int").as("hamming"))
+          .where(col("hamming") <= 3)
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  list_transform(range(0, 64), i -> ascii(substr(text, (i % len(text))::INT + 1, 1))) AS px
+             |  FROM documents),
+             |h AS (SELECT doc_id, px, list_sum(px)::BIGINT AS s FROM p),
+             |hh AS (SELECT doc_id,
+             |  cast(list_sum(list_transform(range(0, 32), i ->
+             |    CASE WHEN px[i + 1] * 64 > s THEN (1::BIGINT << i::INT) ELSE 0 END)) AS BIGINT) AS h_lo,
+             |  cast(list_sum(list_transform(range(0, 32), i ->
+             |    CASE WHEN px[i + 33] * 64 > s THEN (1::BIGINT << i::INT) ELSE 0 END)) AS BIGINT) AS h_hi
+             |  FROM h),
+             |bands AS (
+             |  SELECT doc_id, h_lo, h_hi, 0 AS band, h_lo & 65535 AS bh FROM hh
+             |  UNION ALL SELECT doc_id, h_lo, h_hi, 1, (h_lo >> 16) & 65535 FROM hh
+             |  UNION ALL SELECT doc_id, h_lo, h_hi, 2, h_hi & 65535 FROM hh
+             |  UNION ALL SELECT doc_id, h_lo, h_hi, 3, (h_hi >> 16) & 65535 FROM hh),
+             |keptb AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 64),
+             |kb AS (SELECT b.* FROM bands b JOIN keptb USING (band, bh)),
+             |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+             |  cast(bit_count(xor(x.h_lo, y.h_lo)) + bit_count(xor(x.h_hi, y.h_hi)) AS INT) AS hamming
+             |  FROM kb x JOIN kb y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+             |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3""".stripMargin)),
+
     // Audio columns, REAL container path: deterministic 16-bit PCM samples
     // (derived from doc_id) are packed into a genuine RIFF/WAVE payload
     // in-query, then parsed back by the engine's WAV decoder (format
