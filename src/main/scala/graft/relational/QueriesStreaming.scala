@@ -42,6 +42,38 @@ object QueriesStreaming {
              |cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // STREAM-STREAM interval join: clicks joined to same-user purchases
+    // within the following 30 minutes, both sides watermarked at 1 hour so
+    // the join state is bounded (each side buffers only rows inside
+    // watermark + interval — the unbounded-state raw self-join is exactly
+    // what this operator exists to avoid). Append mode; the batch oracle
+    // replays the interval condition on the ns epochs.
+    Q("q_stream_join",
+      (s, dir) => {
+        val schema = T(s, dir, "events").schema
+        def src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+        val a = src.where(col("event_type") === "click")
+          .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+            col("tsc").as("a_ts")).withWatermark("a_ts", "1 hour")
+        val b = src.where(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+            col("tsc").as("b_ts")).withWatermark("b_ts", "1 hour")
+        val joined = a.join(b,
+            col("a_user") === col("b_user") &&
+              col("b_ts") >= col("a_ts") &&
+              col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("a_user").as("user_id"), col("a_id"), col("b_id"))
+        StreamingOps.runAvailableNow(joined, "q_stream_join", outputMode = "append")
+      },
+      Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+             |FROM events a JOIN events b
+             |ON a.user_id = b.user_id AND a.event_type = 'click'
+             |AND b.event_type = 'purchase'
+             |AND epoch_ns(b.ts) >= epoch_ns(a.ts)
+             |AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 1800000000000""".stripMargin)),
+
     // Streaming exact dedup: group documents by content hash (the streaming
     // form of q_dedup_exact — state is the distinct-hash set).
     Q("q_stream_dedup",
