@@ -412,6 +412,161 @@ object Graft {
           count(lit(1))).as("dup_frac"))
   }
 
+  /** ExactSubstr-style rewrite (Lee et al. 2022; the q_remove_dup_spans
+    * pipeline as API): remove every token covered by a word-n-gram that
+    * occurs in at least `minDocs` distinct documents, reassembling the
+    * text, with the removed-token count alongside. Aggressive both-copies
+    * scrub — the keep-one policy is [[cleanCorpus]]. One shuffle on the
+    * gram hash; only per-doc duplicated start positions flow back to the
+    * text on a co-partitioned id join. */
+  def removeDuplicatedSpans(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                            textCol: String, n: Int = 5, minDocs: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && minDocs >= 2, "removeDuplicatedSpans needs n >= 1, minDocs >= 2")
+    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+    val g = toks.select(col(idCol),
+      posexplode(TextFunctions.wordGrams(col("toks"), n)).as(Seq("pos", "g")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("g")))
+    // minDocs == 2 is the one-shuffle min/max window; above that it needs
+    // the real distinct count
+    val dupStarts =
+      (if (minDocs == 2)
+         g.select(col(idCol), col("pos"),
+             (min(col(idCol)).over(w) =!= max(col(idCol)).over(w)).as("dup"))
+           .where(col("dup"))
+       else {
+         val nd = g.groupBy(md5(col("g")).as("gh"))
+           .agg(countDistinct(col(idCol)).as("nd")).where(col("nd") >= minDocs)
+         g.select(col(idCol), col("pos"), md5(col("g")).as("gh"))
+           .join(nd, Seq("gh"), "left_semi")
+       })
+        .groupBy(col(idCol)).agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toks.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col(idCol), col("toks"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("starts"), p => p <= i && i <= p + (n - 1))).as("kept"))
+      .select(col(idCol), array_join(col("kept"), " ").as("clean_text"),
+        size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"))
+  }
+
+  /** Per-key time-series resample + forward fill (the q_gap_fill pipeline
+    * as API; QuestDB/Timescale `SAMPLE BY ... FILL(PREV)`): bucket `tsCol`
+    * (ns-epoch long) into `bucketNs`-wide buckets per key, materialize the
+    * dense per-key grid from first to last observation, and carry the last
+    * observed aggregate across the gaps. Integer bucket arithmetic; the
+    * decimal-path sum is order-independent. */
+  def gapFill(events: org.apache.spark.sql.DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, bucketNs: Long): org.apache.spark.sql.DataFrame = {
+    require(bucketNs > 0, "gapFill needs bucketNs > 0")
+    val agg = events
+      .select(col(keyCol), expr(s"$tsCol DIV $bucketNs").as("bucket"), col(valueCol))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val grid = agg.groupBy(col(keyCol))
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(col(keyCol), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(agg, Seq(keyCol, "bucket"), "left")
+      .withColumn("filled_value", last(col("sum_value"), ignoreNulls = true).over(w))
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n_events"), col("filled_value"))
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis 2006; the q_weighted_sample pipeline as API): top-k per
+    * group by the u^(1/w) exponential-clock key, with u a re-run-stable
+    * md5-uniform of the id. Ranking uses the equivalent ln(u)/w form
+    * scaled to integer microunits so FP ulp noise cannot reorder the
+    * boundary; ties break on the id. */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+                     id: Column, weight: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "weightedSample needs k >= 1")
+    val u = (graft.functions.SketchFunctions.hash60(id) + 1)
+      .cast("double") / lit(1.152921504606846976e18)
+    val key = round(log(u) / weight * lit(1e6), 0).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols: _*)
+      .orderBy(key.desc, id)
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** KMV set-operation estimates between two key sets (Beyer et al. 2007;
+    * the q_kmv_jaccard pipeline as API): union cardinality, Jaccard, and
+    * intersection size from one k-min sketch over the union, per-side
+    * membership carried as mergeable max-flags through a single hash
+    * groupBy. Returns one row: k_actual, kth, n_both, est_union, jaccard,
+    * est_intersection. */
+  def kmvSetOps(a: org.apache.spark.sql.DataFrame, aKey: Column,
+                b: org.apache.spark.sql.DataFrame, bKey: Column,
+                k: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, "kmvSetOps needs k >= 2")
+    val tagged = a.select(aKey.as("k"), lit(0).as("side"))
+      .unionByName(b.select(bKey.as("k"), lit(1).as("side")))
+    val m = tagged
+      .select(col("side"), graft.functions.SketchFunctions.hash60(col("k")).as("h"))
+      .groupBy("h")
+      .agg(max(when(col("side") === 0, 1).otherwise(0)).as("ina"),
+        max(when(col("side") === 1, 1).otherwise(0)).as("inb"))
+    val est = when(col("k_actual") === k,
+      lit((k - 1).toDouble) * lit(1.152921504606846976e18) / col("kth").cast("double"))
+      .otherwise(col("k_actual").cast("double"))
+    m.orderBy("h").limit(k)
+      .agg(count(lit(1)).as("k_actual"), max("h").as("kth"),
+        sum(col("ina") * col("inb")).as("n_both"))
+      .select(col("k_actual"), col("kth"), col("n_both"), est.as("est_union"),
+        (col("n_both").cast("double") / col("k_actual")).as("jaccard"),
+        (est * col("n_both") / col("k_actual")).as("est_intersection"))
+  }
+
+  /** Per-document character-level Shannon entropy in bits/char (the
+    * q_entropy pipeline as API) — the gibberish/boilerplate quality
+    * signal. */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      .select(col(idCol), col("n").as("n_chars"),
+        ((log(col("n").cast("double")) - col("slc") / col("n").cast("double"))
+          / log(lit(2.0))).as("char_entropy"))
+
+  /** Image near-dup pairs by 64-bit average hash (the q_image_phash
+    * pipeline as API): decode -> aHash -> 4x16-bit pigeonhole band join
+    * (finds every pair at hamming <= 3; `maxHamming` above 3 widens the
+    * report but band recall is only guaranteed to 3) -> capped-bucket
+    * candidate join -> popcount filter. Only (band, key) pairs shuffle,
+    * never pixels. */
+  def imageNearDupPairs(payloads: org.apache.spark.sql.DataFrame, idCol: String,
+                        payloadCol: String, maxHamming: Int = 3, bucketCap: Int = 64)
+                       (implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val hashes = graft.multimodal.Multimodal.decode(payloads, idCol, payloadCol)
+      .map { d =>
+        val (lo, hi) = graft.multimodal.Multimodal.averageHash64(d.pixels)
+        (d.id, lo, hi)
+      }.toDF("id", "h_lo", "h_hi")
+    val bands = hashes.select(col("id"), col("h_lo"), col("h_hi"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+        col("h_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("band", "bh")))
+    graft.operators.LshBlocking
+      .candidatePairs(bands, "band", "bh", "id", cap = bucketCap,
+        carry = Seq("h_lo", "h_hi"))
+      .distinct()
+      .select(col("id1"), col("id2"),
+        (bit_count(col("h_lo_1").bitwiseXOR(col("h_lo_2"))) +
+          bit_count(col("h_hi_1").bitwiseXOR(col("h_hi_2")))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Benchmark decontamination: training documents that share at least one
     * word-n-gram with the (small) eval corpus, with the count of distinct
     * overlapping grams. The eval gram set broadcasts, so the training side
