@@ -200,6 +200,33 @@ object TextFunctions {
         sum(col("tf")).cast("double")).as("lm_logprob"))
   }
 
+  /** Bigram-LM quality score (the conditional counterpart of
+    * [[unigramLogProb]], the CCNet perplexity-bucketing signal): per-doc
+    * mean ln P(w2|w1) with P = (c(w1 w2)+1) / (c(w1)+V), bigram counts
+    * add-one smoothed over the unigram vocabulary. Scale shape: the corpus
+    * shuffles once into the per-doc bigram tf agg; the corpus bigram count
+    * is a WINDOW sum over the same bg partition (no second shuffle, no
+    * broadcast of the huge bigram table); the unigram model is an O(vocab)
+    * broadcast. */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val c1 = base.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val voc = c1.agg(count(lit(1)).as("vocab"))
+    val btf = base.select(col(idCol), explode(wordGrams(col("toks"), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bg")
+    btf.withColumn("c2", sum(col("tf")).over(w))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(c1), "w1")
+      .crossJoin(broadcast(voc))
+      .groupBy(col(idCol))
+      .agg((sum(col("tf").cast("double") *
+          log((col("c2") + 1).cast("double") / (col("c1") + col("vocab")).cast("double"))) /
+        sum(col("tf")).cast("double")).as("bigram_logprob"))
+  }
+
   /** DSIR-style importance log-ratio (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document
     * token-mass-weighted mean log-likelihood ratio between a TARGET unigram

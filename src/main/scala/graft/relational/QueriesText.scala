@@ -1282,6 +1282,149 @@ object QueriesText {
              |FROM tf t JOIN cnt c USING (term), tot, voc
              |GROUP BY t.doc_id""".stripMargin)),
 
+    // Bigram-LM quality score: per-doc mean ln P(w2|w1), add-one smoothed —
+    // the conditional upgrade of q_lm_score and the signal CCNet buckets
+    // perplexity on. The corpus bigram count is a window sum over the same
+    // bg shuffle as the per-doc tf (no second shuffle, no broadcast of the
+    // unbounded bigram table); only the O(vocab) unigram model broadcasts.
+    Q("q_bigram_lm",
+      (s, dir) => graft.functions.TextFunctions.bigramLogProb(
+          T(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("bigram_logprob"), 4).as("bigram_logprob")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
+             |c1 AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1),
+             |voc AS (SELECT count(*) AS vocab FROM c1),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |  i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+             |btf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+             |c2 AS (SELECT bg, sum(tf) AS c2 FROM btf GROUP BY 1)
+             |SELECT btf.doc_id,
+             |  round(sum(tf::DOUBLE * ln((c2 + 1)::DOUBLE / (c1 + vocab)::DOUBLE))
+             |    / sum(tf)::DOUBLE, 4) AS bigram_logprob
+             |FROM btf JOIN c2 USING (bg)
+             |JOIN c1 ON c1.w1 = string_split(bg, ' ')[1], voc
+             |GROUP BY btf.doc_id""".stripMargin)),
+
+    // CCNet-style perplexity bucketing: documents ntile'd into
+    // head/middle/tail by the bigram-LM score. The ntile runs over the
+    // ROUNDED score (ties broken by doc_id) so a sub-ulp libm divergence
+    // cannot migrate a boundary doc between buckets. The global ntile is
+    // the verification form; the 100 TB path thresholds against
+    // approxQuantiles cutpoints instead of a global sort (documented in
+    // Graft.approxQuantiles).
+    Q("q_perplexity_buckets",
+      (s, dir) => {
+        val scored = graft.functions.TextFunctions.bigramLogProb(
+            T(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), round(col("bigram_logprob"), 4).as("lp"))
+        val w = Window.orderBy(col("lp").desc, col("doc_id"))
+        scored.withColumn("b", ntile(3).over(w))
+          .select(col("doc_id"), col("lp"),
+            when(col("b") === 1, "head").when(col("b") === 2, "middle")
+              .otherwise("tail").as("bucket"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
+             |c1 AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1),
+             |voc AS (SELECT count(*) AS vocab FROM c1),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |  i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+             |btf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+             |c2 AS (SELECT bg, sum(tf) AS c2 FROM btf GROUP BY 1),
+             |sc AS (SELECT btf.doc_id,
+             |  round(sum(tf::DOUBLE * ln((c2 + 1)::DOUBLE / (c1 + vocab)::DOUBLE))
+             |    / sum(tf)::DOUBLE, 4) AS lp
+             |  FROM btf JOIN c2 USING (bg)
+             |  JOIN c1 ON c1.w1 = string_split(bg, ' ')[1], voc
+             |  GROUP BY btf.doc_id),
+             |nt AS (SELECT doc_id, lp, ntile(3) OVER (ORDER BY lp DESC, doc_id) AS b FROM sc)
+             |SELECT doc_id, lp,
+             |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+             |FROM nt""".stripMargin)),
+
+    // Zipf slope of the corpus frequency spectrum: OLS fit of ln(freq) on
+    // ln(rank) — the sanity statistic for whether a corpus has a natural
+    // long tail (natural text ~ -1; synthetic/templated corpora flatten).
+    // Per-term ln products are cast to DECIMAL(28,10) before summing, so
+    // the four regression sums are order-independent EXACT decimals and
+    // the closed-form slope is computed once from identical values on both
+    // engines.
+    Q("q_zipf_slope",
+      (s, dir) => {
+        val c = T(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val r = c.select(col("c"),
+          row_number().over(Window.orderBy(col("c").desc, col("w"))).as("rank"))
+        val lx = log(col("rank").cast("double")); val ly = log(col("c").cast("double"))
+        val sums = r.agg(count(lit(1)).as("n"),
+          sum(lx.cast("decimal(28,10)")).as("sx"), sum(ly.cast("decimal(28,10)")).as("sy"),
+          sum((lx * lx).cast("decimal(28,10)")).as("sxx"),
+          sum((lx * ly).cast("decimal(28,10)")).as("sxy"))
+        val n = col("n").cast("double")
+        val slope = (n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+          (n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+        sums.select(col("n").as("n_terms"), round(slope, 4).as("slope"),
+          round((col("sy").cast("double") - slope * col("sx").cast("double")) / n, 4).as("intercept"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |uni AS (SELECT unnest(toks) AS w FROM t),
+             |c AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+             |r AS (SELECT row_number() OVER (ORDER BY c DESC, w) AS rank, c FROM c),
+             |s AS (SELECT count(*) AS n,
+             |  sum(cast(ln(rank::DOUBLE) AS DECIMAL(28,10))) AS sx,
+             |  sum(cast(ln(c::DOUBLE) AS DECIMAL(28,10))) AS sy,
+             |  sum(cast(ln(rank::DOUBLE) * ln(rank::DOUBLE) AS DECIMAL(28,10))) AS sxx,
+             |  sum(cast(ln(rank::DOUBLE) * ln(c::DOUBLE) AS DECIMAL(28,10))) AS sxy
+             |  FROM r)
+             |SELECT cast(n AS BIGINT) AS n_terms,
+             |  round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |    / (n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4) AS slope,
+             |  round((sy::DOUBLE - (n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |    / (n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sx::DOUBLE) / n, 4) AS intercept
+             |FROM s""".stripMargin)),
+
+    // Embedding int8 scale-quantization: per-vector min/max affine map to
+    // 0..255 — the storage/serving compression step of an embedding
+    // pipeline. Pure IEEE arithmetic (no libm), so quantized codes match
+    // the oracle EXACTLY; the gate carries scalar digests (sum + md5 of
+    // the code string) because the driver's compare cannot hash list
+    // columns. Row-local map — zero shuffle at any scale.
+    Q("q_embed_quantize",
+      (s, dir) => {
+        val b = T(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("e"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          array_max(col("embedding")).cast("double").as("mx"))
+        val qv = when(col("mx") > col("mn"),
+          transform(col("e"), x =>
+            round((x.cast("double") - col("mn")) / ((col("mx") - col("mn")) / lit(255.0)), 0)
+              .cast("int")))
+          .otherwise(transform(col("e"), _ => lit(0)))
+        // qv gets its own projection: a sibling `round(mn,6).as("mn")` in
+        // the same select CAPTURES the lambda's col("mn") reference (lambda
+        // bodies resolve late, against the projection's aliases), silently
+        // quantizing against the rounded bounds — measured as +-1 code
+        // flips on 4/500 vectors
+        b.select(col("vec_id"), col("e"), col("mn"), col("mx"), qv.as("qv"))
+          .select(col("vec_id"), size(col("e")).as("n_dims"),
+            round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+            md5(array_join(transform(col("qv"), _.cast("string")), ",")).as("q_md5"))
+      },
+      Some("""WITH b AS (SELECT vec_id, embedding AS e,
+             |  list_min(embedding)::DOUBLE AS mn, list_max(embedding)::DOUBLE AS mx
+             |  FROM embeddings),
+             |q AS (SELECT vec_id, mn, mx, len(e) AS n_dims,
+             |  CASE WHEN mx > mn THEN
+             |    list_transform(e, x -> cast(round((x::DOUBLE - mn) / ((mx - mn) / 255.0), 0) AS INT))
+             |  ELSE list_transform(e, x -> 0) END AS qv
+             |  FROM b)
+             |SELECT vec_id, n_dims, round(mn, 6) AS mn, round(mx, 6) AS mx,
+             |  cast(list_sum(qv) AS BIGINT) AS q_sum,
+             |  md5(array_to_string(qv, ',')) AS q_md5
+             |FROM q""".stripMargin)),
+
     // DSIR importance weights (Xie et al. 2023): per-doc mean token
     // log-likelihood ratio of a TARGET unigram model (here: lang='en'
     // docs — select multilingual raw data that reads like the English
