@@ -184,8 +184,40 @@ object ScaleSoak {
         v, emb0.where(col("vec_id") % 100 === 0), iters = 2).count()
     }
 
+    /** ExactSubstr span removal at scale: the dup decision is one shuffle
+      * on the gram hash and the rewrite joins only per-doc start positions
+      * back on doc_id — both linear in corpus size. The salted ×n corpus
+      * keeps copies' gram sets disjoint, so the dup structure (and the
+      * expected shuffle) grows n×, not n². */
+    def spanRun(n: Int): Long =
+      // a bare count() lets Catalyst DROP the whole pipeline: the left join
+      // on the grouped key preserves cardinality, so count folds to
+      // count(documents) and nothing shuffles (measured: 59 bytes at every
+      // scale). Filtering on the computed column forces the rewrite.
+      graft.api.Graft.removeDuplicatedSpans(corpus(n), "doc_id", "text")
+        .where(col("n_removed") >= 0).count()
+
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id").cast("long").as("user_id"), col("ts"), col("value"))
+    ev0.persist().count()
+    def events(n: Int): DataFrame =
+      if (n == 1) ev0
+      else spark.range(n).select(col("id").as("copy")).crossJoin(ev0)
+        .select((col("user_id") + col("copy") * 1000000000L).as("user_id"),
+          col("ts"), col("value"))
+
+    /** Gap fill at scale: users replicate ×n over the same time range, so
+      * the (user, bucket) agg shuffle grows n× and the dense grid grows
+      * n× (users × fixed bucket range) — linear end to end. */
+    def gapRun(n: Int): Long =
+      // same count-pruning trap as spanRun: predicate on the windowed
+      // column keeps the forward-fill in the plan
+      graft.api.Graft.gapFill(events(n), "user_id", "ts", "value",
+        3600L * 1000000000L).where(col("filled_value").isNotNull).count()
+
     // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
     lshRun(1); packRun(1); erodeRun(1); zoomRun(1); semdedupRun(1); kmeansRun(1)
+    spanRun(1); gapRun(1)
 
     // three scale points: 1× → 10× may cross a plan transition (e.g. a
     // build side outgrowing the broadcast threshold, switching the banded
@@ -197,7 +229,8 @@ object ScaleSoak {
     val scales = Seq(1, 10, 30)
     val pipelines = Seq[(String, Int => Long)](
       ("lsh_dedup", lshRun), ("pack_sequences", packRun), ("tiled_erosion3d", erodeRun),
-      ("volume_zoom3d", zoomRun), ("semdedup", semdedupRun), ("kmeans_train", kmeansRun))
+      ("volume_zoom3d", zoomRun), ("semdedup", semdedupRun), ("kmeans_train", kmeansRun),
+      ("remove_dup_spans", spanRun), ("gap_fill", gapRun))
     val parts = pipelines.map { case (name, run) =>
       val pts = scales.map { n => n -> timed(run(n)) }
       val ptJson = pts.map { case (n, (sec, r, w, rows)) =>

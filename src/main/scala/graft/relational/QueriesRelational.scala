@@ -269,6 +269,105 @@ object QueriesRelational {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
              |FROM j""".stripMargin)),
 
+    // Gap fill, LINEAR interpolation variant (`FILL(LINEAR)`): missing
+    // buckets get the straight line between the previous and next observed
+    // values (edges extend the nearest observation). Same one-shuffle
+    // (user, bucket) agg as q_gap_fill; the prev/next lookups are two
+    // passes of the same per-user window, and the interpolation is pure
+    // IEEE arithmetic on exact integer bucket distances.
+    Q("q_gap_interp",
+      (s, dir) => {
+        val agg = T(s, dir, "events")
+          .select(col("user_id"), expr("ts DIV 3600000000000").as("b"), col("value"))
+          .groupBy("user_id", "b")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        val grid = agg.groupBy("user_id")
+          .agg(min("b").as("lo"), max("b").as("hi"))
+          .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("b"))
+        val base = Window.partitionBy("user_id").orderBy("b")
+        val wp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(agg, Seq("user_id", "b"), "left")
+          .withColumn("pb", last(when(col("sum_value").isNotNull, col("b")), ignoreNulls = true).over(wp))
+          .withColumn("pv", last(col("sum_value"), ignoreNulls = true).over(wp))
+          .withColumn("nb", first(when(col("sum_value").isNotNull, col("b")), ignoreNulls = true).over(wn))
+          .withColumn("nv", first(col("sum_value"), ignoreNulls = true).over(wn))
+          // NO rounding: the interpolation is pure IEEE arithmetic in the
+          // same association on both engines (bit-identical doubles), while
+          // round() itself DIVERGES on half-boundary values (Spark rounds
+          // the exact decimal of the double, DuckDB multiplies by 1e6 in
+          // FP first — 9/105k rows flipped at the 6th decimal)
+          .select(col("user_id"), col("b"), coalesce(col("n"), lit(0L)).as("n_events"),
+            when(col("sum_value").isNotNull, col("sum_value"))
+              .when(col("pb").isNull, col("nv"))
+              .when(col("nb").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (col("b") - col("pb")).cast("double") /
+                (col("nb") - col("pb")).cast("double")).as("interp_value"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS b, value FROM events),
+             |agg AS (SELECT user_id, b, count(*) AS n,
+             |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |  FROM e GROUP BY user_id, b),
+             |bounds AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY user_id),
+             |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM bounds),
+             |j AS (SELECT g.user_id, g.b, coalesce(a.n, 0) AS n_events, a.sum_value
+             |  FROM grid g LEFT JOIN agg a USING (user_id, b)),
+             |f AS (SELECT user_id, b, n_events, sum_value,
+             |  last_value(CASE WHEN sum_value IS NOT NULL THEN b END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             |  last_value(sum_value IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |  first_value(CASE WHEN sum_value IS NOT NULL THEN b END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+             |  first_value(sum_value IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+             |  FROM j)
+             |SELECT user_id, b, n_events,
+             |  CASE
+             |    WHEN sum_value IS NOT NULL THEN sum_value
+             |    WHEN pb IS NULL THEN nv
+             |    WHEN nb IS NULL THEN pv
+             |    ELSE pv + (nv - pv) * (b - pb)::DOUBLE / (nb - pb)::DOUBLE
+             |  END AS interp_value
+             |FROM f""".stripMargin)),
+
+    // 3-sigma outlier monitoring per event type: the data-quality screen a
+    // pipeline runs before ingesting a day's events. Moments come from
+    // DECIMAL-exact sum/sum-of-squares (order-independent), so mean/sd are
+    // identical doubles on both engines; sqrt is IEEE-correctly-rounded
+    // (unlike ln), so the threshold compare is deterministic. Two passes
+    // over events; the 5-row moment table broadcasts back.
+    Q("q_outliers",
+      (s, dir) => {
+        val v = T(s, dir, "events")
+          .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
+        val m = v.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("s1"),
+            sum(col("v") * col("v")).cast("double").as("s2"))
+        val t = m.select(col("event_type"), col("n"), (col("s1") / col("n")).as("mean"),
+          sqrt(greatest(col("s2") / col("n") -
+            (col("s1") / col("n")) * (col("s1") / col("n")), lit(0.0))).as("sd"))
+        T(s, dir, "events").join(broadcast(t), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            round(max(col("mean") + lit(3) * col("sd")), 6).as("threshold"),
+            sum(when(col("value") > col("mean") + lit(3) * col("sd"), 1)
+              .otherwise(0)).cast("long").as("n_outliers"))
+      },
+      Some("""WITH v AS (SELECT event_type, cast(value AS DECIMAL(18,6)) AS v FROM events),
+             |m AS (SELECT event_type, count(*) AS n,
+             |  cast(sum(v) AS DOUBLE) AS s1, cast(sum(v * v) AS DOUBLE) AS s2
+             |  FROM v GROUP BY event_type),
+             |t AS (SELECT event_type, n, s1 / n AS mean,
+             |  sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS sd FROM m)
+             |SELECT e.event_type, max(t.n) AS n,
+             |  round(max(t.mean + 3 * t.sd), 6) AS threshold,
+             |  cast(sum(CASE WHEN e.value > t.mean + 3 * t.sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM events e JOIN t USING (event_type)
+             |GROUP BY e.event_type""".stripMargin)),
+
     // Banded range join (time-proximity self-join): pairs of events by the
     // same user within 5 minutes, via RangeJoin's bucketed equi-join (the
     // naive inequality join is a nested loop — see RangeJoin scaladoc).

@@ -335,6 +335,54 @@ object QueriesText {
               |SELECT id1, id2, round(cast(inter AS DOUBLE) / (la + lb - inter), 4) AS jacc
               |FROM j WHERE cast(inter AS DOUBLE) / (la + lb - inter) >= 0.5""".stripMargin)),
 
+    // ASYMMETRIC containment (the subset-detection counterpart of
+    // q_ngram_jaccard): C(A in B) = |S(A) n S(B)| / |S(A)| over 3-gram
+    // shingles — high containment at low Jaccard flags a short doc
+    // embedded inside a longer one (quote/boilerplate inclusion), which
+    // symmetric Jaccard misses. Same collapsed/banded/capped candidate
+    // generation; both directions come from one intersection.
+    Q("q_containment",
+      (s, dir) => {
+        val d = repSig(s, dir).select(col("doc_id"), col("sig"),
+          shinglesUdf(col("text"), lit(3)).as("sh"))
+        val bands = d.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+        val cand = graft.operators.LshBlocking
+          .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
+          .distinct()
+        cand
+          .join(d.select(col("doc_id").as("id1"), col("sh").as("sa")), Seq("id1"))
+          .join(d.select(col("doc_id").as("id2"), col("sh").as("sb")), Seq("id2"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("c12", col("inter").cast("double") / size(col("sa")))
+          .withColumn("c21", col("inter").cast("double") / size(col("sb")))
+          .where(greatest(col("c12"), col("c21")) >= 0.7)
+          .select(col("id1"), col("id2"),
+            round(col("c12"), 4).as("c12"), round(col("c21"), 4).as("c21"))
+      },
+      Some(s"""WITH rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+              |d AS (SELECT doc_id,
+              |  ${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")},
+              |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+              |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+              |         || ' ' || string_split(text, ' ')[i+2])) AS sh
+              |  FROM rep),
+              |bands AS (${(0 until 4).map(k =>
+                 s"SELECT doc_id, $k AS band, mh$k AS h FROM d").mkString(" UNION ALL ")}),
+              |keptb AS (SELECT band, h FROM bands GROUP BY band, h HAVING count(*) <= 64),
+              |kb AS (SELECT b.doc_id, b.band, b.h FROM bands b
+              |  JOIN keptb ON keptb.band = b.band AND keptb.h = b.h),
+              |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+              |  FROM kb x JOIN kb y
+              |  ON x.h = y.h AND x.band = y.band AND x.doc_id < y.doc_id),
+              |p AS (SELECT c.id1, c.id2, a.sh AS sa, b.sh AS sb FROM cand c
+              |  JOIN d a ON a.doc_id = c.id1 JOIN d b ON b.doc_id = c.id2),
+              |j AS (SELECT id1, id2, len(list_intersect(sa, sb)) AS inter,
+              |  len(sa) AS la, len(sb) AS lb FROM p)
+              |SELECT id1, id2, round(cast(inter AS DOUBLE) / la, 4) AS c12,
+              |  round(cast(inter AS DOUBLE) / lb, 4) AS c21
+              |FROM j WHERE greatest(cast(inter AS DOUBLE) / la,
+              |  cast(inter AS DOUBLE) / lb) >= 0.7""".stripMargin)),
+
     Q("q_simhash",
       (s, dir) => T(s, dir, "documents")
         .select(col("doc_id"), simhash16Udf(col("text")).as("sh")),
