@@ -368,6 +368,49 @@ object QueriesRelational {
              |FROM events e JOIN t USING (event_type)
              |GROUP BY e.event_type""".stripMargin)),
 
+    // Iterative graph rank over a co-activity graph: users purchasing in
+    // the same hour link into a per-bucket PATH over the 20 smallest ids
+    // (bounded degree by construction — a clique would grow quadratically
+    // in hot buckets), then 3 rounds of fixed-point integer PageRank
+    // (operators.IterativeRank: 1e-9-scaled BIGINT ranks, integer
+    // division) — bit-exact, so the oracle unrolls the same 3 rounds in
+    // exact arithmetic. The iterative-numeric-fixpoint operator class
+    // beyond GraphCC's label propagation.
+    Q("q_pagerank",
+      (s, dir) => {
+        val p = T(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts DIV 3600000000000").as("b")).distinct()
+        val w = Window.partitionBy("b").orderBy("user_id")
+        val cap = p.withColumn("r", row_number().over(w)).where(col("r") <= 20)
+        val e0 = cap.as("a").join(cap.as("c"),
+            col("a.b") === col("c.b") && col("c.r") === col("a.r") + 1)
+          .select(col("a.user_id").as("src"), col("c.user_id").as("dst"))
+        val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        graft.operators.IterativeRank(e, iters = 3)
+          .select(col("u").as("user_id"), col("r").as("rank_fp"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS b FROM events
+             |  WHERE event_type = 'purchase'),
+             |rk AS (SELECT DISTINCT user_id, b FROM p),
+             |w AS (SELECT user_id, b, row_number() OVER (PARTITION BY b ORDER BY user_id) AS r FROM rk),
+             |cap AS (SELECT * FROM w WHERE r <= 20),
+             |e0 AS (SELECT a.user_id AS src, c.user_id AS dst FROM cap a JOIN cap c
+             |  ON a.b = c.b AND c.r = a.r + 1),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |n AS (SELECT DISTINCT src AS u FROM e),
+             |d AS (SELECT src AS u, count(*) AS deg FROM e GROUP BY 1),
+             |r0 AS (SELECT u, 1000000000::BIGINT AS r FROM n),
+             |r1 AS (SELECT n.u, 150000000 + (85 * coalesce(sum(r0.r // d.deg), 0)) // 100 AS r
+             |  FROM n LEFT JOIN e ON e.dst = n.u LEFT JOIN r0 ON r0.u = e.src
+             |  LEFT JOIN d ON d.u = e.src GROUP BY n.u),
+             |r2 AS (SELECT n.u, 150000000 + (85 * coalesce(sum(r1.r // d.deg), 0)) // 100 AS r
+             |  FROM n LEFT JOIN e ON e.dst = n.u LEFT JOIN r1 ON r1.u = e.src
+             |  LEFT JOIN d ON d.u = e.src GROUP BY n.u),
+             |r3 AS (SELECT n.u, 150000000 + (85 * coalesce(sum(r2.r // d.deg), 0)) // 100 AS r
+             |  FROM n LEFT JOIN e ON e.dst = n.u LEFT JOIN r2 ON r2.u = e.src
+             |  LEFT JOIN d ON d.u = e.src GROUP BY n.u)
+             |SELECT u AS user_id, cast(r AS BIGINT) AS rank_fp FROM r3""".stripMargin)),
+
     // Banded range join (time-proximity self-join): pairs of events by the
     // same user within 5 minutes, via RangeJoin's bucketed equi-join (the
     // naive inequality join is a nested loop — see RangeJoin scaladoc).

@@ -269,6 +269,30 @@ class PipelinePlanSpec extends AnyFunSuite {
   }
 }
 
+class IterativeRankSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("path graph 1-2-3: two iterations match the hand-unrolled integers") {
+    // symmetrized path: deg(1)=deg(3)=1, deg(2)=2; ranks start at 1e9.
+    // iter1: r(1)=r(3)=150e6+85%*(1e9 DIV 2)=575e6, r(2)=150e6+85%*2e9=1850e6
+    // iter2: r(1)=150e6+85%*(1850e6 DIV 2)=936250000, r(2)=1127500000
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = graft.operators.IterativeRank(e, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 936250000L, 2L -> 1127500000L, 3L -> 936250000L))
+  }
+
+  test("regular graph is an exact fixed point of the integer iteration") {
+    // 5-cycle: every node has deg 2 and receives exactly its own rank back,
+    // so 150e6 + 85%*1e9 = 1e9 holds bit-exactly at every iteration.
+    val cyc = (0L until 5L).flatMap(i => Seq((i, (i + 1) % 5), ((i + 1) % 5, i)))
+      .toDF("src", "dst")
+    val r = graft.operators.IterativeRank(cyc, iters = 4).as[(Long, Long)].collect()
+    assert(r.length == 5 && r.forall(_._2 == 1000000000L))
+  }
+}
+
 class QuerySmokeSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
 
