@@ -197,6 +197,21 @@ object ScaleSoak {
       graft.api.Graft.removeDuplicatedSpans(corpus(n), "doc_id", "text")
         .where(col("n_removed") >= 0).count()
 
+    /** Sparse-cosine all-pairs at scale: candidate generation shuffles on
+      * the trigram term and is bounded per term by df² <= maxDf²; per-token
+      * salting keeps each copy's trigram vocabulary disjoint, so rare terms
+      * stay exactly as rare at ×n and both candidates and the exact-dot
+      * join should grow n× (an unblocked all-pairs would grow n²). */
+    def sparseRun(n: Int): Long = {
+      val c = corpus(n)
+      val posts = c.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.wordGrams(col("toks"), 3)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      graft.operators.SparseSimJoin(posts, "doc_id", "term", "tf",
+        maxDf = 8, minCosine = 0.05).count()
+    }
+
     val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("user_id").cast("long").as("user_id"), col("ts"), col("value"))
     ev0.persist().count()
@@ -217,7 +232,7 @@ object ScaleSoak {
 
     // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
     lshRun(1); packRun(1); erodeRun(1); zoomRun(1); semdedupRun(1); kmeansRun(1)
-    spanRun(1); gapRun(1)
+    spanRun(1); gapRun(1); sparseRun(1)
 
     // three scale points: 1× → 10× may cross a plan transition (e.g. a
     // build side outgrowing the broadcast threshold, switching the banded
@@ -230,7 +245,8 @@ object ScaleSoak {
     val pipelines = Seq[(String, Int => Long)](
       ("lsh_dedup", lshRun), ("pack_sequences", packRun), ("tiled_erosion3d", erodeRun),
       ("volume_zoom3d", zoomRun), ("semdedup", semdedupRun), ("kmeans_train", kmeansRun),
-      ("remove_dup_spans", spanRun), ("gap_fill", gapRun))
+      ("remove_dup_spans", spanRun), ("gap_fill", gapRun),
+      ("sparse_cosine", sparseRun))
     val parts = pipelines.map { case (name, run) =>
       val pts = scales.map { n => n -> timed(run(n)) }
       val ptJson = pts.map { case (n, (sec, r, w, rows)) =>

@@ -369,6 +369,70 @@ object Graft {
         array_join(slice(col("toks"), col("start"), lit(size)), " ").as("chunk"))
   }
 
+  /** Content-defined chunks per document (FastCDC-style, token
+    * granularity): boundaries follow the local gram hash, so chunk
+    * identity survives token insertions that re-align every fixed-stride
+    * window (contrast [[chunkDocs]]). Returns (id, k, chunk) with k the
+    * 1-based chunk index. See TextFunctions.cdcChunks for the boundary
+    * rule and scale shape. */
+  def cdcChunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, modulus: Int = 4): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol),
+        posexplode(TextFunctions.cdcChunks(col("toks"), modulus)).as(Seq("k0", "chunk")))
+      .select(col(idCol), (col("k0") + 1).cast("long").as("k"), col("chunk"))
+
+  /** Chunk-granularity corpus dedup over [[cdcChunkDocs]] segments: each
+    * distinct chunk text keeps its first (id, k) occurrence corpus-wide
+    * and documents are rebuilt from surviving chunks — paragraph-style
+    * dedup for corpora without paragraph marks. One shuffle on the chunk
+    * text. Returns (id, n_chunks, n_kept, deduped_text). */
+  def cdcDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, modulus: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = cdcChunkDocs(docs, idCol, textCol, modulus)
+    val w = Window.partitionBy(col("chunk")).orderBy(col(idCol), col("k"))
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("rn") === 1, struct(col("k"), col("chunk"))))),
+          r => r.getField("chunk")), " ").as("deduped_text"))
+  }
+
+  /** All-pairs sparse cosine over bag-of-terms vectors with rare-term
+    * candidate blocking — the similarity join for token-level (rather than
+    * embedding) representations. `termGrams` controls the vocabulary
+    * granularity (word n-grams); see operators.SparseSimJoin for the
+    * blocking contract and the df² per-term scale bound. */
+  def sparseCosinePairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, termGrams: Int = 3, maxDf: Int = 8,
+                        minCosine: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    val posts = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), explode(TextFunctions.wordGrams(col("toks"), termGrams)).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    graft.operators.SparseSimJoin(posts, idCol, "term", "tf", maxDf, minCosine)
+  }
+
+  /** Fixed-point EWMA (alpha = 1/2) per key over a non-negative value
+    * series: values scale to 1e-6 BIGINTs and fold through
+    * s := (s + x) >> 1 in event-time order — bit-exact, re-run-stable
+    * state per key is one long. Returns (key, n, ewma_fp). */
+  def ewmaFixedPoint(events: org.apache.spark.sql.DataFrame, keyCol: String,
+                     tsCol: String, valueCol: String): org.apache.spark.sql.DataFrame =
+    events
+      .select(col(keyCol), col(tsCol).as("ts"),
+        floor(col(valueCol) * 1000000 + 0.5).cast("long").as("x"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("ts"), col("x")))).as("arr"))
+      .select(col(keyCol), col("n"),
+        aggregate(expr("slice(arr, 2, size(arr) - 1)"),
+          get(col("arr"), lit(0)).getField("x"),
+          (acc, r) => shiftright(acc + r.getField("x"), 1)).as("ewma_fp"))
+
   /** Winnowing fingerprints (the MOSS local-similarity scheme): per-window
     * minimum of char k-gram hashes, rightmost-min ties — any shared run of
     * >= k+w-1 chars guarantees a shared fingerprint. See

@@ -350,6 +350,46 @@ object TextFunctions {
     }
   }
 
+  /** Polynomial content hash of one string: the q_rolling_hash recurrence
+    * `h = (h*31 + codepoint) mod 1e9+7` applied to a single value — exact
+    * integer math, identical fold order on both engines (ASCII inputs; see
+    * that gate's note on codepoint semantics). Safe to call on a lambda
+    * variable (the fold's input IS the lambda-bound string). */
+  def polyHash31(s0: Column): Column =
+    aggregate(transform(split(s0, ""), c => ascii(c).cast("long")),
+      lit(0L), (h, c) => (h * 31 + c) % 1000000007L)
+
+  /** Content-defined chunking at token granularity (the FastCDC idea
+    * re-expressed declaratively): a chunk boundary opens before token `i`
+    * whenever the polynomial hash of the preceding 3-token gram is ≡ 0
+    * (mod `modulus`), so boundaries depend only on LOCAL content — insert
+    * one token into a document and every chunk outside the edited
+    * neighborhood keeps its exact text (and therefore its dedup hash),
+    * which is what makes CDC dedup robust to shifts where fixed-stride
+    * chunking (q_chunk_docs) re-aligns the whole tail. Returns the array
+    * of chunk strings in document order; expected chunk length is
+    * `modulus` tokens + the 3-token window. Stateless row-local map — the
+    * ideal 100 TB shape; every intermediate (gram hashes, cut positions)
+    * binds as a lambda variable so nothing re-evaluates per element (the
+    * wordGrams O(n²) trap).
+    *
+    * Callers pass a PRE-PROJECTED token-array column (the wordGrams
+    * contract). */
+  def cdcChunks(toks: Column, modulus: Int = 4): Column =
+    element_at(transform(array(struct(toks.as("t"),
+        transform(wordGrams(toks, 3), g => polyHash31(g)).as("h"))), r => {
+      val t = r.getField("t")
+      val h = r.getField("h")
+      val n = size(t)
+      val cp = concat(array(lit(1)),
+        transform(filter(sequence(lit(1), greatest(n - 3, lit(1))),
+            j => (j <= n - 3) && (get(h, j - 1) % modulus === 0)),
+          j => j + 3))
+      element_at(transform(array(cp), cps =>
+        transform(cps, (st, k) =>
+          array_join(slice(t, st, coalesce(get(cps, k + 1), n + 1) - st), " "))), 1)
+    }), 1)
+
   final case class WinnowFp(pos: Long, h: Long)
 
   /** Winnow selection kernel: (1-based pos, 60-bit md5 hash) of each

@@ -411,6 +411,34 @@ object QueriesRelational {
              |  LEFT JOIN d ON d.u = e.src GROUP BY n.u)
              |SELECT u AS user_id, cast(r AS BIGINT) AS rank_fp FROM r3""".stripMargin)),
 
+    // Fixed-point exponential smoothing (EWMA, alpha = 1/2) over each
+    // user's purchase series: values scale to 1e-6 BIGINTs and the
+    // recurrence s := (s + x) >> 1 runs in integer arithmetic, so the
+    // inherently-sequential fold is bit-exact and oracle-replayable
+    // (list_reduce with no init uses the first element, matching the
+    // Spark fold's head-element seed). Per-user state is one long; the
+    // fold is row-local over the user's sorted series — the same
+    // bounded-by-user-activity shape as q_sessionize. Inputs are
+    // non-negative by table contract, so >> 1 and DuckDB's floor-div
+    // agree.
+    Q("q_ewma",
+      (s, dir) => {
+        val e = T(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            floor(col("value") * 1000000 + 0.5).cast("long").as("x"))
+        e.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(struct(col("ts"), col("x")))).as("arr"))
+          .select(col("user_id"), col("n"),
+            aggregate(expr("slice(arr, 2, size(arr) - 1)"),
+              get(col("arr"), lit(0)).getField("x"),
+              (acc, r) => shiftright(acc + r.getField("x"), 1)).as("ewma_fp"))
+      },
+      Some("""SELECT user_id, count(*)::BIGINT AS n,
+             |  list_reduce(list(floor(value * 1000000 + 0.5)::BIGINT ORDER BY ts),
+             |    (a, b) -> (a + b) // 2) AS ewma_fp
+             |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin)),
+
     // Banded range join (time-proximity self-join): pairs of events by the
     // same user within 5 minutes, via RangeJoin's bucketed equi-join (the
     // naive inequality join is a nested loop — see RangeJoin scaladoc).

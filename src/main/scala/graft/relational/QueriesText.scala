@@ -335,6 +335,41 @@ object QueriesText {
               |SELECT id1, id2, round(cast(inter AS DOUBLE) / (la + lb - inter), 4) AS jacc
               |FROM j WHERE cast(inter AS DOUBLE) / (la + lb - inter) >= 0.5""".stripMargin)),
 
+    // All-pairs SPARSE cosine over trigram tf vectors via an inverted-index
+    // self-join blocked on RARE terms (df <= 8) — the similarity-join
+    // complement of the dense-embedding cosine paths. Dot products are
+    // integer tf sums (order-independent, bit-exact cross-engine); the
+    // recall contract is explicit: pairs sharing only df>8 terms are
+    // excluded by definition, so the capped plan replays in SQL. See
+    // operators.SparseSimJoin for the 100 TB shape (df² per-term bound).
+    Q("q_sparse_cosine",
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val posts = toks
+          .select(col("doc_id"), explode(wordGrams(col("toks"), 3)).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        graft.operators.SparseSimJoin(posts, "doc_id", "term", "tf",
+          maxDf = 8, minCosine = 0.05)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |g AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS term
+             |  FROM t, unnest(range(1, len(ts) - 1)) AS u(i)),
+             |p AS (SELECT doc_id AS id, term, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
+             |rare AS (SELECT term FROM (SELECT term, count(*) AS df FROM p GROUP BY 1)
+             |  WHERE df <= 8 AND df >= 2),
+             |rp AS (SELECT p.id, p.term FROM p JOIN rare USING (term)),
+             |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM rp a
+             |  JOIN rp b ON b.term = a.term AND a.id < b.id),
+             |n AS (SELECT id, sum(tf * tf) AS n2 FROM p GROUP BY 1),
+             |dots AS (SELECT c.id1, c.id2, sum(x.tf * y.tf) AS dot FROM cand c
+             |  JOIN p x ON x.id = c.id1 JOIN p y ON y.id = c.id2 AND y.term = x.term
+             |  GROUP BY 1, 2),
+             |cos AS (SELECT d.id1, d.id2, d.dot::BIGINT AS dot,
+             |  round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+             |  FROM dots d JOIN n na ON na.id = d.id1 JOIN n nb ON nb.id = d.id2)
+             |SELECT id1, id2, dot, cosine FROM cos WHERE cosine >= 0.05""".stripMargin)),
+
     // ASYMMETRIC containment (the subset-detection counterpart of
     // q_ngram_jaccard): C(A in B) = |S(A) n S(B)| / |S(A)| over 3-gram
     // shingles — high containment at low Jaccard flags a short doc
@@ -1842,6 +1877,84 @@ object QueriesText {
              |SELECT doc_id, chunk_id,
              |  len(string_split(chunk, ' '))::BIGINT AS n_tokens, md5(chunk) AS chunk_h
              |FROM c""".stripMargin)),
+
+    // CONTENT-DEFINED chunking (CDC): boundaries where the rolling 3-gram
+    // polynomial hash ≡ 0 (mod 4), so chunk identity survives token
+    // insertions that would re-align every fixed-stride window — see
+    // TextFunctions.cdcChunks. Stateless row-local map, no shuffle. The
+    // oracle derives the same cuts relationally (gram-hash filter →
+    // windowed cut count → ordered string_agg per chunk).
+    Q("q_cdc_chunks",
+      (s, dir) => {
+        val toksDf = T(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        toksDf
+          .select(col("doc_id"), posexplode(cdcChunks(col("toks"))).as(Seq("k0", "chunk")))
+          .select(col("doc_id"), (col("k0") + 1).cast("long").as("k"),
+            col("chunk"), md5(col("chunk")).as("chunk_h"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |tok AS (SELECT doc_id, i AS pos, ts[i] AS tk FROM t,
+             |  unnest(range(1, len(ts) + 1)) u(i)),
+             |cut AS (SELECT doc_id, j + 3 AS pos FROM t,
+             |  unnest(range(1, greatest(len(ts) - 2, 1))) u(j)
+             |  WHERE j <= len(ts) - 3 AND list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(string_split(ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2], ''),
+             |      c -> ascii(c)::BIGINT)),
+             |    (h, c) -> (h * 31 + c) % 1000000007) % 4 = 0),
+             |ck AS (SELECT tok.doc_id, tok.pos, tok.tk,
+             |  (1 + count(cut.pos) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos))::BIGINT AS k
+             |  FROM tok LEFT JOIN cut ON cut.doc_id = tok.doc_id AND cut.pos = tok.pos),
+             |c AS (SELECT doc_id, k, string_agg(tk, ' ' ORDER BY pos) AS chunk
+             |  FROM ck GROUP BY doc_id, k)
+             |SELECT doc_id, k, chunk, md5(chunk) AS chunk_h FROM c""".stripMargin)),
+
+    // CDC chunk-level corpus dedup + reassembly (the paragraph-dedup shape
+    // for a corpus without paragraph marks): each distinct chunk text keeps
+    // only its first (doc_id, k) occurrence corpus-wide, and documents are
+    // rebuilt from their surviving chunks — the CCNet-style
+    // segment-granularity dedup between exact-doc dedup (too coarse) and
+    // 5-gram span removal (q_remove_dup_spans, finer but not
+    // shift-stable). ONE shuffle on the chunk text; reassembly is a
+    // per-doc agg.
+    Q("q_cdc_dedup",
+      (s, dir) => {
+        val toksDf = T(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val chunks = toksDf
+          .select(col("doc_id"), posexplode(cdcChunks(col("toks"))).as(Seq("k0", "chunk")))
+          .select(col("doc_id"), (col("k0") + 1).cast("long").as("k"), col("chunk"))
+        val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("k"))
+        chunks
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            count(when(col("rn") === 1, 1)).as("n_kept"),
+            array_join(transform(
+              sort_array(collect_list(when(col("rn") === 1, struct(col("k"), col("chunk"))))),
+              r => r.getField("chunk")), " ").as("deduped_text"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |tok AS (SELECT doc_id, i AS pos, ts[i] AS tk FROM t,
+             |  unnest(range(1, len(ts) + 1)) u(i)),
+             |cut AS (SELECT doc_id, j + 3 AS pos FROM t,
+             |  unnest(range(1, greatest(len(ts) - 2, 1))) u(j)
+             |  WHERE j <= len(ts) - 3 AND list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(string_split(ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2], ''),
+             |      c -> ascii(c)::BIGINT)),
+             |    (h, c) -> (h * 31 + c) % 1000000007) % 4 = 0),
+             |ck AS (SELECT tok.doc_id, tok.pos, tok.tk,
+             |  (1 + count(cut.pos) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos))::BIGINT AS k
+             |  FROM tok LEFT JOIN cut ON cut.doc_id = tok.doc_id AND cut.pos = tok.pos),
+             |c AS (SELECT doc_id, k, string_agg(tk, ' ' ORDER BY pos) AS chunk
+             |  FROM ck GROUP BY doc_id, k),
+             |r AS (SELECT doc_id, k, chunk,
+             |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, k) AS rn FROM c)
+             |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+             |  count(CASE WHEN rn = 1 THEN 1 END)::BIGINT AS n_kept,
+             |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY k), '')
+             |    AS deduped_text
+             |FROM r GROUP BY doc_id""".stripMargin)),
 
     // sequence packing: assign docs to fixed token-budget training chunks
     // by exclusive prefix sum of token counts in doc_id order — through the

@@ -293,6 +293,81 @@ class IterativeRankSpec extends AnyFunSuite {
   }
 }
 
+class SparseSimJoinSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("exact integer cosine over candidates from rare shared terms") {
+    // A={x,y}, B={x,z}, C={w,z}: df(x)=df(z)=2 <= maxDf, so A-B and B-C
+    // are candidates; cos = 1/(sqrt(2)*sqrt(2)) = 0.5 exactly.
+    val p = Seq((1L, "x", 1L), (1L, "y", 1L), (2L, "x", 1L), (2L, "z", 1L),
+      (3L, "w", 1L), (3L, "z", 1L)).toDF("id", "term", "tf")
+    val out = graft.operators.SparseSimJoin(p, "id", "term", "tf", maxDf = 2, minCosine = 0.0)
+      .select($"id1", $"id2", $"cosine").as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 0.5), (2L, 3L, 0.5)))
+  }
+
+  test("pairs sharing only terms above maxDf are excluded by contract") {
+    // three docs all share only 'c' (df=3 > maxDf=2) -> no candidates,
+    // even though their pairwise cosine is 1.0
+    val p = Seq((1L, "c", 1L), (2L, "c", 1L), (3L, "c", 1L)).toDF("id", "term", "tf")
+    assert(graft.operators.SparseSimJoin(p, "id", "term", "tf", 2, 0.0).count() == 0L)
+  }
+
+  test("dot uses ALL shared terms, not just the rare blocking terms") {
+    // blocking term r (df=2) admits the pair; the ubiquitous-within-pair
+    // term c still contributes to the dot: v1={r:1,c:2}, v2={r:1,c:3}
+    // dot=1+6=7, norms sqrt(5)*sqrt(10) -> cos=7/sqrt(50)
+    val p = Seq((1L, "r", 1L), (1L, "c", 2L), (2L, "r", 1L), (2L, "c", 3L))
+      .toDF("id", "term", "tf")
+    val row = graft.operators.SparseSimJoin(p, "id", "term", "tf", 2, 0.0)
+      .select($"dot", $"cosine").as[(Long, Double)].collect()
+    assert(row.length == 1 && row(0)._1 == 7L)
+    assert(math.abs(row(0)._2 - 7.0 / math.sqrt(50.0)) < 1e-6)
+  }
+}
+
+class CdcChunksSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  import graft.functions.TextFunctions.cdcChunks
+  import org.apache.spark.sql.functions.{col, split, array_join, lit}
+
+  private def chunksOf(text: String): Seq[String] =
+    Seq(text).toDF("text").select(split(col("text"), " ").as("toks"))
+      .select(cdcChunks(col("toks")).as("c")).as[Seq[String]].head()
+
+  test("chunks partition the document exactly") {
+    val rng = new scala.util.Random(11)
+    val words = Vector("a", "bb", "ccc", "dd", "e", "ffff", "g", "hh")
+    for (_ <- 1 to 20) {
+      val doc = Seq.fill(3 + rng.nextInt(60))(words(rng.nextInt(words.size))).mkString(" ")
+      assert(chunksOf(doc).mkString(" ") == doc)
+    }
+  }
+
+  test("boundaries are content-local: chunks far from an edit are unchanged") {
+    // CDC's contract vs fixed-stride chunking: inserting a token early in
+    // the doc must leave the trailing chunks' TEXT identical (only their
+    // positions shift). Shared suffix chunks must be non-trivial.
+    val rng = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val base = Seq.fill(400)(words(rng.nextInt(words.size)))
+    val edited = (base.take(5) :+ "INSERTED") ++ base.drop(5)
+    val a = chunksOf(base.mkString(" "))
+    val b = chunksOf(edited.mkString(" "))
+    val sharedSuffix = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.size
+    assert(sharedSuffix >= a.size - 4,
+      s"edit perturbed ${a.size - sharedSuffix} leading chunks of ${a.size}")
+    assert(a.size > 20)
+  }
+
+  test("short and empty documents yield one whole-document chunk") {
+    assert(chunksOf("x y z") == Seq("x y z"))
+    assert(chunksOf("") == Seq(""))
+  }
+}
+
 class QuerySmokeSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
 
