@@ -433,6 +433,14 @@ object Graft {
           get(col("arr"), lit(0)).getField("x"),
           (acc, r) => shiftright(acc + r.getField("x"), 1)).as("ewma_fp"))
 
+  /** Per-vertex triangle counts over an undirected edge list — community /
+    * spam-density signal for graph-shaped curation (link graphs, citation
+    * graphs, the co-activity graph the PageRank facade consumes). See
+    * operators.TriangleCount for the degree-ordered O(m^1.5) bound. */
+  def triangleCounts(edges: org.apache.spark.sql.DataFrame, srcCol: String,
+                     dstCol: String): org.apache.spark.sql.DataFrame =
+    graft.operators.TriangleCount(edges, srcCol, dstCol)
+
   /** Winnowing fingerprints (the MOSS local-similarity scheme): per-window
     * minimum of char k-gram hashes, rightmost-min ties — any shared run of
     * >= k+w-1 chars guarantees a shared fingerprint. See

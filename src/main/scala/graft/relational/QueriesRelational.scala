@@ -439,6 +439,47 @@ object QueriesRelational {
              |    (a, b) -> (a + b) // 2) AS ewma_fp
              |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin)),
 
+    // Per-vertex triangle counts on the SAME bounded co-activity graph as
+    // q_pagerank, via degree-ordered orientation (operators.TriangleCount):
+    // each triangle is found exactly once at its minimum-(deg,id) corner,
+    // and orientation bounds every out-degree by O(sqrt(m)), so the wedge
+    // join is O(m^1.5) worst case instead of the unoriented sum-of-deg²
+    // blow-up. The oracle replays orientation, wedge and closure joins
+    // relationally; counts are exact integers.
+    Q("q_triangle_count",
+      (s, dir) => {
+        val p = T(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts DIV 3600000000000").as("b")).distinct()
+        val w = Window.partitionBy("b").orderBy("user_id")
+        val cap = p.withColumn("r", row_number().over(w)).where(col("r") <= 20)
+        val e0 = cap.as("a").join(cap.as("c"),
+            col("a.b") === col("c.b") && col("c.r") === col("a.r") + 1)
+          .select(col("a.user_id").as("src"), col("c.user_id").as("dst"))
+        graft.operators.TriangleCount(e0, "src", "dst")
+          .select(col("u").as("user_id"), col("n_tri"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS b FROM events
+             |  WHERE event_type = 'purchase'),
+             |rk AS (SELECT DISTINCT user_id, b FROM p),
+             |w AS (SELECT user_id, b, row_number() OVER (PARTITION BY b ORDER BY user_id) AS r FROM rk),
+             |cap AS (SELECT * FROM w WHERE r <= 20),
+             |e0 AS (SELECT a.user_id AS src, c.user_id AS dst FROM cap a JOIN cap c
+             |  ON a.b = c.b AND c.r = a.r + 1),
+             |ud AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM e0 WHERE src != dst),
+             |dg AS (SELECT u, count(*) AS deg FROM
+             |  (SELECT a AS u FROM ud UNION ALL SELECT b FROM ud) GROUP BY 1),
+             |o AS (SELECT CASE WHEN (da.deg, ud.a) < (db.deg, ud.b) THEN ud.a ELSE ud.b END AS u,
+             |  CASE WHEN (da.deg, ud.a) < (db.deg, ud.b) THEN ud.b ELSE ud.a END AS v,
+             |  CASE WHEN (da.deg, ud.a) < (db.deg, ud.b) THEN db.deg ELSE da.deg END AS dv
+             |  FROM ud JOIN dg da ON da.u = ud.a JOIN dg db ON db.u = ud.b),
+             |tri AS (SELECT x.u AS p, x.v AS v, y.v AS w FROM o x JOIN o y
+             |  ON y.u = x.u AND (x.dv, x.v) < (y.dv, y.v)
+             |  JOIN o z ON z.u = x.v AND z.v = y.v)
+             |SELECT u AS user_id, count(*)::BIGINT AS n_tri FROM
+             |  (SELECT p AS u FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+             |GROUP BY 1""".stripMargin)),
+
     // Banded range join (time-proximity self-join): pairs of events by the
     // same user within 5 minutes, via RangeJoin's bucketed equi-join (the
     // naive inequality join is a nested loop — see RangeJoin scaladoc).

@@ -910,6 +910,67 @@ object QueriesText {
            |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin
       }),
 
+    // ANN EVALUATION: per-query recall@10 of the banded-LSH path against
+    // the exact brute-force top-10 — the measurement that justifies an
+    // approximate index before pointing it at 100 TB. Both sides rank on
+    // the 6-place-rounded cosine with vec_id tie-break (engine-stable),
+    // so recall is an exact integer count over a deterministic pair of
+    // sets; n_hit/10.0 is one IEEE division. Scale shape: exact side is a
+    // broadcast of the (small) query sample against the corpus — recall
+    // evaluation always samples queries, never all-pairs.
+    Q("q_ann_recall",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        val exact = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+          .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val qb = e.where(col("vec_id") < 20).select(col("vec_id").as("qid"),
+          col("embedding").as("qe"),
+          explode(lshBands(col("embedding"), Bands, Bits)).as("bb"))
+          .select(col("qid"), col("qe"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val cb = e.select(col("vec_id"), col("embedding").as("ce"),
+          explode(lshBands(col("embedding"), Bands, Bits)).as("bb"))
+          .select(col("vec_id"), col("ce"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val approx = cb.join(broadcast(qb), Seq("band", "bucket"))
+          .where(col("qid") =!= col("vec_id"))
+          .dropDuplicates("qid", "vec_id")
+          .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("qid"), col("n_hit"),
+            round(col("n_hit") / 10.0, 4).as("recall"))
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        s"""WITH v AS (SELECT vec_id, embedding, ${bandCols("embedding")} FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 20),
+           |ex AS (SELECT q.vec_id AS qid, c.vec_id AS vid, ${cos("q.embedding", "c.embedding")} AS cos
+           |  FROM q JOIN v c ON q.vec_id != c.vec_id),
+           |ek AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM ex)
+           |  WHERE rk <= 10),
+           |ax AS (SELECT q.vec_id AS qid, c.vec_id AS vid, ${cos("q.embedding", "c.embedding")} AS cos
+           |  FROM q JOIN v c ON q.vec_id != c.vec_id AND (${bandMatch("q", "c")})),
+           |ak AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM ax)
+           |  WHERE rk <= 10)
+           |SELECT ek.qid, count(ak.vid)::BIGINT AS n_hit,
+           |  round(count(ak.vid) / 10.0, 4) AS recall
+           |FROM ek LEFT JOIN ak ON ak.qid = ek.qid AND ak.vid = ek.vid
+           |GROUP BY ek.qid""".stripMargin
+      }),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup scoped to IVF cells —
     // within each max-cosine centroid cell, pairs at cosine >= 0.3 form
     // groups (connected components) and each group keeps only the member
@@ -1468,6 +1529,57 @@ object QueriesText {
              |    / (n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sx::DOUBLE) / n, 4) AS intercept
              |FROM s""".stripMargin)),
 
+    // Collocation extraction by PMI LIFT: top-20 bigrams ranked by
+    // p(w1 w2) / (p(w1) p(w2)), min count 5 — the phrase-mining signal
+    // (NPMI/PMI) behind tokenizer-vocabulary and stop-phrase curation.
+    // The gate ranks on the lift RATIO rather than its log: log is
+    // monotonic (identical top-k) and the ratio is pure IEEE
+    // integer-quotient arithmetic, so no libm call can perturb a boundary.
+    // All four counts (bigram, two unigrams, totals) are exact BIGINTs;
+    // numerator c_ab*U*U stays < 2^63 through sf0.1 (documented: the
+    // 100 TB path divides in DOUBLE, where top-k by lift is equally
+    // stable). Two shuffles total (unigram + bigram aggs; the unigram
+    // model joins back broadcast); the top-20 is a TakeOrdered, never a
+    // global sort.
+    Q("q_collocations",
+      (s, dir) => {
+        val t = T(s, dir, "documents").select(tokens(col("text")).as("toks"))
+        val uni = t.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val bg = t.select(explode(wordGrams(col("toks"), 2)).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c2"))
+          .where(col("c2") >= 5)
+        val tot = uni.agg(sum(col("c1")).as("u"))
+        // bigram total counts ALL bigrams, not just the kept (c2 >= 5) ones
+        val btot = t.select(explode(wordGrams(col("toks"), 2)).as("term"))
+          .agg(count(lit(1)).as("btot"))
+        bg.withColumn("w1", split(col("term"), " ").getItem(0))
+          .withColumn("w2", split(col("term"), " ").getItem(1))
+          .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("ca"))), Seq("w1"))
+          .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("cb"))), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .crossJoin(broadcast(btot))
+          .select(col("term"), col("c2").as("n_pair"),
+            round((col("c2") * col("u") * col("u")).cast("double") /
+              (col("btot") * col("ca") * col("cb")).cast("double"), 6).as("lift"))
+          .orderBy(col("lift").desc, col("term")).limit(20)
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+             |uni AS (SELECT unnest(toks) AS w FROM t),
+             |c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM uni GROUP BY 1),
+             |u AS (SELECT sum(c1)::BIGINT AS u FROM c1),
+             |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+             |  i -> toks[i] || ' ' || toks[i+1])) AS term FROM t),
+             |bt AS (SELECT count(*)::BIGINT AS btot FROM bg),
+             |c2 AS (SELECT term, count(*)::BIGINT AS c2 FROM bg GROUP BY 1
+             |  HAVING count(*) >= 5)
+             |SELECT term, c2 AS n_pair,
+             |  round((c2 * u.u * u.u)::DOUBLE /
+             |    (bt.btot * ca.c1 * cb.c1)::DOUBLE, 6) AS lift
+             |FROM c2 JOIN c1 ca ON ca.w = string_split(c2.term, ' ')[1]
+             |JOIN c1 cb ON cb.w = string_split(c2.term, ' ')[2], u, bt
+             |ORDER BY lift DESC, term LIMIT 20""".stripMargin)),
+
     // Embedding int8 scale-quantization: per-vector min/max affine map to
     // 0..255 — the storage/serving compression step of an embedding
     // pipeline. Pure IEEE arithmetic (no libm), so quantized codes match
@@ -1507,6 +1619,65 @@ object QueriesText {
              |  cast(list_sum(qv) AS BIGINT) AS q_sum,
              |  md5(array_to_string(qv, ',')) AS q_md5
              |FROM q""".stripMargin)),
+
+    // Signed random projection (Johnson–Lindenstrauss / Achlioptas ±1
+    // family): the 64-dim embedding, int8-quantized and centered exactly as
+    // q_embed_quantize, projects to 8 dims through a DETERMINISTIC ±1 sign
+    // matrix derived from md5("j_i") parity — the dimensionality-reduction
+    // step that shrinks ANN index footprints 8x while preserving pairwise
+    // distances to (1±eps). Everything after quantization is exact BIGINT
+    // arithmetic (signed sums of int codes), so the projection is
+    // bit-identical across engines, partition orders, and fold orders.
+    // Row-local map, zero shuffle; the sign matrix is a compile-time
+    // literal on the Spark side and 512 md5 calls amortized over the scan
+    // on the oracle side.
+    Q("q_random_projection",
+      (s, dir) => {
+        val R = 8; val D = 64
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def sign(j: Int, i: Int): Long = {
+          val hex = md.digest(s"${j}_${i}".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.take(7)
+          if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+        }
+        val signs = typedLit((0 until R).map(j => (0 until D).map(i => sign(j, i))))
+        val b = T(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("e"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          array_max(col("embedding")).cast("double").as("mx"))
+        val qv = when(col("mx") > col("mn"),
+          transform(col("e"), x =>
+            round((x.cast("double") - col("mn")) / ((col("mx") - col("mn")) / lit(255.0)), 0)
+              .cast("long")))
+          .otherwise(transform(col("e"), _ => lit(0L)))
+        // qv in its own projection (the q_embed_quantize alias-capture note)
+        val proj = transform(sequence(lit(0), lit(R - 1)), j =>
+          aggregate(sequence(lit(0), lit(D - 1)), lit(0L), (acc, i) =>
+            acc + (element_at(col("qv"), i + 1) - 128L) *
+              element_at(element_at(signs, j + 1), i + 1)))
+        b.select(col("vec_id"), qv.as("qv"))
+          .select(col("vec_id"), proj.as("p"))
+          .select(col("vec_id"),
+            element_at(col("p"), 1).as("p0"), element_at(col("p"), 2).as("p1"),
+            aggregate(col("p"), lit(0L), (a, x) => a + x).as("p_sum"),
+            md5(array_join(transform(col("p"), _.cast("string")), ",")).as("p_md5"))
+      },
+      Some("""WITH b AS (SELECT vec_id, embedding AS e,
+             |  list_min(embedding)::DOUBLE AS mn, list_max(embedding)::DOUBLE AS mx
+             |  FROM embeddings),
+             |q AS (SELECT vec_id,
+             |  CASE WHEN mx > mn THEN
+             |    list_transform(e, x -> cast(round((x::DOUBLE - mn) / ((mx - mn) / 255.0), 0) AS BIGINT))
+             |  ELSE list_transform(e, x -> 0::BIGINT) END AS qv
+             |  FROM b),
+             |p AS (SELECT vec_id, list_transform(range(0, 8), j ->
+             |  list_sum(list_transform(range(1, 65), i -> (qv[i] - 128) *
+             |    (CASE WHEN ('0x' || substr(md5(j::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 7))::BIGINT % 2 = 0
+             |      THEN 1 ELSE -1 END)))) AS p
+             |  FROM q)
+             |SELECT vec_id, p[1]::BIGINT AS p0, p[2]::BIGINT AS p1,
+             |  list_sum(p)::BIGINT AS p_sum,
+             |  md5(array_to_string(p, ',')) AS p_md5
+             |FROM p""".stripMargin)),
 
     // DSIR importance weights (Xie et al. 2023): per-doc mean token
     // log-likelihood ratio of a TARGET unigram model (here: lang='en'

@@ -293,6 +293,37 @@ class IterativeRankSpec extends AnyFunSuite {
   }
 }
 
+class TriangleCountSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    graft.operators.TriangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+
+  test("K4: every vertex sits in C(3,2)=3 triangles") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(tri(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle-free graphs (path, star) count zero") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    assert(tri((2L to 9L).map(i => (1L, i))).isEmpty)
+  }
+
+  test("duplicate, reversed, and self-loop edges do not inflate counts") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (1L, 1L), (2L, 3L))
+    assert(tri(messy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("two triangles sharing an edge: shared endpoints count both") {
+    // {1,2,3} and {2,3,4} share edge 2-3
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(g) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+}
+
 class SparseSimJoinSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
   import spark.implicits._
