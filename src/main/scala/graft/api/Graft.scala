@@ -441,6 +441,13 @@ object Graft {
                      dstCol: String): org.apache.spark.sql.DataFrame =
     graft.operators.TriangleCount(edges, srcCol, dstCol)
 
+  /** k-core of an undirected edge list: iterative peel to the maximal
+    * subgraph of min-degree k (density filter — see operators.KCore for
+    * the per-round shuffle shape and the maxRounds cap semantics). */
+  def kCore(edges: org.apache.spark.sql.DataFrame, srcCol: String,
+            dstCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    graft.operators.KCore(edges, srcCol, dstCol, k)
+
   /** Winnowing fingerprints (the MOSS local-similarity scheme): per-window
     * minimum of char k-gram hashes, rightmost-min ties — any shared run of
     * >= k+w-1 chars guarantees a shared fingerprint. See

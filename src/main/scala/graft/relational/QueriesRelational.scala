@@ -480,6 +480,107 @@ object QueriesRelational {
              |  (SELECT p AS u FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
              |GROUP BY 1""".stripMargin)),
 
+    // k-core of the co-activity graph (k=10): iterative peeling to the
+    // maximal subgraph of min-degree 10 — the density filter that separates
+    // clique-ish engagement cores from chain/pendant structure. The Spark
+    // side peels to the FIXPOINT (operators.KCore, driver state = one
+    // Boolean per round); the oracle unrolls 6 peel rounds — two more than
+    // any observed depth at gate scales, and extra rounds are exact no-ops
+    // once converged, so the unroll equals the fixpoint. At sf0.01 the
+    // core keeps 140 of 150 vertices after 2 rounds; at sf0.001 everything
+    // peels in 1 (empty result on both engines — still compared).
+    Q("q_kcore",
+      (s, dir) => {
+        val p = T(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts DIV 3600000000000").as("b")).distinct()
+        val w = Window.partitionBy("b").orderBy("user_id")
+        val cap = p.withColumn("r", row_number().over(w)).where(col("r") <= 20)
+        val e0 = cap.as("a").join(cap.as("c"),
+            col("a.b") === col("c.b") && col("c.r") === col("a.r") + 1)
+          .select(col("a.user_id").as("src"), col("c.user_id").as("dst"))
+        graft.operators.KCore(e0, "src", "dst", k = 10)
+          .select(col("u").as("user_id"), col("deg"))
+      },
+      Some {
+        // every unrolled CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+        // and e_i references e_{i-1} three times (scan + two NOT IN
+        // probes) — inlined, the 6-round unroll expands 3^6 copies of the
+        // base scan and dies on open file handles
+        val rounds = (1 to 6).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT u, count(*) AS deg FROM
+             |  (SELECT a AS u FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+             |w$i AS MATERIALIZED (SELECT u FROM d$i WHERE deg < 10),
+             |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+             |  WHERE a NOT IN (SELECT u FROM w$i) AND b NOT IN (SELECT u FROM w$i))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS b FROM events
+           |  WHERE event_type = 'purchase'),
+           |rk AS (SELECT DISTINCT user_id, b FROM p),
+           |w AS (SELECT user_id, b, row_number() OVER (PARTITION BY b ORDER BY user_id) AS r FROM rk),
+           |cap AS (SELECT * FROM w WHERE r <= 20),
+           |ed AS (SELECT a.user_id AS src, c.user_id AS dst FROM cap a JOIN cap c
+           |  ON a.b = c.b AND c.r = a.r + 1),
+           |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM ed WHERE src != dst),
+           |$rounds
+           |SELECT u AS user_id, count(*)::BIGINT AS deg FROM
+           |  (SELECT a AS u FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1""".stripMargin
+      }),
+
+    // Time-series RESAMPLING to regular bars (the OHLC downsample): each
+    // user's purchase stream folds into 1-hour buckets with open/close by
+    // (ts, event_id) order and high/low as extrema — selection aggregates
+    // only (min_by/max_by/min/max pick EXISTING doubles, no FP
+    // accumulation), so every output is bit-exact regardless of partition
+    // or fold order. One shuffle on (user, bar); bars per user are bounded
+    // by activity span, never corpus size.
+    Q("q_ohlc_bars",
+      (s, dir) => {
+        val e = T(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("t"), col("event_id"), col("value"))
+          .withColumn("bar", expr("t DIV 3600000000000"))
+        e.groupBy("user_id", "bar")
+          .agg(count(lit(1)).as("n"),
+            min_by(col("value"), struct(col("t"), col("event_id"))).as("open"),
+            max(col("value")).as("high"), min(col("value")).as("low"),
+            max_by(col("value"), struct(col("t"), col("event_id"))).as("close"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value FROM events
+             |  WHERE event_type = 'purchase')
+             |SELECT user_id, t // 3600000000000 AS bar, count(*)::BIGINT AS n,
+             |  first(value ORDER BY t, event_id) AS open,
+             |  max(value) AS high, min(value) AS low,
+             |  last(value ORDER BY t, event_id) AS close
+             |FROM e GROUP BY 1, 2""".stripMargin)),
+
+    // Trailing 1-hour rolling mean per user via a RANGE window frame over
+    // the ns timestamp — the time-proximity window that ROWS frames get
+    // wrong under irregular sampling. The frame sum runs in DECIMAL(18,6)
+    // (exact, order-independent); one double division at the end. RANGE
+    // frames include timestamp peers identically on both engines. Same
+    // per-user shuffle/sort as q_sessionize — at 100 TB the window
+    // parallelizes over users, the only serial dimension is one user's own
+    // history.
+    Q("q_rolling_mean",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("t"))
+          .rangeBetween(-3600000000000L, 0L)
+        T(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts").as("t"), col("value"))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum(col("value").cast("decimal(18,6)")).over(w).cast("double") /
+              count(lit(1)).over(w), 6).as("mean_1h"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t, value FROM events
+             |  WHERE event_type = 'purchase')
+             |SELECT user_id, event_id,
+             |  count(*) OVER w AS n_1h,
+             |  round((sum(value::DECIMAL(18,6)) OVER w)::DOUBLE / (count(*) OVER w), 6) AS mean_1h
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY t
+             |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // Banded range join (time-proximity self-join): pairs of events by the
     // same user within 5 minutes, via RangeJoin's bucketed equi-join (the
     // naive inequality join is a nested loop — see RangeJoin scaladoc).

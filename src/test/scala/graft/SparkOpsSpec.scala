@@ -324,6 +324,33 @@ class TriangleCountSpec extends AnyFunSuite {
   }
 }
 
+class KCoreSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    graft.operators.KCore(edges.toDF("src", "dst"), "src", "dst", k)
+      .as[(Long, Long)].collect().toMap
+
+  test("triangle with a pendant tail: 2-core strips the tail transitively") {
+    // 1-2-3 triangle, tail 3-4-5: removing 5 (deg 1) exposes 4 — two
+    // peel rounds, exactly the cascade the fixpoint must follow
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(g, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("K5 survives 4-core intact; nothing survives 5-core") {
+    val k5 = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    assert(core(k5, 4) == (1L to 5L).map(_ -> 4L).toMap)
+    assert(core(k5, 5).isEmpty)
+  }
+
+  test("long path fully peels at k=2 (one layer per round)") {
+    val path = (1L until 8L).map(i => (i, i + 1))
+    assert(core(path, 2).isEmpty)
+  }
+}
+
 class SparseSimJoinSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
   import spark.implicits._
