@@ -254,6 +254,33 @@ object QueriesStreaming {
              |  count(*) AS nb FROM r GROUP BY event_type)
              |SELECT event_type,
              |  round(0.673::DOUBLE * 256 / (ssum + (16 - nb)::DOUBLE), 4) AS hll_est
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // ARBITRARY custom state via mapGroupsWithState: a running per-user
+    // profile (event count, purchase count, max value, last ts) no single
+    // built-in aggregate expresses — the API surface for decaying
+    // counters / feature state. State is one fixed-size row per key
+    // (bounded by key cardinality); every accumulator is order-independent,
+    // so the drain's final emission per key equals the batch aggregate the
+    // oracle computes, under ANY micro-batch split (latestProfiles
+    // collapses update-mode multi-batch emissions by monotone max).
+    Q("q_stream_state_agg",
+      (s, dir) => {
+        val schema = T(s, dir, "events").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val profiles = StreamingOps.statefulUserAgg(src)
+        val drained = StreamingOps.runAvailableNow(
+          profiles, "q_stream_state_agg", outputMode = "update")
+        // last_ts compares at us precision: DuckDB reads TIMESTAMP(NANOS)
+        // truncated to its us-native TIMESTAMP, Spark keeps the full ns
+        StreamingOps.latestProfiles(drained)
+          .select(col("user_id"), col("n_events"), col("n_purchases"),
+            col("max_value"), expr("last_ts DIV 1000").as("last_ts_us"))
+      },
+      Some("""SELECT user_id, count(*)::BIGINT AS n_events,
+             |  count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS n_purchases,
+             |  max(value) AS max_value, max(epoch_us(ts))::BIGINT AS last_ts_us
+             |FROM events GROUP BY user_id""".stripMargin))
   )
 }

@@ -53,6 +53,52 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Per-key running profile carried by [[statefulUserAgg]]: every field is
+    * an order-independent accumulator (counts and maxes), so the profile is
+    * identical no matter how the stream batches or orders a user's rows. */
+  final case class UserProfile(n: Long, nPurchase: Long, maxValue: Double, lastTs: Long)
+
+  /** Arbitrary-custom-state streaming aggregation via
+    * `KeyValueGroupedDataset.mapGroupsWithState` — the API for state no
+    * built-in aggregate expresses (here a running per-user profile; the
+    * same skeleton carries decaying counters, ML feature state, fraud
+    * scores...). State is ONE fixed-size row per active key — bounded by
+    * key cardinality, not stream length — and every accumulator is
+    * order-independent, so emitted profiles are deterministic under any
+    * micro-batch split: each batch emits each touched key's CURRENT
+    * profile (update mode), and the final emission per key equals the
+    * batch aggregate. Callers reduce multi-batch drains with
+    * [[latestProfiles]] (monotone fields → max picks the final state). */
+  def statefulUserAgg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id").cast("long"), col("ts").cast("long"),
+      col("event_type").cast("string"), col("value").cast("double"))
+      .as[(Long, Long, String, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[UserProfile, (Long, Long, Long, Double, Long)](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        var s = state.getOption.getOrElse(UserProfile(0L, 0L, Double.NegativeInfinity, Long.MinValue))
+        rows.foreach { case (_, ts, et, v) =>
+          s = UserProfile(s.n + 1, s.nPurchase + (if (et == "purchase") 1L else 0L),
+            math.max(s.maxValue, v), math.max(s.lastTs, ts))
+        }
+        state.update(s)
+        (uid, s.n, s.nPurchase, s.maxValue, s.lastTs)
+      }
+      .toDF("user_id", "n_events", "n_purchases", "max_value", "last_ts")
+  }
+
+  /** Collapse an update-mode multi-batch drain of [[statefulUserAgg]] to
+    * each key's final profile: all fields are monotone non-decreasing, so
+    * per-key max IS the last emission. */
+  def latestProfiles(drained: DataFrame): DataFrame =
+    drained.groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_purchases").as("n_purchases"),
+        max("max_value").as("max_value"), max("last_ts").as("last_ts"))
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drains a streaming DataFrame with `Trigger.AvailableNow` into a memory

@@ -74,6 +74,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("dd").count() == 2)
     } finally q.stop()
   }
+
+  test("mapGroupsWithState profile survives a user split across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = StreamingOps.statefulUserAgg(df)
+      .writeStream.format("memory").queryName("sp").outputMode("update").start()
+    try {
+      // user 7's history arrives in TWO batches; state must carry across
+      mem.addData((7L, 100L, "click", 1.5), (7L, 200L, "purchase", 9.0))
+      q.processAllAvailable()
+      mem.addData((7L, 300L, "purchase", 4.0), (8L, 50L, "click", 2.0))
+      q.processAllAvailable()
+      val fin = StreamingOps.latestProfiles(spark.table("sp"))
+        .as[(Long, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+      assert(fin(7L) == ((7L, 3L, 2L, 9.0, 300L)))
+      assert(fin(8L) == ((8L, 1L, 0L, 2.0, 50L)))
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
