@@ -448,6 +448,28 @@ object Graft {
             dstCol: String, k: Int): org.apache.spark.sql.DataFrame =
     graft.operators.KCore(edges, srcCol, dstCol, k)
 
+  /** Deterministic negative sampling for contrastive training: k negatives
+    * per anchor with ids drawn by md5 parity over (anchor, j) — re-run-
+    * stable, engine-replayable, and collision-corrected away from the
+    * anchor itself. CONTRACT: ids must be dense 0..n-1 (the usual
+    * post-shuffle sequence id — compose with packShuffled / zipWithIndex
+    * layouts for arbitrary keys). Shape: stateless map + one equi-join on
+    * the sampled id — no cross join at any scale. Returns
+    * (anchor_id, j, neg_id). */
+  def negativeSamples(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col(idCol).cast("long").as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), explode(sequence(lit(0), lit(k - 1))).as("j"), col("n_docs"))
+      .withColumn("h", conv(substring(md5(concat(col("anchor_id").cast("string"),
+        lit("_"), col("j").cast("string"))), 1, 7), 16, 10).cast("long"))
+      .withColumn("neg0", col("h") % col("n_docs"))
+      .select(col("anchor_id"), col("j").cast("long").as("j"),
+        when(col("neg0") === col("anchor_id"), (col("neg0") + 1) % col("n_docs"))
+          .otherwise(col("neg0")).as("neg_id"))
+  }
+
   /** Winnowing fingerprints (the MOSS local-similarity scheme): per-window
     * minimum of char k-gram hashes, rightmost-min ties — any shared run of
     * >= k+w-1 chars guarantees a shared fingerprint. See

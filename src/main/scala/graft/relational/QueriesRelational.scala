@@ -480,6 +480,33 @@ object QueriesRelational {
              |  (SELECT p AS u FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
              |GROUP BY 1""".stripMargin)),
 
+    // Z-ORDER layout key (Morton interleave) over two filter dimensions —
+    // the space-filling-curve clustering that makes file-level min/max
+    // zone maps prune on BOTH columns of a 2-D range predicate. The key is
+    // pure exact integer arithmetic (bit i of x lands at 2^(2i), of y at
+    // 2^(2i+1)), row-local, zero shuffle; production use range-partitions
+    // by zval before the write (the shuffle a 1-column sort pays anyway).
+    // zbucket is the 4096-wide range a file would cover.
+    Q("q_zorder",
+      (s, dir) => {
+        val e = T(s, dir, "events")
+          .select(col("event_id"), (col("user_id") % 1024).as("x"),
+            (floor(col("value")).cast("long") % 1024).as("y"))
+        e.select(col("event_id"), col("x"), col("y"),
+            graft.functions.LayoutFunctions.zValue(col("x"), col("y"), bits = 10).as("zval"))
+          .withColumn("zbucket", expr("zval DIV 4096"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id % 1024 AS x,
+             |  floor(value)::BIGINT % 1024 AS y FROM events)
+             |SELECT event_id, x, y,
+             |  list_sum(list_transform(range(0, 10), i ->
+             |    ((x // (1 << i)) % 2) * (1 << (2 * i)) +
+             |    ((y // (1 << i)) % 2) * (1 << (2 * i + 1))))::BIGINT AS zval,
+             |  (list_sum(list_transform(range(0, 10), i ->
+             |    ((x // (1 << i)) % 2) * (1 << (2 * i)) +
+             |    ((y // (1 << i)) % 2) * (1 << (2 * i + 1))))::BIGINT // 4096) AS zbucket
+             |FROM e""".stripMargin)),
+
     // k-core of the co-activity graph (k=10): iterative peeling to the
     // maximal subgraph of min-degree 10 — the density filter that separates
     // clique-ish engagement cores from chain/pendant structure. The Spark

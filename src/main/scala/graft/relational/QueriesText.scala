@@ -1620,6 +1620,31 @@ object QueriesText {
              |  md5(array_to_string(qv, ',')) AS q_md5
              |FROM q""".stripMargin)),
 
+    // Deterministic NEGATIVE SAMPLING (contrastive-pair mining): 3
+    // negatives per anchor doc, ids drawn from md5(anchor_j) mod n with a
+    // +1 collision bump off the anchor — re-run-stable, no RNG state, and
+    // the sampled ids join back for the negative's metadata through a
+    // plain equi-join (never a cross join). Relies on the documents
+    // table's dense 0..n-1 ids (the facade documents the contract).
+    Q("q_negative_samples",
+      (s, dir) => {
+        val negs = graft.api.Graft.negativeSamples(
+          T(s, dir, "documents"), "doc_id", k = 3)
+        negs.join(T(s, dir, "documents").select(col("doc_id").as("neg_id"),
+            col("source").as("neg_source")), Seq("neg_id"))
+          .select(col("anchor_id"), col("j"), col("neg_id"), col("neg_source"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+             |c AS (SELECT d.doc_id AS anchor_id, j, n_docs,
+             |  ('0x' || substr(md5(d.doc_id::VARCHAR || '_' || j::VARCHAR), 1, 7))::BIGINT
+             |    % n_docs AS neg0
+             |  FROM documents d, n, unnest(range(0, 3)) u(j)),
+             |sm AS (SELECT anchor_id, j::BIGINT AS j,
+             |  CASE WHEN neg0 = anchor_id THEN (neg0 + 1) % n_docs ELSE neg0 END AS neg_id
+             |  FROM c)
+             |SELECT sm.anchor_id, sm.j, sm.neg_id, d.source AS neg_source
+             |FROM sm JOIN documents d ON d.doc_id = sm.neg_id""".stripMargin)),
+
     // Signed random projection (Johnson–Lindenstrauss / Achlioptas ±1
     // family): the 64-dim embedding, int8-quantized and centered exactly as
     // q_embed_quantize, projects to 8 dims through a DETERMINISTIC ±1 sign

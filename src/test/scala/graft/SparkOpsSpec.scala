@@ -351,6 +351,32 @@ class KCoreSpec extends AnyFunSuite {
   }
 }
 
+class ZValueSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private def z(x: Long, y: Long, bits: Int = 10): Long =
+    Seq((x, y)).toDF("x", "y")
+      .select(graft.functions.LayoutFunctions.zValue(col("x"), col("y"), bits).as("z"))
+      .as[Long].head()
+
+  test("interleaves bits: x on even, y on odd positions") {
+    assert(z(0L, 0L) == 0L)
+    assert(z(3L, 0L) == 5L)        // 0b11 -> 0b0101
+    assert(z(0L, 3L) == 10L)       // 0b11 -> 0b1010
+    assert(z(5L, 3L) == 27L)       // x=0b101->0b010001, y=0b011->0b001010
+    assert(z(1023L, 1023L) == (1L << 20) - 1)
+  }
+
+  test("z-locality: nearby points share high-order bucket bits") {
+    // all 4 points of a 2x2 cell aligned at even coords land in one
+    // 4-wide z-range — the property zone-map pruning relies on
+    val cell = for (dx <- 0L to 1L; dy <- 0L to 1L) yield z(8L + dx, 4L + dy) / 4
+    assert(cell.distinct.size == 1)
+  }
+}
+
 class SparseSimJoinSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
   import spark.implicits._
