@@ -1816,6 +1816,85 @@ object QueriesText {
              |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored)
              |SELECT doc_id, score, rank FROM ranked WHERE rank <= 20""".stripMargin)),
 
+    // RECIPROCAL RANK FUSION (Cormack et al. 2009): the standard
+    // score-free combiner for hybrid retrieval — here fusing the BM25
+    // ranking (q_bm25's exact pipeline) with a raw term-frequency ranking
+    // of the same query, rrf = sum over lists of 1/(60 + rank). Ranks are
+    // exact integers from deterministic (rounded score, doc_id) orderings,
+    // so the fusion adds two IEEE divisions per doc — engine-stable.
+    // Scale shape: fusion always runs over top-k LISTS (k·#lists rows),
+    // never corpora; both inputs end in a TakeOrdered.
+    Q("q_rrf_fusion",
+      (s, dir) => {
+        val toks = docTokens(s, dir)
+        val qterms = Seq("join", "hash", "scan")
+        // list A: BM25 (identical pipeline to q_bm25)
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+        val tf = toks.where(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+        val idf = log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0)
+        val contrib = idf * (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        val termCol = (t: String) =>
+          coalesce(sum(when(col("term") === t, col("c"))), lit(0.0))
+        val bm = tf.join(broadcast(dfc), "term").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("term"), contrib.as("c"))
+          .groupBy("doc_id")
+          .agg(termCol("join").as("cj"), termCol("hash").as("ch"), termCol("scan").as("cs"))
+          .select(col("doc_id"), round(col("cj") + col("ch") + col("cs"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .withColumn("ra", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("ra"))
+        // list B: raw query-term frequency
+        val tfr = tf.groupBy("doc_id").agg(sum(col("tf")).as("qtf"))
+          .orderBy(col("qtf").desc, col("doc_id")).limit(20)
+          .withColumn("rb", row_number().over(Window.orderBy(col("qtf").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rb"))
+        bm.join(tfr, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(coalesce(lit(1.0) / (lit(60.0) + col("ra")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)), 6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .withColumn("rank", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT sum(dl)::BIGINT AS sum_dl, count(*) AS n_docs FROM dl),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             |  WHERE term IN ('join', 'hash', 'scan') GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |per AS (SELECT t.doc_id, t.term,
+             |  ln((n_docs::DOUBLE - d.df::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5) + 1.0) *
+             |  (t.tf::DOUBLE * 2.2) /
+             |  (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (l.dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))) AS c
+             |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id), stats),
+             |scored AS (SELECT doc_id,
+             |  round(coalesce(sum(CASE WHEN term = 'join' THEN c END), 0.0)
+             |      + coalesce(sum(CASE WHEN term = 'hash' THEN c END), 0.0)
+             |      + coalesce(sum(CASE WHEN term = 'scan' THEN c END), 0.0), 6) AS score
+             |  FROM per GROUP BY doc_id),
+             |ra AS (SELECT doc_id, rank FROM (SELECT doc_id, score,
+             |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored)
+             |  WHERE rank <= 20),
+             |qt AS (SELECT doc_id, sum(tf) AS qtf FROM tf GROUP BY 1),
+             |rb AS (SELECT doc_id, rank FROM (SELECT doc_id, qtf,
+             |  row_number() OVER (ORDER BY qtf DESC, doc_id) AS rank FROM qt)
+             |  WHERE rank <= 20),
+             |fused AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             |  round(coalesce(1.0 / (60.0 + ra.rank), 0.0)
+             |      + coalesce(1.0 / (60.0 + rb.rank), 0.0), 6) AS rrf
+             |  FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id)
+             |SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+             |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
     // ---- corpus-level n-gram dedup, decontamination, repetition, mixing ----
 
     // duplicated word-5-gram inventory: the distributable shape of exact
