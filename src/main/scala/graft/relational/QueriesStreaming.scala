@@ -256,6 +256,38 @@ object QueriesStreaming {
              |  round(0.673::DOUBLE * 256 / (ssum + (16 - nb)::DOUBLE), 4) AS hll_est
              |FROM a""".stripMargin)),
 
+    // Streaming COUNT-MIN sketch: the frequency twin of q_stream_hll's
+    // bounded-state story — the counter grid is a streaming groupBy(row,
+    // col) count whose state is AT MOST depth*width rows (1024 here) no
+    // matter how long the stream runs, and counters merge by sum, so the
+    // same plan scales to an unbounded source. The drain finalizes
+    // point-queries over the drained grid in batch; estimates carry CMS's
+    // one-sided error, reproduced exactly by the oracle.
+    Q("q_stream_cms",
+      (s, dir) => {
+        val schema = T(s, dir, "documents").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val toks = src.select(explode(
+          filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+        val sketch = graft.functions.SketchFunctions.cmsBuild(toks, col("term"), 4, 256)
+        val drained = StreamingOps.runAvailableNow(sketch, "q_stream_cms")
+        graft.functions.SketchFunctions.cmsEstimate(
+          drained, Seq("join", "hash", "scan", "vector"), 4, 256)
+      },
+      Some("""WITH toks AS (SELECT
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+             |cells AS (SELECT i,
+             |  ('0x'||substr(md5(i::VARCHAR || '|' || term), 1, 4))::BIGINT % 256 AS c,
+             |  count(*) AS cnt FROM toks, rows_ GROUP BY 1, 2),
+             |probes AS (SELECT t AS term, i,
+             |  ('0x'||substr(md5(i::VARCHAR || '|' || t), 1, 4))::BIGINT % 256 AS c
+             |  FROM (SELECT unnest(['join', 'hash', 'scan', 'vector']) AS t), rows_)
+             |SELECT term, min(coalesce(cnt, 0)) AS est
+             |FROM probes LEFT JOIN cells USING (i, c) GROUP BY term""".stripMargin)),
+
     // ARBITRARY custom state via mapGroupsWithState: a running per-user
     // profile (event count, purchase count, max value, last ts) no single
     // built-in aggregate expresses — the API surface for decaying
