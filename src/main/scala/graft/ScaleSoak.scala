@@ -212,7 +212,7 @@ object ScaleSoak {
         maxDf = 8, minCosine = 0.05).count()
     }
 
-    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev0 = graft.relational.T.normTs(spark.read.parquet(s"$sfDir/events.parquet"))
       .select(col("user_id").cast("long").as("user_id"), col("ts"), col("value"))
     ev0.persist().count()
     def events(n: Int): DataFrame =

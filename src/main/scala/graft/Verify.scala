@@ -14,20 +14,45 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as ns-since-epoch longs
+      // Compatibility shim for NANOS-era testdata only: surfaces
+      // TIMESTAMP(NANOS) parquet as ns-longs. The current testdata writes
+      // TIMESTAMP(MICROS); T.normTs handles that era, so nothing relies on
+      // this conf — it just keeps both encodings readable.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must STILL surface in the driver's artifact — a
+    // gate you can silently fall out of is not a gate. On failure we write a
+    // one-row sentinel frame (schema/hash can never match an oracle, so the
+    // query shows up as a loud FAIL row instead of vanishing from the
+    // correctness file) plus an err sidecar with the real message.
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // a rerun into the same outDir must not leave a stale marker
+          Files.deleteIfExists(Paths.get(s"$outDir/$name.err.txt"))
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed += name
+          try {
+            import spark.implicits._
+            Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+              .toDF("__verify_error")
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+            Files.writeString(Paths.get(s"$outDir/$name.err.txt"),
+              s"$name\n${e}\n")
+          } catch { case _: Throwable => () }
         }
       }
     }
+    if (failed.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+        failed.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    else Files.deleteIfExists(Paths.get(s"$outDir/verify_errors.json"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

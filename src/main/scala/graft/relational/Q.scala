@@ -13,8 +13,39 @@ final case class Q(name: String,
                    oracle: Option[String])
 
 object T {
+  import org.apache.spark.sql.functions.{col, expr, unix_micros}
+  import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+  /** Schema-robust ns-epoch normalization. The driver's `events.ts` has
+    * shipped both as TIMESTAMP(NANOS) (which the nanosAsLong conf surfaces
+    * as an ns-since-epoch long) and as timestamp[us] parquet (which arrives
+    * as TIMESTAMP_NTZ, or TIMESTAMP if the file says adjusted-to-UTC).
+    * Every declared query does integer ns arithmetic on `ts`, so normalize
+    * at the read to ns-since-epoch long; LongType passes through. The NTZ
+    * branch uses `timestampdiff` from the epoch so the value is independent
+    * of the session timezone. The DuckDB oracles' `epoch_ns(ts)` matches
+    * every encoding.
+    */
+  def normTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000L)
+      case _ => df
+    }
+
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    normTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  /** Raw on-disk schema for streaming sources — `readStream.schema(...)`
+    * must declare the file schema exactly as written (declaring the
+    * normalized long would misread a TIMESTAMP file); apply [[normTs]] to
+    * the stream DataFrame instead.
+    */
+  def rawSchema(s: SparkSession, dir: String, name: String) =
+    s.read.parquet(s"$dir/$name.parquet").schema
 }
 
 /** Memoized, persisted shared derived inputs. The declared-query suite

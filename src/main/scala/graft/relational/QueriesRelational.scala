@@ -212,7 +212,7 @@ object QueriesRelational {
 
     Q("q_sessionize",
       (s, dir) => {
-        // ts is read as ns-since-epoch long (nanosAsLong)
+        // ts normalizes to ns-since-epoch long (T.normTs)
         val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
         T(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("ts").as("t"))
@@ -626,7 +626,7 @@ object QueriesRelational {
 
     Q("q_asof_join",
       (s, dir) => AsOfJoin(
-          // ts arrives as ns-long (nanosAsLong); values are us-aligned
+          // ts arrives as ns-long (T.normTs); values are us-aligned
           T(s, dir, "events").withColumn("ts_t",
             timestamp_micros((col("ts") / 1000).cast("long"))),
           T(s, dir, "orders"),

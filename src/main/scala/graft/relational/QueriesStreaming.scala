@@ -21,12 +21,13 @@ object QueriesStreaming {
 
     // Tumbling 1-hour windowed counts + value rollup per event type, as a
     // real streaming aggregation (complete mode: every window emitted).
-    // ts is ns-since-epoch long (nanosAsLong); us-aligned by construction.
+    // ts normalizes to ns-since-epoch long (T.normTs); us-aligned by
+    // construction.
     Q("q_stream_window",
       (s, dir) => {
-        val schema = T(s, dir, "events").schema
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val schema = T.rawSchema(s, dir, "events")
+        val src = T.normTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
         val agg = src
           .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
           .withWatermark("tsc", "1 hour")
@@ -50,9 +51,9 @@ object QueriesStreaming {
     // replays the interval condition on the ns epochs.
     Q("q_stream_join",
       (s, dir) => {
-        val schema = T(s, dir, "events").schema
-        def src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val schema = T.rawSchema(s, dir, "events")
+        def src = T.normTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
           .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
         val a = src.where(col("event_type") === "click")
           .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
@@ -78,7 +79,7 @@ object QueriesStreaming {
     // form of q_dedup_exact — state is the distinct-hash set).
     Q("q_stream_dedup",
       (s, dir) => {
-        val schema = T(s, dir, "documents").schema
+        val schema = T.rawSchema(s, dir, "documents")
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
         val agg = src
@@ -98,7 +99,7 @@ object QueriesStreaming {
     // Composition of the streaming surface with the LSH surface.
     Q("q_stream_lsh_dedup",
       (s, dir) => {
-        val schema = T(s, dir, "documents").schema
+        val schema = T.rawSchema(s, dir, "documents")
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
         val agg = src
@@ -125,9 +126,9 @@ object QueriesStreaming {
     // previous event is >= the 30-minute gap (end is exclusive).
     Q("q_stream_session",
       (s, dir) => {
-        val schema = T(s, dir, "events").schema
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val schema = T.rawSchema(s, dir, "events")
+        val src = T.normTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
         val agg = src
           .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
           .withWatermark("tsc", "0 seconds")
@@ -155,7 +156,7 @@ object QueriesStreaming {
     Q("q_stream_quality",
       (s, dir) => {
         import graft.functions.TextFunctions.{tokenCount, stopwordRatio}
-        val schema = T(s, dir, "documents").schema
+        val schema = T.rawSchema(s, dir, "documents")
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
         val agg = src
@@ -185,7 +186,7 @@ object QueriesStreaming {
     Q("q_stream_decontaminate",
       (s, dir) => {
         import graft.functions.TextFunctions.{tokens, wordGrams}
-        val schema = T(s, dir, "documents").schema
+        val schema = T.rawSchema(s, dir, "documents")
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
         // the static side materializes ONCE before the stream starts —
@@ -234,9 +235,9 @@ object QueriesStreaming {
     // with the sketch surface; oracle = the q_hll_distinct math on events.
     Q("q_stream_hll",
       (s, dir) => {
-        val schema = T(s, dir, "events").schema
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val schema = T.rawSchema(s, dir, "events")
+        val src = T.normTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
         val regs = graft.functions.SketchFunctions.hllRegisters(
           src, col("user_id"), Seq(col("event_type")))
         val drained = StreamingOps.runAvailableNow(regs, "q_stream_hll")
@@ -265,7 +266,7 @@ object QueriesStreaming {
     // one-sided error, reproduced exactly by the oracle.
     Q("q_stream_cms",
       (s, dir) => {
-        val schema = T(s, dir, "documents").schema
+        val schema = T.rawSchema(s, dir, "documents")
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
         val toks = src.select(explode(
@@ -298,9 +299,9 @@ object QueriesStreaming {
     // collapses update-mode multi-batch emissions by monotone max).
     Q("q_stream_state_agg",
       (s, dir) => {
-        val schema = T(s, dir, "events").schema
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val schema = T.rawSchema(s, dir, "events")
+        val src = T.normTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
         val profiles = StreamingOps.statefulUserAgg(src)
         val drained = StreamingOps.runAvailableNow(
           profiles, "q_stream_state_agg", outputMode = "update")

