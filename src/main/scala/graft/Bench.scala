@@ -152,6 +152,11 @@ object Bench {
       effCores = p._1; singleRate = p._2; aggRate = p._3
       waits += 1
     }
+    // per-section honesty (r6 verdict item 8): a probe that was quiet at
+    // the section start says nothing about minute 3 — re-probe AFTER the
+    // op benches and record both, so a round-over-round kernel-rate delta
+    // can be read against the load the section actually ran under.
+    var effCoresPost = effCores
 
     val c24 = 1 << 24 // BASELINE zoom/pointwise/interp1d workload: 2^24 f64 cells
     val slices256 = slices(256, 65536) // 256 slices of 256x256
@@ -210,6 +215,10 @@ object Bench {
     bench("center_of_mass_sql", v512.toDouble, Some(comDf)) {
       graft.api.Graft.centerOfMass(comDf, "id", "data", 512, 512)
     }
+    // the facade's 1 GiB MEMORY_ONLY mirror outlives comDf's unpersist and
+    // was measured costing the NEXT bench 1.7× (r6's pointwise_add
+    // regression: 0.091 s → 0.155 s under the stale mirror's heap)
+    graft.api.Graft.releaseVolumeMirrors()
     bench("pointwise_add", c24, Some(slices256)) {
       slices256
         .select(transform(col("data"), x => x + lit(1.0)).as("d"))
@@ -310,6 +319,8 @@ object Bench {
         .toDF().agg(count(lit(1))).collect()
     }
 
+    effCoresPost = effectiveCores(cpus.toInt)._1
+
     // Locale.ROOT formatting: the line is parsed as JSON by the driver, and
     // f"%.4f" under a comma-decimal default locale would emit "0,1234"
     def fmt4(v: Double): String =
@@ -324,16 +335,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = fmt4(results.map(_._2).sum)
     // agg_rate in iters/µs: the frequency-honest all-core throughput probe
-    val eff = s""""eff_cores":${fmt4(effCores)},"conf_cores":$cpus,"quiet_waits":$waits,""" +
+    val eff = s""""eff_cores":${fmt4(effCores)},"eff_cores_post":${fmt4(effCoresPost)},""" +
+      s""""conf_cores":$cpus,"quiet_waits":$waits,""" +
       s""""agg_rate":${fmt4(aggRate * 1000)},"single_rate":${fmt4(singleRate * 1000)}"""
     // the scale-soak record (graft.ScaleSoak: 1×/10×/30× wall + shuffle
     // bytes for the LSH/pack/halo pipelines) rides along in the full
     // artifact when present — it is run per-round by hand, not per-bench
     val soak = {
-      val p = java.nio.file.Paths.get("SOAK_r6.json")
-      if (java.nio.file.Files.exists(p))
-        "," + "\"soak\":" + new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-      else ""
+      val p = Seq("SOAK_r7.json", "SOAK_r6.json")
+        .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
+      p.map(f => "," + "\"soak\":" +
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim).getOrElse("")
     }
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$opsJson,$eff,"sf":"$sfDir"$soak}"""

@@ -25,9 +25,20 @@ object ScaleSoak {
   final class ShuffleListener extends SparkListener {
     val read = new java.util.concurrent.atomic.AtomicLong
     val write = new java.util.concurrent.atomic.AtomicLong
+    // GC time and spill separate "plan went quadratic" from "heap went
+    // tight": a linear-shuffle run whose time tail is superlinear with
+    // rising gc_ms is memory pressure, not a plan defect (the r6
+    // volume_zoom3d question).
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      read.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
-      write.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      val m = sc.stageInfo.taskMetrics
+      read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      gcMs.addAndGet(m.jvmGCTime)
+      spillMem.addAndGet(m.memoryBytesSpilled)
+      spillDisk.addAndGet(m.diskBytesSpilled)
     }
   }
 
@@ -61,7 +72,7 @@ object ScaleSoak {
           array_join(transform(split(col("text"), " "),
             t => concat(t, lit("_"), col("copy"))), " ").as("text"))
 
-    def timed(f: => Long): (Double, Long, Long, Long) = {
+    def timed(f: => Long): (Double, Long, Long, Long, Long, Long) = {
       val l = new ShuffleListener
       spark.sparkContext.addSparkListener(l)
       val t0 = System.nanoTime()
@@ -77,7 +88,8 @@ object ScaleSoak {
         tries += 1
       }
       spark.sparkContext.removeSparkListener(l)
-      (sec, l.read.get, l.write.get, rows)
+      (sec, l.read.get, l.write.get, rows, l.gcMs.get,
+        l.spillMem.get + l.spillDisk.get)
     }
 
     def lshRun(n: Int): Long = {
@@ -158,20 +170,23 @@ object ScaleSoak {
               (x * (lit(1) - lit(2) * pmod(hash(col("copy"), i), lit(2)))).cast("float")))
             .as("embedding"))
 
-    /** SemDeDup at scale: quantizer granularity grows as k ∝ √N (the
-      * deployment convention that balances the O(N·k) assignment term
-      * against the O(N²/k) per-cell pair term — both land at n^1.5).
-      * Expected tail_time_ratio ≈ 3^1.5 ≈ 5.2; an all-pairs regression
-      * would read ≈ 9. The tail_shuffle_ratio crosses a plan transition
-      * here: ×10 is 20k vertices (GraphCC's ≤50k single-task union-find,
-      * near-zero shuffle), ×30 is 60k (the distributed pointer-doubling
-      * fixpoint) — absolute bytes stay two orders under the stencil
-      * pipelines'. */
+    /** SemDeDup at scale: quantizer granularity grows k ∝ N — constant
+      * expected cell width (~100 here), the deployment rule for this op:
+      * cluster COUNT rides corpus size so the per-cell O(B²) pair term
+      * stays constant per cell and total pairs grow ∝ N. (The previous
+      * k ∝ √N shape put pairs at n^1.5 and measured a 14.8× shuffle tail
+      * at ×3 data — the round-6 scale-killer.) `cellCap` is the hard
+      * guard against skewed cells when the quantizer under-fits; dropped
+      * cells are counted and printed, never silent. */
     def semdedupRun(n: Int): Long = {
       val v = vecs(n)
-      val stride = 100L * math.max(1, math.sqrt(n.toDouble).toInt)
+      val cen = v.where(col("vec_id") % 100 === 0)
+      val dropped = graft.functions.SimilarityFunctions
+        .semDedupDroppedCells(v, cen, cellCap = 256).count()
+      if (dropped > 0)
+        println(s"""{"semdedup_dropped_cells": $dropped, "scale": $n}""")
       graft.functions.SimilarityFunctions.semDedup(
-        v, v.where(col("vec_id") % stride === 0), tau = 0.3).count()
+        v, cen, tau = 0.3, cellCap = 256).count()
     }
 
     /** k-means at scale: k FIXED (a deployment constant as the corpus
@@ -230,9 +245,6 @@ object ScaleSoak {
       graft.api.Graft.gapFill(events(n), "user_id", "ts", "value",
         3600L * 1000000000L).where(col("filled_value").isNotNull).count()
 
-    // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
-    lshRun(1); packRun(1); erodeRun(1); zoomRun(1); semdedupRun(1); kmeansRun(1)
-    spanRun(1); gapRun(1); sparseRun(1)
 
     // three scale points: 1× → 10× may cross a plan transition (e.g. a
     // build side outgrowing the broadcast threshold, switching the banded
@@ -242,25 +254,33 @@ object ScaleSoak {
     val out = new StringBuilder
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val scales = Seq(1, 10, 30)
+    // SPARK_GRAFT_SOAK_ONLY=name1,name2 runs a subset (local iteration on
+    // one pipeline without paying for the other eight)
+    val onlySoak = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val pipelines = Seq[(String, Int => Long)](
       ("lsh_dedup", lshRun), ("pack_sequences", packRun), ("tiled_erosion3d", erodeRun),
       ("volume_zoom3d", zoomRun), ("semdedup", semdedupRun), ("kmeans_train", kmeansRun),
       ("remove_dup_spans", spanRun), ("gap_fill", gapRun),
       ("sparse_cosine", sparseRun))
+      .filter { case (name, _) => onlySoak.isEmpty || onlySoak(name) }
+    // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
+    pipelines.foreach { case (_, run) => run(1) }
     val parts = pipelines.map { case (name, run) =>
       val pts = scales.map { n => n -> timed(run(n)) }
-      val ptJson = pts.map { case (n, (sec, r, w, rows)) =>
-        s""""x$n":{"sec":${fmt(sec)},"shuffle_read":$r,"shuffle_write":$w,"rows":$rows}"""
+      val ptJson = pts.map { case (n, (sec, r, w, rows, gc, spill)) =>
+        s""""x$n":{"sec":${fmt(sec)},"shuffle_read":$r,"shuffle_write":$w,"rows":$rows,"gc_ms":$gc,"spill_bytes":$spill}"""
       }
-      val (_, (sA, rA, wA, _)) = pts(1)
-      val (_, (sB, rB, wB, _)) = pts(2)
+      val (_, (sA, rA, wA, _, _, _)) = pts(1)
+      val (_, (sB, rB, wB, _, _, _)) = pts(2)
       val tail =
         s""""tail_time_ratio":${fmt(sB / sA)},"tail_shuffle_ratio":${fmt((rB + wB).toDouble / math.max(1L, rA + wA))}"""
       s""""$name":{${(ptJson :+ tail).mkString(",")}}"""
     }
     out ++= s"""{"sf":"$sfDir","scales":[1,10,30],"cores":$cpus,${parts.mkString(",")}}"""
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r6.json"),
+      val soakOut = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r7.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(soakOut),
         (out.toString + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(out.toString)

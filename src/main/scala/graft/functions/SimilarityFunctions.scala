@@ -148,11 +148,16 @@ object SimilarityFunctions {
     var out: DataFrame = v.sparkSession.emptyDataFrame
     for (it <- 1 to iters) {
       val cenDf = cen.toSeq.sortBy(_._1).toDF("cid", "cemb")
-      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      // sortless argmax (see semDedup): struct-max hash agg with map-side
+      // combine replaces the row_number window's per-partition sort;
+      // max(ccos) then min(cid) on rounded-cosine ties, same rule.
       val asn = v.crossJoin(broadcast(cenDf))
         .withColumn("ccos", round(cosine(col("ce"), col("cemb")), 6))
-        .withColumn("cr", row_number().over(aw)).where(col("cr") === 1)
-        .select(col("vec_id"), col("ce"), col("cid"), col("ccos"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
+          col("cid"), col("ce"))).as("b"))
+        .select(col("vec_id"), col("b.ce").as("ce"),
+          col("b.cid").as("cid"), col("b.ccos").as("ccos"))
       out = asn.select(col("vec_id"), col("cid").as("cell"), col("ccos"))
       if (it < iters) {
         val refit = asn
@@ -181,25 +186,51 @@ object SimilarityFunctions {
     * granularity, never corpus-wide all-pairs — and components run through
     * GraphCC's partitioned min-label fixpoint. Cosines round to 6 places
     * before every comparison so assignment, edges, and the keep ordering
-    * are engine-deterministic. Returns (vec_id, cell, cluster, keep). */
+    * are engine-deterministic. Returns (vec_id, cell, cluster, keep).
+    *
+    * `cellCap` hard-bounds the quadratic: cells wider than it are EXCLUDED
+    * from pair generation (their members come back as singleton clusters,
+    * keep = true) — the [[graft.operators.LshBlocking.cappedBands]] rule.
+    * Without it a quantizer whose cell count doesn't scale with the corpus
+    * turns the per-cell self-join quadratic (the x30 scale soak measured a
+    * 14.8× shuffle tail for 3× data before the cap). The cap is explicit,
+    * deterministic semantics — replayable by the oracle — and the dropped
+    * cells are reportable via [[semDedupDroppedCells]] (no silent caps);
+    * size the quantizer so expected cell width stays under it. */
   def semDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
-               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", embCol: String = "embedding",
+               cellCap: Int = 2048): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     val cen = centroids.select(col(idCol).as("cid"), col(embCol).as("cemb"))
     val scoredAsn = corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
       .crossJoin(broadcast(cen))
       .withColumn("ccos", round(cosine(col("ce"), col("cemb")), 6))
-    val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     // the assignment feeds BOTH self-join sides, the component vertex set,
     // and the final label join — cache it or the corpus × centroid
     // cross-join re-executes four times (an 8× shuffle tail in the scale
-    // soak before this)
-    val cells = scoredAsn.withColumn("cr", row_number().over(aw)).where(col("cr") === 1)
-      .select(col("vec_id"), col("ce"), col("cid"), col("ccos"))
+    // soak before this).
+    // argmax as a SORTLESS struct-max aggregation, not a row_number
+    // window: the window sorts every map partition's N·k scored rows
+    // (9.4 GB spill at the x30 soak), while hash-agg partial combine
+    // reduces each partition to one row per vec before any shuffle.
+    // max(struct(ccos, -cid, …)) replays the window's exact tie rule:
+    // max ccos first, min cid on rounded-cosine ties.
+    val cells = scoredAsn
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
+        col("cid"), col("ce"))).as("b"))
+      .select(col("vec_id"), col("b.ce").as("ce"),
+        col("b.cid").as("cid"), col("b.ccos").as("ccos"))
       .cache()
-    val a = cells.select(col("cid"), col("vec_id").as("id1"), col("ce").as("ea"))
-    val b = cells.select(col("cid"), col("vec_id").as("id2"), col("ce").as("eb"))
+    // one tiny agg shuffle buys the hard per-cell bound on the self-join;
+    // members of over-cap cells stay in the vertex set (→ singletons)
+    val joinable = cells.join(
+      cells.groupBy("cid").agg(count(lit(1)).as("cell_n"))
+        .where(col("cell_n") <= cellCap).select("cid"),
+      Seq("cid"), "left_semi")
+    val a = joinable.select(col("cid"), col("vec_id").as("id1"), col("ce").as("ea"))
+    val b = joinable.select(col("cid"), col("vec_id").as("id2"), col("ce").as("eb"))
     val edges = a.join(b, Seq("cid")).where(col("id1") < col("id2"))
       .where(round(cosine(col("ea"), col("eb")), 6) >= tau)
       .select(col("id1"), col("id2"))
@@ -211,5 +242,22 @@ object SimilarityFunctions {
       .withColumn("rn", row_number().over(keepW))
       .select(col("vec_id"), col("cid").as("cell"), col("cluster"),
         (col("rn") === 1).as("keep"))
+  }
+
+  /** The cells a given `cellCap` would exclude from [[semDedup]]'s pair
+    * generation, with their widths — count or collect this and log it next
+    * to the capped run (no silent caps). Mirrors
+    * [[graft.operators.LshBlocking.droppedBuckets]]. */
+  def semDedupDroppedCells(corpus: DataFrame, centroids: DataFrame,
+                           cellCap: Int, idCol: String = "vec_id",
+                           embCol: String = "embedding"): DataFrame = {
+    val cen = centroids.select(col(idCol).as("cid"), col(embCol).as("cemb"))
+    corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
+      .crossJoin(broadcast(cen))
+      .withColumn("ccos", round(cosine(col("ce"), col("cemb")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"), col("cid"))).as("b"))
+      .groupBy(col("b.cid").as("cid")).agg(count(lit(1)).as("cell_n"))
+      .where(col("cell_n") > cellCap)
   }
 }

@@ -248,12 +248,20 @@ object TextFunctions {
     val tgtTot = tgtTf.agg(sum(col("tf")).as("ttot"))
     val voc = rawCnt.agg(count(lit(1)).as("vocab"))
     val stats = rawCnt.join(tgtCnt, Seq(termCol), "left").na.fill(0L, Seq("tcnt"))
+    // Each per-term log-ratio quantizes to 1e-6 BEFORE the per-doc sum, and
+    // the tf-weighted accumulation runs in exact integer arithmetic: FP
+    // aggregation merge order is scheduler-dependent (partition order flips
+    // last digits at the round(…,4) boundary vs a serial oracle), while an
+    // integer sum is order-independent on any engine. 1e-6 per-term
+    // granularity is far below the 1e-4 reporting precision.
+    val ratio =
+      log((col("tcnt") + 1).cast("double") / (col("ttot") + col("vocab")).cast("double")) -
+      log((col("rcnt") + 1).cast("double") / (col("rtot") + col("vocab")).cast("double"))
+    val qRatio = floor(ratio * lit(1e6) + lit(0.5)).cast("long")
     tf.join(broadcast(stats), termCol)
       .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot)).crossJoin(broadcast(voc))
       .groupBy(col(docIdCol))
-      .agg((sum(col("tf").cast("double") *
-          (log((col("tcnt") + 1).cast("double") / (col("ttot") + col("vocab")).cast("double")) -
-           log((col("rcnt") + 1).cast("double") / (col("rtot") + col("vocab")).cast("double")))) /
+      .agg(((sum(col("tf") * qRatio).cast("double") / lit(1e6)) /
         sum(col("tf")).cast("double")).as("dsir_logratio"))
   }
 

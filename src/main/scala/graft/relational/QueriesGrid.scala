@@ -778,6 +778,36 @@ object QueriesGrid {
               |FROM m3 g JOIN m3 z ON z.v = 0
               |GROUP BY g.i, g.j, g.k, g.v""".stripMargin)),
 
+    // 3-D EDT feature transform (`return_indices`,
+    // /root/reference/imops/morphology.py:499-501): per voxel the nearest
+    // background voxel, as (fi, fj, fk) from the kernel's flat index. The
+    // oracle recomputes the argmin zero per voxel; ties resolve to the
+    // lexicographically smallest (k, j, i) — the rank-3 extension of the
+    // q_edt2d_indices envelope rule (last axis processed wins first).
+    Q("q_edt3d_indices",
+      (s, dir) => {
+        val t3 = mask3(s, dir)
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("j"), col("k"), col("v")))),
+            x => x.getField("v") === 1).as("data"))
+        t3.select(edtFeatureUdf(col("data"), array(lit(8), lit(8), lit(8)),
+            array(lit(1.0), lit(1.0), lit(1.0))).as("ft"))
+          .select(posexplode(col("ft")).as(Seq("pos", "out")))
+          .select((col("pos") / 64).cast("long").as("i"),
+            ((col("pos") / 8).cast("int") % 8).cast("long").as("j"),
+            (col("pos") % 8).cast("long").as("k"),
+            (col("out") / 64).cast("long").as("fi"),
+            ((col("out") / 8).cast("int") % 8).cast("long").as("fj"),
+            (col("out") % 8).cast("long").as("fk"))
+      },
+      Some(s"""WITH $value3GridCte, $mask3Cte,
+              |z AS (SELECT i, j, k FROM m3 WHERE v = 0),
+              |nn AS (SELECT g.i, g.j, g.k, z.i AS fi, z.j AS fj, z.k AS fk,
+              |  row_number() OVER (PARTITION BY g.i, g.j, g.k
+              |  ORDER BY (g.i - z.i)*(g.i - z.i) + (g.j - z.j)*(g.j - z.j)
+              |    + (g.k - z.k)*(g.k - z.k), z.k, z.j, z.i) AS rn
+              |FROM m3 g CROSS JOIN z)
+              |SELECT i, j, k, fi, fj, fk FROM nn WHERE rn = 1""".stripMargin)),
+
     // convex_hull_image vs a from-scratch relational hull: candidate points
     // are the per-row bound pixels offset by +-0.5 (doubled to stay integer,
     // so every cross product below is exact); a directed pair (a,b) is a CCW

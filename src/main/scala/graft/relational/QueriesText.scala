@@ -1009,6 +1009,61 @@ object QueriesText {
            |SELECT vec_id, cell, cluster, rn = 1 AS keep FROM r""".stripMargin
       }),
 
+    // The semDedup cellCap BOUND, oracle-asserted (the q_lsh_bucket_cap
+    // pattern): with cap=100 at gate scale two of five cells exceed the cap
+    // and are excluded from pair generation — their members must come back
+    // as cell_n singleton clusters, all kept, while under-cap cells replay
+    // the full edge/component/keep pipeline. This is the knob that keeps
+    // the per-cell self-join's O(B²) from going quadratic when the corpus
+    // outgrows a fixed quantizer (the x30 soak's 14.8× shuffle tail).
+    Q("q_semdedup_cap",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val cen = e.where(col("vec_id") % 100 === 0)
+        val r = graft.functions.SimilarityFunctions.semDedup(
+          e, cen, tau = 0.3, cellCap = 100)
+        val dropped = graft.functions.SimilarityFunctions
+          .semDedupDroppedCells(e, cen, cellCap = 100)
+        r.groupBy("cell").agg(count(lit(1)).as("cell_n"),
+            countDistinct("cluster").as("n_clusters"),
+            sum(col("keep").cast("long")).as("n_kept"))
+          .join(dropped.select(col("cid").as("cell"), lit(true).as("dropped")),
+            Seq("cell"), "left")
+          .select(col("cell"), col("cell_n"), col("n_clusters"), col("n_kept"),
+            coalesce(col("dropped"), lit(false)).as("dropped"))
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        s"""WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings),
+           |cen AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |casn AS (SELECT v.vec_id, cen.cid, ${cos("v.embedding", "cen.cemb")} AS ccos
+           |  FROM v CROSS JOIN cen),
+           |cells AS (SELECT vec_id, cid, ccos FROM (SELECT vec_id, cid, ccos,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr FROM casn)
+           |  WHERE cr = 1),
+           |w AS (SELECT cid, count(*) AS cn FROM cells GROUP BY 1),
+           |jo AS (SELECT c.vec_id, c.cid FROM cells c JOIN w ON w.cid = c.cid AND w.cn <= 100),
+           |e AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM jo a
+           |  JOIN jo b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  JOIN v x ON x.vec_id = a.vec_id JOIN v y ON y.vec_id = b.vec_id
+           |  WHERE ${cos("x.embedding", "y.embedding")} >= 0.3),
+           |sym AS (SELECT id1, id2 FROM e UNION SELECT id2, id1 FROM e),
+           |reach(s, t) AS (SELECT vec_id, vec_id FROM cells
+           |  UNION SELECT r.s, e2.id2 FROM reach r JOIN sym e2 ON e2.id1 = r.t),
+           |comp AS (SELECT s AS vec_id, min(t) AS cluster FROM reach GROUP BY s),
+           |r AS (SELECT c.vec_id, c.cid AS cell, p.cluster, c.ccos,
+           |  row_number() OVER (PARTITION BY p.cluster ORDER BY c.ccos ASC, c.vec_id) AS rn
+           |  FROM cells c JOIN comp p ON p.vec_id = c.vec_id)
+           |SELECT cell, count(*) AS cell_n,
+           |  count(DISTINCT cluster) AS n_clusters,
+           |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           |  count(*) > 100 AS dropped
+           |FROM r GROUP BY cell""".stripMargin
+      }),
+
     // Lloyd k-means refinement (2 assignment passes, 1 refit) — the
     // quantizer trainer behind q_ann_ivf/q_semdedup's centroids. The
     // oracle unrolls both iterations with centroids as (cid, k, val)
@@ -1728,8 +1783,9 @@ object QueriesText {
              |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
              |voc AS (SELECT count(*) AS vocab FROM raw)
              |SELECT t.doc_id,
-             |round(sum(t.tf::DOUBLE * (ln((coalesce(g.tcnt, 0) + 1)::DOUBLE / (ttot + vocab)::DOUBLE)
-             |                        - ln((r.rcnt + 1)::DOUBLE / (rtot + vocab)::DOUBLE)))
+             |round((sum(t.tf * floor((ln((coalesce(g.tcnt, 0) + 1)::DOUBLE / (ttot + vocab)::DOUBLE)
+             |                       - ln((r.rcnt + 1)::DOUBLE / (rtot + vocab)::DOUBLE))
+             |                        * 1000000 + 0.5)::BIGINT)::DOUBLE / 1000000)
              |  / sum(t.tf)::DOUBLE, 4) AS dsir_logratio
              |FROM tf t JOIN raw r USING (term) LEFT JOIN tgt g USING (term), rt, tt, voc
              |GROUP BY t.doc_id""".stripMargin)),
