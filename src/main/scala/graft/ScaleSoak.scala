@@ -179,14 +179,29 @@ object ScaleSoak {
       * guard against skewed cells when the quantizer under-fits; dropped
       * cells are counted and printed, never silent. */
     def semdedupRun(n: Int): Long = {
-      val v = vecs(n)
-      val cen = v.where(col("vec_id") % 100 === 0)
-      val dropped = graft.functions.SimilarityFunctions
-        .semDedupDroppedCells(v, cen, cellCap = 256).count()
-      if (dropped > 0)
-        println(s"""{"semdedup_dropped_cells": $dropped, "scale": $n}""")
-      graft.functions.SimilarityFunctions.semDedup(
-        v, cen, tau = 0.3, cellCap = 256).count()
+      // auto-broadcast off for THIS pipeline's measurement: at 1×/10× the
+      // pair join's build side fits the broadcast threshold (14 KB shuffle)
+      // and at 30× it doesn't (46 MB), so the tail ratio reads a plan
+      // transition instead of growth. At 100 TB nothing broadcasts —
+      // forcing the shuffle join at every point measures the real shape.
+      val sq = spark.conf
+      val saved = (sq.get("spark.sql.autoBroadcastJoinThreshold", "10485760"),
+        sq.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"))
+      sq.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sq.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val v = vecs(n)
+        val cen = v.where(col("vec_id") % 100 === 0)
+        val dropped = graft.functions.SimilarityFunctions
+          .semDedupDroppedCells(v, cen, cellCap = 256).count()
+        if (dropped > 0)
+          println(s"""{"semdedup_dropped_cells": $dropped, "scale": $n}""")
+        graft.functions.SimilarityFunctions.semDedup(
+          v, cen, tau = 0.3, cellCap = 256).count()
+      } finally {
+        sq.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
+        sq.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved._2)
+      }
     }
 
     /** k-means at scale: k FIXED (a deployment constant as the corpus

@@ -147,17 +147,7 @@ object SimilarityFunctions {
       .as[(Long, Seq[Double])].collect().toMap
     var out: DataFrame = v.sparkSession.emptyDataFrame
     for (it <- 1 to iters) {
-      val cenDf = cen.toSeq.sortBy(_._1).toDF("cid", "cemb")
-      // sortless argmax (see semDedup): struct-max hash agg with map-side
-      // combine replaces the row_number window's per-partition sort;
-      // max(ccos) then min(cid) on rounded-cosine ties, same rule.
-      val asn = v.crossJoin(broadcast(cenDf))
-        .withColumn("ccos", round(cosine(col("ce"), col("cemb")), 6))
-        .groupBy("vec_id")
-        .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
-          col("cid"), col("ce"))).as("b"))
-        .select(col("vec_id"), col("b.ce").as("ce"),
-          col("b.cid").as("cid"), col("b.ccos").as("ccos"))
+      val asn = assignBest(v, cen.toSeq.sortBy(_._1))
       out = asn.select(col("vec_id"), col("cid").as("cell"), col("ccos"))
       if (it < iters) {
         val refit = asn
@@ -170,6 +160,36 @@ object SimilarityFunctions {
       }
     }
     out
+  }
+
+  /** Row-local max-cosine centroid assignment: the centroid set rides into
+    * every task as ONE array literal (the kmeansAssign O(cells·dim)
+    * driver-state convention — a coarse quantizer is small by definition)
+    * and each row folds over it with a higher-order `aggregate`, keeping
+    * the running best as a (ccos, -cid, cid) struct under `greatest`'s
+    * lexicographic ordering — max rounded cosine first, min cid on ties,
+    * exactly the old window's ORDER BY ccos DESC, cid rule.
+    *
+    * Why a fold and not a join+argmax: the corpus × centroid crossJoin
+    * materializes N·k rows, and EVERY argmax shape over them sorts —
+    * row_number windows sort each partition (9.4 GB spill at the x30
+    * soak), and max(struct) falls back to SortAggregate because struct
+    * buffers aren't hash-aggregable. The fold is map-only: zero shuffle,
+    * zero spill, same O(N·k) dot products, and assignment cost scales
+    * embarrassingly with executors at 100 TB.
+    * Input `v` must carry (vec_id, ce); returns (vec_id, ce, cid, ccos). */
+  private def assignBest(v: DataFrame, cenArr: Seq[(Long, Seq[Double])]): DataFrame = {
+    val cenLit = typedlit(cenArr)
+    val zero = struct(lit(-2.0).as("ccos"),
+      lit(Long.MinValue).as("ncid"), lit(-1L).as("cid"))
+    val best = aggregate(cenLit, zero, (acc, c) =>
+      greatest(acc, struct(
+        round(cosine(col("ce"), c.getField("_2")), 6).as("ccos"),
+        (-c.getField("_1")).as("ncid"),
+        c.getField("_1").as("cid"))))
+    v.withColumn("b", best)
+      .select(col("vec_id"), col("ce"),
+        col("b.cid").as("cid"), col("b.ccos").as("ccos"))
   }
 
   /** SemDeDup-style semantic deduplication scoped to coarse-quantizer
@@ -202,26 +222,17 @@ object SimilarityFunctions {
                cellCap: Int = 2048): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    val cen = centroids.select(col(idCol).as("cid"), col(embCol).as("cemb"))
-    val scoredAsn = corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
-      .crossJoin(broadcast(cen))
-      .withColumn("ccos", round(cosine(col("ce"), col("cemb")), 6))
+    val cenArr = centroids
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     // the assignment feeds BOTH self-join sides, the component vertex set,
-    // and the final label join — cache it or the corpus × centroid
-    // cross-join re-executes four times (an 8× shuffle tail in the scale
-    // soak before this).
-    // argmax as a SORTLESS struct-max aggregation, not a row_number
-    // window: the window sorts every map partition's N·k scored rows
-    // (9.4 GB spill at the x30 soak), while hash-agg partial combine
-    // reduces each partition to one row per vec before any shuffle.
-    // max(struct(ccos, -cid, …)) replays the window's exact tie rule:
-    // max ccos first, min cid on rounded-cosine ties.
-    val cells = scoredAsn
-      .groupBy("vec_id")
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
-        col("cid"), col("ce"))).as("b"))
-      .select(col("vec_id"), col("b.ce").as("ce"),
-        col("b.cid").as("cid"), col("b.ccos").as("ccos"))
+    // and the final label join — cache it or the row-local fold
+    // re-executes four times (an 8× shuffle tail in the scale soak before
+    // this). Assignment itself is assignBest's map-only fold: no N·k row
+    // expansion, no sort, no spill (see assignBest's scaladoc for the two
+    // argmax shapes this replaced and their measured spill).
+    val cells = assignBest(
+      corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), cenArr)
       .cache()
     // one tiny agg shuffle buys the hard per-cell bound on the self-join;
     // members of over-cap cells stay in the vertex set (→ singletons)
@@ -251,13 +262,13 @@ object SimilarityFunctions {
   def semDedupDroppedCells(corpus: DataFrame, centroids: DataFrame,
                            cellCap: Int, idCol: String = "vec_id",
                            embCol: String = "embedding"): DataFrame = {
-    val cen = centroids.select(col(idCol).as("cid"), col(embCol).as("cemb"))
-    corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
-      .crossJoin(broadcast(cen))
-      .withColumn("ccos", round(cosine(col("ce"), col("cemb")), 6))
-      .groupBy("vec_id")
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"), col("cid"))).as("b"))
-      .groupBy(col("b.cid").as("cid")).agg(count(lit(1)).as("cell_n"))
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cenArr = centroids
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assignBest(corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), cenArr)
+      .groupBy("cid").agg(count(lit(1)).as("cell_n"))
       .where(col("cell_n") > cellCap)
   }
 }

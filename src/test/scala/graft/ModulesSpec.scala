@@ -916,3 +916,39 @@ class GramPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+class TsNormSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.types._
+
+  // 2021-01-01T00:00:01 UTC in the three encodings the driver's testdata
+  // has shipped: ns-epoch long (TIMESTAMP(NANOS) under nanosAsLong),
+  // TIMESTAMP, and TIMESTAMP_NTZ (timestamp[us], the current era).
+  private val ns = 1609459201000000000L
+
+  test("normTs passes an ns-long ts through untouched") {
+    val df = Seq((1L, ns)).toDF("user_id", "ts")
+    val out = graft.relational.T.normTs(df)
+    assert(out.schema("ts").dataType == LongType)
+    assert(out.select("ts").as[Long].head() == ns)
+  }
+
+  test("normTs converts TIMESTAMP and TIMESTAMP_NTZ to the same ns epoch") {
+    val tsDf = Seq((1L, new java.sql.Timestamp(ns / 1000000L)))
+      .toDF("user_id", "ts")
+    val ntzDf = tsDf.select(col("user_id"),
+      col("ts").cast(TimestampNTZType).as("ts"))
+    for (df <- Seq(tsDf, ntzDf)) {
+      val out = graft.relational.T.normTs(df)
+      assert(out.schema("ts").dataType == LongType, df.schema("ts").dataType)
+      assert(out.select("ts").as[Long].head() == ns,
+        s"${df.schema("ts").dataType}")
+    }
+  }
+
+  test("normTs is identity when no ts column exists") {
+    val df = Seq((1L, "x")).toDF("id", "text")
+    assert(graft.relational.T.normTs(df) eq df)
+  }
+}
