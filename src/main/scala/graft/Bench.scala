@@ -304,6 +304,21 @@ object Bench {
           Array(256, 256, 256), Array(2.0, 2.0, 2.0), order = 1)(spark)
         .toDF().agg(sum(get(col("data"), lit(0)))).collect()
     }
+    // the reference's TRUE morphology-bench shape — a single 512³ tensor
+    // (/root/reference/benchmarks/benchmark_morphology.py:22) — through the
+    // distributed slice-exchange path: 1 GiB in, 8.6 GiB of output slices,
+    // the r6 verdict's missing volume-scale data point. Reported per INPUT
+    // cell like zoom_o1 so the baseline normalizes directly.
+    val volSlices512 = spark.range(512).select(
+        lit(0L).as("id"), col("id").cast("int").as("sid"),
+        sliceGen(col("id"), lit(262144)).as("data"))
+    bench("volume_zoom_o1_512", 512.0 * 512 * 512, Some(volSlices512)) {
+      import spark.implicits._
+      graft.operators.VolumeZoom(
+          volSlices512.as[graft.operators.VolumeZoom.ZSlice],
+          Array(512, 512, 512), Array(2.0, 2.0, 2.0), order = 1)(spark)
+        .toDF().agg(sum(get(col("data"), lit(0)))).collect()
+    }
 
     import graft.operators.TiledStencil.Tile3
     val tiles3 = spark.range(64).select(

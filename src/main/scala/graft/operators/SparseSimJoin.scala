@@ -50,9 +50,14 @@ object SparseSimJoin {
         col("a.term") === col("b.term") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
     val norms = p.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    // shuffle_hash on the postings side: the probe side is candidates ×
+    // full posting lists — a sort-merge join SORTS that expansion every
+    // time (41.8 GB of spill at the x30 soak) while hashing the postings
+    // build side is one in-memory table per partition and no sort at all
     val dots = cand
-      .join(p.as("x"), col("id1") === col("x.id"))
-      .join(p.as("y"), col("id2") === col("y.id") && col("x.term") === col("y.term"))
+      .join(p.as("x").hint("shuffle_hash"), col("id1") === col("x.id"))
+      .join(p.as("y").hint("shuffle_hash"),
+        col("id2") === col("y.id") && col("x.term") === col("y.term"))
       .groupBy(col("id1"), col("id2"))
       .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
     dots

@@ -176,6 +176,53 @@ object QueriesStreaming {
              |  / len(string_split(text, ' ')) <= 0.5
              |GROUP BY lang""".stripMargin)),
 
+    // Streaming repetition gate: the ingest-time form of q_repetition's
+    // filter. Streaming allows ONE aggregation per query, so the per-doc
+    // metrics compute ROW-LOCALLY (dup-word fraction from array_distinct;
+    // top-bigram fraction as an O(m²) HOF fold over the row's own bigrams
+    // — fine at document length, and it never explodes rows into state);
+    // the single stateful op is the per-language rollup of integer counts,
+    // which are merge-order-proof. Thresholds compare identical IEEE
+    // divisions on both engines.
+    Q("q_stream_repetition",
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val schema = T.rawSchema(s, dir, "documents")
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // toks/bgs pre-project as plain columns: referenced from inside the
+        // HOF lambdas below, an inline expression re-evaluates per element
+        // (the documented wordGrams trap), an attribute read is free
+        val agg = src
+          .select(col("lang"), tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 3)
+          .withColumn("bgs", graft.functions.TextFunctions.wordGrams(col("toks"), 2))
+          .select(col("lang"),
+            (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")).cast("double")).as("df"),
+            (array_max(transform(array_distinct(col("bgs")),
+              b => size(filter(col("bgs"), x => x === b)))).cast("double") /
+              size(col("bgs")).cast("double")).as("tf"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("df") >= 0.4, 1)).as("n_high_rep"),
+            count(when(col("tf") >= 0.2, 1)).as("n_top_heavy"))
+        StreamingOps.runAvailableNow(agg, "q_stream_repetition")
+      },
+      Some("""WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |m AS (SELECT lang,
+             |  1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS df,
+             |  (SELECT list_max(list_transform(list_distinct(b.bgs),
+             |     g -> len(list_filter(b.bgs, x -> x = g))))::DOUBLE / len(b.bgs)::DOUBLE
+             |   FROM (SELECT list_transform(range(1, len(toks)),
+             |     i -> toks[i] || ' ' || toks[i+1]) AS bgs) b) AS tf
+             |  FROM t)
+             |SELECT lang, count(*) AS n_docs,
+             |  count(CASE WHEN df >= 0.4 THEN 1 END) AS n_high_rep,
+             |  count(CASE WHEN tf >= 0.2 THEN 1 END) AS n_top_heavy
+             |FROM m GROUP BY lang""".stripMargin)),
+
     // Streaming decontamination: scrub an incoming document stream against
     // a STATIC eval benchmark — the ingest-time form of q_decontaminate.
     // The eval 5-gram set is a static broadcast, so the stream side is a
