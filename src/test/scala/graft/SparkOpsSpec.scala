@@ -256,15 +256,24 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus re-sorted for the map join:\n${plan.take(1500)}")
   }
 
-  test("semDedup assigns cells through a broadcast of the centroids") {
+  test("semDedup cell assignment is join-free, sort-free map work") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Seq.tabulate(8)(k => if (k == i % 4) 1f else 0.01f * ((i + k) % 3))))
       .toDF("vec_id", "embedding")
+    // droppedCells = the assignment fold + ONE count aggregation, so its
+    // physical plan pins the assignment's shape in isolation: the centroid
+    // set rides as a literal (no join of any kind) and the argmax is a
+    // row-local fold (no Window sort, no SortAggregate fallback) — the two
+    // shapes that spilled 9.4 GB at the x30 soak before assignBest.
+    val dropped = graft.functions.SimilarityFunctions.semDedupDroppedCells(
+      vecs, vecs.where($"vec_id" < 4), cellCap = 1)
+    val plan = dropped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment plans a join:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"assignment plans a window sort:\n${plan.take(1500)}")
+    assert(!plan.contains("SortAggregate"),
+      s"argmax fell back to SortAggregate:\n${plan.take(1500)}")
     val out = graft.functions.SimilarityFunctions.semDedup(
       vecs, vecs.where($"vec_id" < 4), tau = 0.9)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"centroid cross join not broadcast:\n${plan.take(1500)}")
     assert(out.count() == 64L)
   }
 }
