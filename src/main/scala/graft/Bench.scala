@@ -224,6 +224,30 @@ object Bench {
         .select(transform(col("data"), x => x + lit(1.0)).as("d"))
         .agg(sum(get(col("d"), lit(0)))).collect()
     }
+    // pointwise through the object-storage path (the center_of_mass
+    // precedent): the DataFrame number above is ~70% columnar-cache ARRAY
+    // re-materialization floor (r7 measured scan-only 0.12 s of a 0.17 s
+    // min, with 0.17-0.51 s spread across reps in ONE session — the
+    // r5→r6 "regression" was this floor plus host noise, not the op).
+    // MEMORY_ONLY arrays + a tight loop is the matched-work analog of the
+    // reference's numpy-in-RAM pointwise and measures the op itself.
+    val pwRdd = spark.sparkContext.range(0, 256, numSlices = 32).map { id =>
+      val n = 65536
+      val a = new Array[Double](n)
+      var i = 0
+      while (i < n) { a(i) = ((id * 1315423911L + i * 2654435761L) & 0xffff) * 1.5e-5; i += 1 }
+      a
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    pwRdd.count()
+    bench("pointwise_add_mem", c24) {
+      pwRdd.map { a =>
+        val out = new Array[Double](a.length)
+        var i = 0
+        while (i < a.length) { out(i) = a(i) + 1.0; i += 1 }
+        out(0)
+      }.sum()
+    }
+    pwRdd.unpersist()
     val interpInput = slices(65536, 256)
     bench("interp1d", c24, Some(interpInput)) {
       // 65536 rows of 256-point y-grids, 256 queries each (= 2^24 y cells)
@@ -308,17 +332,24 @@ object Bench {
     // (/root/reference/benchmarks/benchmark_morphology.py:22) — through the
     // distributed slice-exchange path: 1 GiB in, 8.6 GiB of output slices,
     // the r6 verdict's missing volume-scale data point. Reported per INPUT
-    // cell like zoom_o1 so the baseline normalizes directly.
-    val volSlices512 = spark.range(512).select(
-        lit(0L).as("id"), col("id").cast("int").as("sid"),
-        sliceGen(col("id"), lit(262144)).as("data"))
-    bench("volume_zoom_o1_512", 512.0 * 512 * 512, Some(volSlices512)) {
-      import spark.implicits._
-      graft.operators.VolumeZoom(
-          volSlices512.as[graft.operators.VolumeZoom.ZSlice],
-          Array(512, 512, 512), Array(2.0, 2.0, 2.0), order = 1)(spark)
-        .toDF().agg(sum(get(col("data"), lit(0)))).collect()
-    }
+    // cell like zoom_o1 so the baseline normalizes directly. Heap-gated:
+    // at the default 8g forked heap the 2× volume in flight OOMs the JVM
+    // and would zero the WHOLE bench artifact — skip loudly instead
+    // (SPARK_DRIVER_MEM=24g+ enables it).
+    val heapG = Runtime.getRuntime.maxMemory >> 30
+    if (heapG >= 16) {
+      val volSlices512 = spark.range(512).select(
+          lit(0L).as("id"), col("id").cast("int").as("sid"),
+          sliceGen(col("id"), lit(262144)).as("data"))
+      bench("volume_zoom_o1_512", 512.0 * 512 * 512, Some(volSlices512)) {
+        import spark.implicits._
+        graft.operators.VolumeZoom(
+            volSlices512.as[graft.operators.VolumeZoom.ZSlice],
+            Array(512, 512, 512), Array(2.0, 2.0, 2.0), order = 1)(spark)
+          .toDF().agg(sum(get(col("data"), lit(0)))).collect()
+      }
+    } else System.err.println(
+      s"[bench] volume_zoom_o1_512 skipped: heap ${heapG}g < 16g")
 
     import graft.operators.TiledStencil.Tile3
     val tiles3 = spark.range(64).select(
