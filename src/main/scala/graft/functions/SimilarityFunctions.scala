@@ -271,4 +271,52 @@ object SimilarityFunctions {
       .groupBy("cid").agg(count(lit(1)).as("cell_n"))
       .where(col("cell_n") > cellCap)
   }
+
+  /** Two-level (coarse → fine) IVF quantizer assignment — the standard
+    * hierarchical shape once cell counts pass ~10⁵: a flat fold is O(N·k)
+    * dot products per vector, a coarse-√k → fine-√k tree cuts it to
+    * O(N·√k). Fine centroids are first assigned to their max-cosine coarse
+    * cell (quantizer-sized work, the kmeansAssign driver-state
+    * convention); each corpus vector then folds over the k₁ coarse
+    * centroids, and over ONLY its own coarse cell's fine centroids —
+    * shipped as one map literal keyed by coarse id, so both levels stay
+    * map-only: zero shuffle, zero spill, embarrassingly parallel at
+    * 100 TB (the [[assignBest]] argmax-fold rationale).
+    *
+    * Both argmaxes use the 6-place-rounded cosine with min-id ties —
+    * engine-deterministic, oracle-replayable. A coarse cell with no fine
+    * centroid yields the fold's zero: fid -1, fcos -2.0 (explicit,
+    * deterministic semantics; size the fine set so it stays rare).
+    * Returns (vec_id, cid, ccos, fid, fcos). */
+  def ivf2Assign(corpus: DataFrame, coarse: DataFrame, fine: DataFrame,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val coarseArr = coarse
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    // fine → coarse: quantizer-sized (k₂ rows), same fold as the corpus
+    val fineByCell: Map[Long, Seq[(Long, Seq[Double])]] = assignBest(
+      fine.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("ce")),
+      coarseArr)
+      .select(col("cid"), col("vec_id"), col("ce"))
+      .as[(Long, Long, Seq[Double])].collect()
+      .groupBy(_._1).map { case (c, rs) =>
+        c -> rs.map(r => (r._2, r._3)).sortBy(_._1).toSeq }
+    val fineLit = typedlit(fineByCell)
+    val zero = struct(lit(-2.0).as("fcos"),
+      lit(Long.MinValue).as("nfid"), lit(-1L).as("fid"))
+    val best = aggregate(
+      coalesce(element_at(fineLit, col("cid")),
+        typedlit(Seq.empty[(Long, Seq[Double])])),
+      zero, (acc, f) =>
+        greatest(acc, struct(
+          round(cosine(col("ce"), f.getField("_2")), 6).as("fcos"),
+          (-f.getField("_1")).as("nfid"),
+          f.getField("_1").as("fid"))))
+    assignBest(corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), coarseArr)
+      .withColumn("fb", best)
+      .select(col("vec_id"), col("cid"), col("ccos"),
+        col("fb.fid").as("fid"), col("fb.fcos").as("fcos"))
+  }
 }

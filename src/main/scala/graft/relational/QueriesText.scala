@@ -1102,6 +1102,50 @@ object QueriesText {
              |  FROM dp1 d JOIN nv ON nv.vec_id = d.vec_id JOIN nc1 n ON n.cid = d.cid)
              |WHERE cr = 1""".stripMargin)),
 
+    // Two-level (coarse → fine) IVF assignment — the hierarchical
+    // quantizer shape that keeps per-vector assignment O(√k) once cell
+    // counts pass ~10⁵ (flat fold is O(k)). Both levels are deterministic
+    // id-samples (coarse %100, fine %10) so the oracle replays the whole
+    // tree: fine centroids argmax into coarse cells, the corpus argmaxes
+    // over coarse then over ONLY its own cell's fine centroids. The Spark
+    // side is two map-only folds (assignBest + a map-literal keyed by
+    // coarse id) — zero shuffle; the oracle's LEFT JOIN + coalesce pins
+    // the explicit empty-cell rule (fid -1, fcos -2.0).
+    Q("q_ann_ivf2",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        graft.functions.SimilarityFunctions.ivf2Assign(
+          e, e.where(col("vec_id") % 100 === 0), e.where(col("vec_id") % 10 === 0))
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |co AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |fi AS (SELECT vec_id AS fid, embedding AS femb FROM v WHERE vec_id % 10 = 0),
+           |fa AS (SELECT fid, cid FROM (SELECT f.fid, c.cid,
+           |  row_number() OVER (PARTITION BY f.fid
+           |    ORDER BY ${cos("f.femb", "c.cemb")} DESC, c.cid) AS rn
+           |  FROM fi f CROSS JOIN co c) WHERE rn = 1),
+           |va AS (SELECT vec_id, cid, ccos FROM (SELECT v.vec_id, c.cid,
+           |  ${cos("v.embedding", "c.cemb")} AS ccos,
+           |  row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY ${cos("v.embedding", "c.cemb")} DESC, c.cid) AS rn
+           |  FROM v CROSS JOIN co c) WHERE rn = 1),
+           |vf AS (SELECT vec_id, fid, fcos FROM (SELECT va.vec_id, fa.fid,
+           |  ${cos("v.embedding", "fi.femb")} AS fcos,
+           |  row_number() OVER (PARTITION BY va.vec_id
+           |    ORDER BY ${cos("v.embedding", "fi.femb")} DESC, fa.fid) AS rn
+           |  FROM va JOIN fa ON fa.cid = va.cid
+           |  JOIN v ON v.vec_id = va.vec_id
+           |  JOIN fi ON fi.fid = fa.fid) WHERE rn = 1)
+           |SELECT va.vec_id, va.cid, va.ccos,
+           |  coalesce(vf.fid, -1) AS fid, coalesce(vf.fcos, -2.0) AS fcos
+           |FROM va LEFT JOIN vf ON vf.vec_id = va.vec_id""".stripMargin
+      }),
+
     // ---- backend dispatch (/root/reference/imops/backend.py:7-95) ----
     // The same minhash signature computed through BOTH execution backends
     // via the facade's conf-scoped dispatch (`withBackend` = the

@@ -229,6 +229,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(3L) == (0L, 1L, true), "farthest-from-centroid member survives")
     assert(out(4L) == (10L, 4L, true), "singleton keeps itself")
   }
+
+  test("ivf2Assign routes through the coarse tree and pins the empty-cell rule") {
+    // coarse 0=(x-axis), 10=(y-axis); fine 100/101 both argmax into coarse
+    // 0, coarse 10 gets NO fine centroid. v1 hugs f100, v2 tilts toward
+    // f101, v3 lands in the fine-less coarse cell -> the explicit
+    // (-1, -2.0) rule.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (10L, Seq(0f, 1f, 0f)),       // coarse
+      (100L, Seq(1f, 0.05f, 0f)), (101L, Seq(0.9f, 0.3f, 0f)), // fine
+      (1L, Seq(1f, 0.01f, 0f)), (2L, Seq(0.8f, 0.4f, 0f)), (3L, Seq(0f, 1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityFunctions.ivf2Assign(
+        vecs.where($"vec_id" < 100 && $"vec_id" >= 1),
+        vecs.where($"vec_id" === 0L || $"vec_id" === 10L),
+        vecs.where($"vec_id" >= 100))
+      .select("vec_id", "cid", "fid", "fcos")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L)._1 == 0L && out(1L)._2 == 100L)
+    assert(out(2L)._1 == 0L && out(2L)._2 == 101L,
+      "tilted vector must pick the tilted fine centroid")
+    assert(out(3L) == (10L, -1L, -2.0), "fine-less coarse cell -> explicit sentinel")
+  }
 }
 
 class PipelinePlanSpec extends AnyFunSuite {
@@ -274,6 +297,23 @@ class PipelinePlanSpec extends AnyFunSuite {
       s"argmax fell back to SortAggregate:\n${plan.take(1500)}")
     val out = graft.functions.SimilarityFunctions.semDedup(
       vecs, vecs.where($"vec_id" < 4), tau = 0.9)
+    assert(out.count() == 64L)
+  }
+
+  test("ivf2Assign is map-only end to end: no join, no window, no sort-agg") {
+    // both quantizer levels ride as literals (array + map keyed by coarse
+    // id), so the WHOLE two-level assignment must plan as projections —
+    // the O(N·√k) scale story only holds if neither level shuffles
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Seq.tabulate(8)(k => if (k == i % 4) 1f else 0.01f * ((i + k) % 3))))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.SimilarityFunctions.ivf2Assign(
+      vecs, vecs.where($"vec_id" < 4), vecs.where($"vec_id" % 8 === 0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"two-level assignment plans a join:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"two-level assignment plans a window:\n${plan.take(1500)}")
+    assert(!plan.contains("SortAggregate"), s"argmax fell back to SortAggregate:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n${plan.take(1500)}")
     assert(out.count() == 64L)
   }
 }
