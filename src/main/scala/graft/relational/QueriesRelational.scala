@@ -640,6 +640,63 @@ object QueriesRelational {
              |FROM events e ASOF JOIN orders o
              |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin)),
 
+    // as-of, forward direction: least rightTime >= leftTime (inclusive) —
+    // the same one-shuffle union+window plan with the tie ordering
+    // reversed. Payload is the order date itself, so the oracle is a plain
+    // min() over the forward-qualified join.
+    Q("q_asof_forward",
+      (s, dir) => AsOfJoin(
+          T(s, dir, "events").withColumn("ts_t",
+            timestamp_micros((col("ts") / 1000).cast("long"))),
+          T(s, dir, "orders"),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts_t", rightTime = "o_orderdate",
+          payload = "o_orderdate", payloadOut = "matched",
+          direction = "forward")
+        .where(col("matched").isNotNull)
+        .select(col("event_id"), col("user_id"),
+                date_format(col("matched"), "yyyy-MM-dd").as("order_date")),
+      Some("""SELECT e.event_id, e.user_id,
+             |strftime(min(o.o_orderdate), '%Y-%m-%d') AS order_date
+             |FROM events e JOIN orders o
+             |ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+             |GROUP BY e.event_id, e.user_id""".stripMargin)),
+
+    // as-of, nearest direction: smaller absolute time distance wins, ties
+    // to the backward match — distances compared in exact integer µs on
+    // both engines (the operator's unix_micros path vs epoch_us), never
+    // doubles, so the tie rule cannot flip at an FP boundary.
+    Q("q_asof_nearest",
+      (s, dir) => AsOfJoin(
+          T(s, dir, "events").withColumn("ts_t",
+            timestamp_micros((col("ts") / 1000).cast("long"))),
+          T(s, dir, "orders"),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts_t", rightTime = "o_orderdate",
+          payload = "o_orderdate", payloadOut = "matched",
+          direction = "nearest")
+        .where(col("matched").isNotNull)
+        .select(col("event_id"), col("user_id"),
+                date_format(col("matched"), "yyyy-MM-dd").as("order_date")),
+      Some("""WITH b AS (SELECT e.event_id, max(o.o_orderdate) AS bd
+             |  FROM events e JOIN orders o
+             |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+             |  GROUP BY e.event_id),
+             |f AS (SELECT e.event_id, min(o.o_orderdate) AS fd
+             |  FROM events e JOIN orders o
+             |  ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+             |  GROUP BY e.event_id)
+             |SELECT e.event_id, e.user_id, strftime(CASE
+             |  WHEN b.bd IS NULL THEN f.fd
+             |  WHEN f.fd IS NULL THEN b.bd
+             |  WHEN epoch_us(e.ts) - epoch_us(b.bd::TIMESTAMP)
+             |    <= epoch_us(f.fd::TIMESTAMP) - epoch_us(e.ts) THEN b.bd
+             |  ELSE f.fd END, '%Y-%m-%d') AS order_date
+             |FROM events e
+             |LEFT JOIN b ON b.event_id = e.event_id
+             |LEFT JOIN f ON f.event_id = e.event_id
+             |WHERE b.bd IS NOT NULL OR f.fd IS NOT NULL""".stripMargin)),
+
     Q("q_multimodal_meta",
       (s, dir) => T(s, dir, "documents")
         .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),

@@ -43,6 +43,31 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("m").as[Long].collect()
     assert(out.sameElements(Array(9L)))
   }
+
+  test("forward picks the least right time >= left time, inclusive") {
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 4L, 300L))
+      .toDF("k", "rt", "pay")
+    val out = AsOfJoin(left, right, "k", "k", "t", "rt", "pay", "m", "forward")
+      .select("tag", "m").as[(String, Option[Long])].collect().toMap
+    assert(out("a").contains(100L)) // inclusive >= at equal time
+    assert(out("b").isEmpty)        // nothing at or after 25
+    assert(out("c").isEmpty)        // right time 4 < left 5
+  }
+
+  test("nearest picks the smaller distance, ties go backward") {
+    val left = Seq((1L, 10L, "near_b"), (1L, 18L, "near_f"),
+        (1L, 15L, "tie"), (1L, 100L, "only_b"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 9L, 100L), (1L, 21L, 200L)).toDF("k", "rt", "pay")
+    val out = AsOfJoin(left, right, "k", "k", "t", "rt", "pay", "m", "nearest")
+      .select("tag", "m").as[(String, Option[Long])].collect().toMap
+    assert(out("near_b").contains(100L)) // |10-9| < |21-10|
+    assert(out("near_f").contains(200L)) // |18-21| < |18-9|
+    assert(out("tie").contains(100L))    // |15-9| == |21-15| -> backward
+    assert(out("only_b").contains(200L)) // no forward match -> backward (rt=21)
+  }
 }
 
 class Interp1dJoinSpec extends AnyFunSuite {
