@@ -624,6 +624,36 @@ object QueriesRelational {
              |AND abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 300000000000
              |GROUP BY a.user_id""".stripMargin)),
 
+    // interval-OVERLAP join (variable-length intervals — the fixed-band
+    // case is q_range_join): per-event intervals of 10–70 min (length a
+    // deterministic function of event_id) pair when they intersect.
+    // IntervalJoin explodes each interval onto 30-min grid cells, joins
+    // (user_id, cell), and keeps each pair only in its canonical cell —
+    // exactly-once pairs without a distinct-shuffle; the oracle is the
+    // direct inequality self-join.
+    Q("q_interval_join",
+      (s, dir) => {
+        val iv = T(s, dir, "events").where(col("user_id") % 5 === 0)
+          .select(col("user_id"), col("event_id"), col("ts").as("s_ns"),
+            (col("ts") + (col("event_id") % 7 + 1) * lit(600000000000L)).as("e_ns"))
+        graft.operators.IntervalJoin(
+            iv.withColumnRenamed("event_id", "id1"),
+            iv.withColumnRenamed("event_id", "id2"),
+            Seq("user_id"), "s_ns", "e_ns", bucket = 1800000000000L)
+          .where(col("l_id1") < col("r_id2"))
+          .select(col("user_id"), col("l_id1").as("id1"), col("r_id2").as("id2"),
+            (least(col("l_e_ns"), col("r_e_ns"))
+              - greatest(col("l_s_ns"), col("r_s_ns"))).as("overlap_ns"))
+      },
+      Some("""WITH iv AS (SELECT event_id, user_id, epoch_ns(ts) AS s,
+             |  epoch_ns(ts) + (event_id % 7 + 1) * 600000000000 AS e
+             |  FROM events WHERE user_id % 5 = 0)
+             |SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+             |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_ns
+             |FROM iv a JOIN iv b
+             |ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |AND a.s <= b.e AND b.s <= a.e""".stripMargin)),
+
     Q("q_asof_join",
       (s, dir) => AsOfJoin(
           // ts arrives as ns-long (T.normTs); values are us-aligned

@@ -70,6 +70,45 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 }
 
+class IntervalJoinSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("emits every overlapping pair exactly once, no cartesian in the plan") {
+    // intervals a=[0,100] and b=[50,400] share cells 0..1 at w=100 — the
+    // canonical-cell rule must emit the pair ONCE; c=[500,600] overlaps
+    // nothing; d touches b only at the boundary point 400 (inclusive)
+    val iv = Seq(("a", 0L, 100L), ("b", 50L, 400L), ("c", 500L, 600L), ("d", 400L, 450L))
+      .toDF("id", "s", "e").withColumn("k", lit(1))
+    val out = graft.operators.IntervalJoin(
+      iv.withColumnRenamed("id", "id1"), iv.withColumnRenamed("id", "id2"),
+      Seq("k"), "s", "e", bucket = 100L)
+      .where(col("l_id1") < col("r_id2"))
+      .select("l_id1", "r_id2").as[(String, String)].collect().sorted
+    assert(out.toSeq == Seq(("a", "b"), ("b", "d")))
+    val plan = graft.operators.IntervalJoin(
+      iv.withColumnRenamed("id", "id1"), iv.withColumnRenamed("id", "id2"),
+      Seq("k"), "s", "e", bucket = 100L).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"interval join planned a product:\n${plan.take(1500)}")
+  }
+
+  test("over-span intervals are excluded from the join and reported") {
+    val iv = Seq(("long", 0L, 100000L), ("x", 10L, 20L), ("y", 15L, 30L))
+      .toDF("id", "s", "e").withColumn("k", lit(1))
+    val out = graft.operators.IntervalJoin(
+      iv.withColumnRenamed("id", "id1"), iv.withColumnRenamed("id", "id2"),
+      Seq("k"), "s", "e", bucket = 10L, maxSpanBuckets = 16)
+      .where(col("l_id1") < col("r_id2"))
+      .select("l_id1", "r_id2").as[(String, String)].collect().toSeq
+    assert(out == Seq(("x", "y")), "the 10000-cell interval must not join")
+    val dropped = graft.operators.IntervalJoin
+      .droppedIntervals(iv, "s", "e", bucket = 10L, maxSpanBuckets = 16)
+      .select("id").as[String].collect().toSeq
+    assert(dropped == Seq("long"))
+  }
+}
+
 class Interp1dJoinSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
   import spark.implicits._
