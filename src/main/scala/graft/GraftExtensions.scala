@@ -17,10 +17,14 @@ import graft.exprs.{CenterOfMassAgg, ComPartialSums, DotProduct, Interp1dExpr,
   * plugs in backends rather than functions (backend.py:7-26).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer surface: key-less |l.t - r.t| <= w joins re-plan from
+    // nested-loop to the bucketed hash join (see BandJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -384,6 +384,50 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 }
 
+class BandJoinRewriteSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def withRule[T](body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ graft.plans.BandJoinRewrite
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
+  // negative ordinates on purpose: floor bucketing must hold across zero
+  private val a = Seq((1L, -7L), (2L, -2L), (3L, 0L), (4L, 9L), (5L, 23L))
+    .toDF("ida", "ta")
+  private val b = Seq((10L, -9L), (20L, 1L), (30L, 11L), (40L, 100L))
+    .toDF("idb", "tb")
+
+  test("key-less abs-band join re-plans from nested-loop to hash join") {
+    val naive = a.join(b, abs(col("ta") - col("tb")) <= 5)
+    val expected = naive.select("ida", "idb").as[(Long, Long)].collect().sorted
+    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "precondition: without the rule this is a nested-loop join")
+    withRule {
+      val rewritten = a.join(b, abs(col("ta") - col("tb")) <= 5)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"band join not rewritten:\n${plan.take(2000)}")
+      val got = rewritten.select("ida", "idb").as[(Long, Long)].collect().sorted
+      assert(got.toSeq == expected.toSeq, "rewrite changed the join result")
+      assert(expected.nonEmpty, "test data must produce matches")
+    }
+  }
+
+  test("joins that already have a cross-side equality are left alone") {
+    withRule {
+      val j = a.join(b, col("ida") === col("idb") &&
+        abs(col("ta") - col("tb")) <= 5)
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("_graft_band_bucket"),
+        s"rule fired on an equi-join:\n${plan.take(1500)}")
+    }
+  }
+}
+
 class TensorSourceSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
 
