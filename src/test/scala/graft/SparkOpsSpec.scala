@@ -109,6 +109,64 @@ class IntervalJoinSpec extends AnyFunSuite {
   }
 }
 
+class JoinPropertySpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  private val rng = new scala.util.Random(4242)
+
+  test("IntervalJoin matches the brute-force overlap filter on random data") {
+    // negative starts included: truncated `div` is monotonic, so the
+    // canonical-cell rule stays exactly-once across zero
+    val iv = (1 to 120).map { i =>
+      val s = rng.nextInt(2000) - 500L
+      (i.toLong, 1L + rng.nextInt(3), s, s + rng.nextInt(120))
+    }
+    val df = iv.toDF("id", "k", "s", "e")
+    val got = graft.operators.IntervalJoin(
+        df.withColumnRenamed("id", "id1"), df.withColumnRenamed("id", "id2"),
+        Seq("k"), "s", "e", bucket = 50L)
+      .where(col("l_id1") < col("r_id2"))
+      .select("l_id1", "r_id2").as[(Long, Long)].collect().toSet
+    val exp = (for {
+      a <- iv; b <- iv
+      if a._1 < b._1 && a._2 == b._2 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, b._1)).toSet
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+  }
+
+  test("AsOfJoin directions match the brute-force rules on random data") {
+    val left = (1 to 60).map(i => (i.toLong, 1L + rng.nextInt(3), rng.nextInt(500).toLong))
+    val right = (1 to 40).map(i => (1L + rng.nextInt(3), rng.nextInt(500).toLong, i.toLong * 10))
+    val l = left.toDF("id", "k", "t")
+    val r = right.toDF("k", "rt", "pay")
+    // the operator collapses (k, rt) ties to max payload first
+    val byKey = right.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.groupBy(_._2).map { case (rt, xs) => rt -> xs.map(_._3).max }.toSeq
+    }
+    def brute(k: Long, t: Long, dir: String): Option[Long] = {
+      val rs = byKey.getOrElse(k, Seq.empty)
+      val back = rs.filter(_._1 <= t).sortBy(_._1).lastOption
+      val fwd = rs.filter(_._1 >= t).sortBy(_._1).headOption
+      dir match {
+        case "backward" => back.map(_._2)
+        case "forward"  => fwd.map(_._2)
+        case "nearest"  => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            Some(if (t - b._1 <= f._1 - t) b._2 else f._2)
+          case (b, f) => b.orElse(f).map(_._2)
+        }
+      }
+    }
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = AsOfJoin(l, r, "k", "k", "t", "rt", "pay", "m", dir)
+        .select("id", "m").as[(Long, Option[Long])].collect().toMap
+      for ((id, k, t) <- left)
+        assert(got(id) == brute(k, t, dir),
+          s"dir=$dir id=$id k=$k t=$t: got ${got(id)}, want ${brute(k, t, dir)}")
+    }
+  }
+}
+
 class Interp1dJoinSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
   import spark.implicits._
