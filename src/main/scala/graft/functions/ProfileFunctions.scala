@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-health operators a training-data pipeline runs continuously:
+  * distribution-drift scoring between two corpus snapshots and one-pass
+  * column profiling (the deequ-style constraint metrics). Beyond-reference
+  * surface (the reference is single-array; these are corpus-level).
+  */
+object ProfileFunctions {
+
+  /** Population Stability Index per group between a reference and a
+    * current snapshot: Σ_b (p_cur - p_ref) · ln(p_cur / p_ref) over
+    * `buckets` fixed-width value buckets (clamped to the edge buckets, so
+    * outliers land in the tails instead of erroring).
+    *
+    * Laplace smoothing `(cnt + 1) / (n + buckets)` keeps empty buckets
+    * defined and deterministic — note a bucket empty on BOTH sides still
+    * contributes when the snapshot sizes differ, which is why the full
+    * group × bucket grid is materialized (it is quantizer-small by
+    * construction: distinct groups × buckets rows). Each bucket term
+    * quantizes to 1e-8 and the per-group sum runs in exact BIGINT (the
+    * repo's DSIR/BM25 convention), so partition order can never flip the
+    * rounded result. Scale shape: two map-side-combined count aggregations
+    * over the snapshots; everything after operates on the tiny grid.
+    *
+    * Returns (group..., n_ref, n_cur, psi). Rule of thumb: psi < 0.1
+    * stable, 0.1–0.25 drifting, > 0.25 shifted. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          groupCols: Seq[String], buckets: Int = 10,
+          lo: Double = 0.0, width: Double = 50.0): DataFrame = {
+    require(buckets > 1 && width > 0)
+    val gcols = groupCols.map(col)
+    def bucketed(d: DataFrame) = d.groupBy(
+        gcols :+ least(greatest(floor((col(valueCol) - lo) / width), lit(0)),
+          lit(buckets - 1)).cast("long").as("b"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val rc = bucketed(ref)
+    val cc = bucketed(cur)
+    val grid = ref.select(gcols: _*).union(cur.select(gcols: _*)).distinct()
+      .withColumn("b", explode(sequence(lit(0L), lit(buckets - 1L))))
+    val joined = grid
+      .join(rc.withColumnRenamed("cnt", "rcnt"), groupCols :+ "b", "left")
+      .join(cc.withColumnRenamed("cnt", "ccnt"), groupCols :+ "b", "left")
+      .na.fill(0L, Seq("rcnt", "ccnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*)
+    val withTot = joined
+      .withColumn("nr", sum("rcnt").over(w))
+      .withColumn("nc", sum("ccnt").over(w))
+    val pr = (col("rcnt") + 1) / (col("nr") + buckets)
+    val pc = (col("ccnt") + 1) / (col("nc") + buckets)
+    withTot
+      .withColumn("q8", round((pc - pr) * log(pc / pr) * 1e8, 0).cast("long"))
+      .groupBy(gcols: _*)
+      .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
+        round(sum("q8") / 1e8, 6).as("psi"))
+  }
+
+  /** One-pass column profile — the constraint metrics a pipeline asserts
+    * before training: row count, completeness, exact distinctness, and
+    * typed min/max per column (numeric columns report min_num/max_num,
+    * string columns min_str/max_str — native-type ordering, never a
+    * lexicographic comparison of numbers). All metrics compute in ONE
+    * aggregation over the table (distinct counts via Expand), then pivot
+    * to a row per column. */
+  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+    val all = numCols ++ strCols
+    val aggs = all.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"))
+    } ++ numCols.flatMap { c =>
+      Seq(min(col(c)).cast("double").as(s"__mn_$c"),
+          max(col(c)).cast("double").as(s"__mx_$c"))
+    } ++ strCols.flatMap { c =>
+      Seq(min(col(c)).as(s"__sn_$c"), max(col(c)).as(s"__sx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stacked = all.map { c =>
+      val isNum = numCols.contains(c)
+      struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
+        round(col(s"__nn_$c") / col("__rows"), 6).as("completeness"),
+        (if (isNum) col(s"__mn_$c") else lit(null).cast("double")).as("min_num"),
+        (if (isNum) col(s"__mx_$c") else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string") else col(s"__sn_$c")).as("min_str"),
+        (if (isNum) lit(null).cast("string") else col(s"__sx_$c")).as("max_str"))
+    }
+    row.select(explode(array(stacked: _*)).as("m")).select("m.*")
+  }
+}

@@ -654,6 +654,68 @@ object QueriesRelational {
              |ON a.user_id = b.user_id AND a.event_id < b.event_id
              |AND a.s <= b.e AND b.s <= a.e""".stripMargin)),
 
+    // distribution drift between two corpus snapshots: PSI per event_type
+    // over 10 fixed 50-wide value buckets (clamped tails), Laplace-smoothed
+    // so empty buckets stay defined, each bucket term quantized to 1e-8 and
+    // summed in exact BIGINT (the DSIR/BM25 determinism convention). The
+    // "snapshots" are the deterministic event_id parity split.
+    Q("q_psi_drift",
+      (s, dir) => {
+        val e = T(s, dir, "events")
+        graft.functions.ProfileFunctions.psi(
+          e.where(col("event_id") % 2 === 0), e.where(col("event_id") % 2 === 1),
+          "value", Seq("event_type"))
+      },
+      Some("""WITH r AS (SELECT event_type,
+             |  CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS b,
+             |  count(*) AS cnt FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+             |c AS (SELECT event_type,
+             |  CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS b,
+             |  count(*) AS cnt FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+             |grid AS (SELECT g.event_type, t.b
+             |  FROM (SELECT DISTINCT event_type FROM events) g
+             |  CROSS JOIN (SELECT unnest(range(10)) AS b) t),
+             |j AS (SELECT grid.event_type, grid.b,
+             |  coalesce(r.cnt, 0) AS rcnt, coalesce(c.cnt, 0) AS ccnt
+             |  FROM grid LEFT JOIN r USING (event_type, b)
+             |  LEFT JOIN c USING (event_type, b)),
+             |t AS (SELECT *, sum(rcnt) OVER (PARTITION BY event_type) AS nr,
+             |  sum(ccnt) OVER (PARTITION BY event_type) AS nc FROM j),
+             |q AS (SELECT event_type, nr, nc,
+             |  CAST(round((((ccnt+1.0)/(nc+10)) - ((rcnt+1.0)/(nr+10)))
+             |    * ln(((ccnt+1.0)/(nc+10)) / ((rcnt+1.0)/(nr+10))) * 1e8, 0) AS BIGINT) AS q8
+             |  FROM t)
+             |SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+             |  CAST(max(nc) AS BIGINT) AS n_cur,
+             |  round(sum(q8) / 1e8, 6) AS psi
+             |FROM q GROUP BY event_type""".stripMargin)),
+
+    // one-pass column profile (the deequ-style constraint metrics): row
+    // count, completeness, exact distinctness, typed min/max per column —
+    // numerics compared in native order, never lexicographically. One
+    // aggregation over the table, pivoted to a row per column.
+    Q("q_profile",
+      (s, dir) => graft.functions.ProfileFunctions.profile(
+        T(s, dir, "orders"),
+        numCols = Seq("o_custkey", "o_totalprice"),
+        strCols = Seq("o_orderstatus", "o_orderpriority")),
+      Some {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+             |count(DISTINCT $c) AS n_distinct, round(count($c) / count(*), 6) AS completeness,
+             |CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+             |CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM orders""".stripMargin
+        def str(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+             |count(DISTINCT $c) AS n_distinct, round(count($c) / count(*), 6) AS completeness,
+             |CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             |min($c) AS min_str, max($c) AS max_str
+             |FROM orders""".stripMargin
+        Seq(num("o_custkey"), num("o_totalprice"),
+            str("o_orderstatus"), str("o_orderpriority")).mkString("\nUNION ALL\n")
+      }),
+
     Q("q_asof_join",
       (s, dir) => AsOfJoin(
           // ts arrives as ns-long (T.normTs); values are us-aligned

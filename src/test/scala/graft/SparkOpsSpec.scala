@@ -109,6 +109,38 @@ class IntervalJoinSpec extends AnyFunSuite {
   }
 }
 
+class ProfileFunctionsSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("psi is zero on identical snapshots and matches the hand case on a shift") {
+    // ref: both rows in bucket 0; cur: both rows in bucket 9. Smoothed
+    // p = (cnt+1)/(n+10): psi = (1/12-3/12)ln(1/3) + (3/12-1/12)ln(3)
+    //                         = (1/3)ln(3) ≈ 0.366204
+    val ref = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "value")
+    val cur = Seq(("a", 480.0), ("a", 470.0)).toDF("g", "value")
+    val shifted = graft.functions.ProfileFunctions.psi(ref, cur, "value", Seq("g"))
+      .select("psi").as[Double].head()
+    assert(math.abs(shifted - math.log(3.0) / 3.0) < 1e-6)
+    val same = graft.functions.ProfileFunctions.psi(ref, ref, "value", Seq("g"))
+      .select("psi").as[Double].head()
+    assert(same == 0.0)
+  }
+
+  test("profile reports completeness, distinctness, and typed min/max") {
+    val df = Seq((Some(3L), Some("b")), (Some(1L), None), (None, Some("a")), (Some(3L), Some("b")))
+      .toDF("n", "s")
+    val out = graft.functions.ProfileFunctions.profile(df, Seq("n"), Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = out("n")
+    assert(n.getLong(1) == 4 && n.getLong(2) == 3 && n.getLong(3) == 2)
+    assert(n.getDouble(4) == 0.75 && n.getDouble(5) == 1.0 && n.getDouble(6) == 3.0)
+    val s = out("s")
+    assert(s.getLong(2) == 3 && s.getLong(3) == 2)
+    assert(s.getString(7) == "a" && s.getString(8) == "b")
+  }
+}
+
 class JoinPropertySpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
   import spark.implicits._
