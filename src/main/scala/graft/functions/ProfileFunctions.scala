@@ -31,14 +31,25 @@ object ProfileFunctions {
           groupCols: Seq[String], buckets: Int = 10,
           lo: Double = 0.0, width: Double = 50.0): DataFrame = {
     require(buckets > 1 && width > 0)
-    val gcols = groupCols.map(col)
     def bucketed(d: DataFrame) = d.groupBy(
-        gcols :+ least(greatest(floor((col(valueCol) - lo) / width), lit(0)),
-          lit(buckets - 1)).cast("long").as("b"): _*)
+        groupCols.map(col) :+ bucketOf(col(valueCol), buckets, lo, width).as("b"): _*)
       .agg(count(lit(1)).as("cnt"))
-    val rc = bucketed(ref)
-    val cc = bucketed(cur)
-    val grid = ref.select(gcols: _*).union(cur.select(gcols: _*)).distinct()
+    psiFromCounts(bucketed(ref), bucketed(cur), groupCols, buckets)
+  }
+
+  /** The fixed-width clamped bucket id [[psi]] uses — exposed so a
+    * streaming source can build its side's counts as the stream's one
+    * stateful aggregation and finalize through [[psiFromCounts]]. */
+  def bucketOf(value: Column, buckets: Int, lo: Double, width: Double): Column =
+    least(greatest(floor((value - lo) / width), lit(0)), lit(buckets - 1)).cast("long")
+
+  /** [[psi]] from pre-aggregated (group..., b, cnt) bucket counts — the
+    * finalize step. Both inputs are aggregation outputs (quantizer-small);
+    * everything here operates on the tiny group × bucket grid. */
+  def psiFromCounts(rc: DataFrame, cc: DataFrame,
+                    groupCols: Seq[String], buckets: Int): DataFrame = {
+    val gcols = groupCols.map(col)
+    val grid = rc.select(gcols: _*).union(cc.select(gcols: _*)).distinct()
       .withColumn("b", explode(sequence(lit(0L), lit(buckets - 1L))))
     val joined = grid
       .join(rc.withColumnRenamed("cnt", "rcnt"), groupCols :+ "b", "left")

@@ -734,60 +734,70 @@ object QueriesRelational {
 
     // as-of, forward direction: least rightTime >= leftTime (inclusive) —
     // the same one-shuffle union+window plan with the tie ordering
-    // reversed. Payload is the order date itself, so the oracle is a plain
-    // min() over the forward-qualified join.
+    // reversed. Each order attaches the FIRST event of its customer at or
+    // after the order date (orders are 1995–2001, events 2024, so forward
+    // genuinely scans ahead; the reverse pairing would be vacuously
+    // empty). Both sides normalize to ns-long via T.normTs, so the union
+    // never mixes timestamp flavors and distances stay exact integers.
     Q("q_asof_forward",
-      (s, dir) => AsOfJoin(
-          T(s, dir, "events").withColumn("ts_t",
-            timestamp_micros((col("ts") / 1000).cast("long"))),
-          T(s, dir, "orders"),
-          leftKey = "user_id", rightKey = "o_custkey",
-          leftTime = "ts_t", rightTime = "o_orderdate",
-          payload = "o_orderdate", payloadOut = "matched",
-          direction = "forward")
-        .where(col("matched").isNotNull)
-        .select(col("event_id"), col("user_id"),
-                date_format(col("matched"), "yyyy-MM-dd").as("order_date")),
-      Some("""SELECT e.event_id, e.user_id,
-             |strftime(min(o.o_orderdate), '%Y-%m-%d') AS order_date
-             |FROM events e JOIN orders o
-             |ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
-             |GROUP BY e.event_id, e.user_id""".stripMargin)),
+      (s, dir) => {
+        val ord = T.normTs(T(s, dir, "orders").withColumn("ts", col("o_orderdate")))
+          .select(col("o_orderkey"), col("o_custkey"), col("ts").as("od_ns"))
+        val ev = T(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"))
+        AsOfJoin(ord, ev, leftKey = "o_custkey", rightKey = "user_id",
+            leftTime = "od_ns", rightTime = "ts",
+            payload = "event_id", payloadOut = "matched_event",
+            direction = "forward")
+          .where(col("matched_event").isNotNull)
+          .select(col("o_orderkey"), col("o_custkey"), col("matched_event"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_ns(ts) AS t, max(event_id) AS pay
+             |  FROM events GROUP BY 1, 2),
+             |f AS (SELECT o.o_orderkey, o.o_custkey, min(ev.t) AS mt
+             |  FROM orders o JOIN ev ON ev.user_id = o.o_custkey
+             |  AND ev.t >= epoch_ns(o.o_orderdate)
+             |  GROUP BY 1, 2)
+             |SELECT f.o_orderkey, f.o_custkey, ev.pay AS matched_event
+             |FROM f JOIN ev ON ev.user_id = f.o_custkey AND ev.t = f.mt""".stripMargin)),
 
     // as-of, nearest direction: smaller absolute time distance wins, ties
-    // to the backward match — distances compared in exact integer µs on
-    // both engines (the operator's unix_micros path vs epoch_us), never
-    // doubles, so the tie rule cannot flip at an FP boundary.
+    // to the backward match — distances compared in exact integer ns on
+    // both engines, never doubles, so the tie rule cannot flip at an FP
+    // boundary. Every event snaps to its user's nearest REFERENCE event
+    // (the event_id % 20 sample), so both directions are live and the
+    // choice is a real distance comparison per row.
     Q("q_asof_nearest",
-      (s, dir) => AsOfJoin(
-          T(s, dir, "events").withColumn("ts_t",
-            timestamp_micros((col("ts") / 1000).cast("long"))),
-          T(s, dir, "orders"),
-          leftKey = "user_id", rightKey = "o_custkey",
-          leftTime = "ts_t", rightTime = "o_orderdate",
-          payload = "o_orderdate", payloadOut = "matched",
-          direction = "nearest")
-        .where(col("matched").isNotNull)
-        .select(col("event_id"), col("user_id"),
-                date_format(col("matched"), "yyyy-MM-dd").as("order_date")),
-      Some("""WITH b AS (SELECT e.event_id, max(o.o_orderdate) AS bd
-             |  FROM events e JOIN orders o
-             |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
-             |  GROUP BY e.event_id),
-             |f AS (SELECT e.event_id, min(o.o_orderdate) AS fd
-             |  FROM events e JOIN orders o
-             |  ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
-             |  GROUP BY e.event_id)
-             |SELECT e.event_id, e.user_id, strftime(CASE
-             |  WHEN b.bd IS NULL THEN f.fd
-             |  WHEN f.fd IS NULL THEN b.bd
-             |  WHEN epoch_us(e.ts) - epoch_us(b.bd::TIMESTAMP)
-             |    <= epoch_us(f.fd::TIMESTAMP) - epoch_us(e.ts) THEN b.bd
-             |  ELSE f.fd END, '%Y-%m-%d') AS order_date
-             |FROM events e
-             |LEFT JOIN b ON b.event_id = e.event_id
-             |LEFT JOIN f ON f.event_id = e.event_id
-             |WHERE b.bd IS NOT NULL OR f.fd IS NOT NULL""".stripMargin)),
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        AsOfJoin(
+            ev.select(col("event_id"), col("user_id"), col("ts")),
+            ev.where(col("event_id") % 20 === 0)
+              .select(col("user_id"), col("ts"), col("event_id")),
+            leftKey = "user_id", rightKey = "user_id",
+            leftTime = "ts", rightTime = "ts",
+            payload = "event_id", payloadOut = "matched_ref",
+            direction = "nearest")
+          .where(col("matched_ref").isNotNull)
+          .select(col("event_id"), col("user_id"), col("matched_ref"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_ns(ts) AS t, event_id FROM events),
+             |ref AS (SELECT user_id, epoch_ns(ts) AS t, max(event_id) AS pay
+             |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2),
+             |b AS (SELECT e.event_id, max(r.t) AS bt FROM ev e
+             |  JOIN ref r ON r.user_id = e.user_id AND r.t <= e.t GROUP BY 1),
+             |f AS (SELECT e.event_id, min(r.t) AS ft FROM ev e
+             |  JOIN ref r ON r.user_id = e.user_id AND r.t >= e.t GROUP BY 1),
+             |sel AS (SELECT e.event_id, e.user_id, CASE
+             |  WHEN b.bt IS NULL THEN f.ft
+             |  WHEN f.ft IS NULL THEN b.bt
+             |  WHEN e.t - b.bt <= f.ft - e.t THEN b.bt
+             |  ELSE f.ft END AS mt
+             |  FROM ev e
+             |  LEFT JOIN b ON b.event_id = e.event_id
+             |  LEFT JOIN f ON f.event_id = e.event_id
+             |  WHERE b.bt IS NOT NULL OR f.ft IS NOT NULL)
+             |SELECT sel.event_id, sel.user_id, r.pay AS matched_ref
+             |FROM sel JOIN ref r ON r.user_id = sel.user_id AND r.t = sel.mt""".stripMargin)),
 
     Q("q_multimodal_meta",
       (s, dir) => T(s, dir, "documents")

@@ -75,6 +75,54 @@ object QueriesStreaming {
              |AND epoch_ns(b.ts) >= epoch_ns(a.ts)
              |AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 1800000000000""".stripMargin)),
 
+    // Streaming drift detection: the stream's one stateful aggregation
+    // builds the CURRENT side's (event_type, bucket) counts — bounded
+    // state: groups × buckets rows no matter the stream length — and the
+    // PSI finalizes in batch against the static reference snapshot (the
+    // q_stream_hll finalize-after-drain pattern). Same determinism rules
+    // as q_psi_drift: Laplace smoothing, 1e-8 term quantization, exact
+    // integer sum.
+    Q("q_stream_psi",
+      (s, dir) => {
+        val schema = T.rawSchema(s, dir, "events")
+        val src = T.normTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val curCounts = src.where(col("event_id") % 2 === 1)
+          .groupBy(col("event_type"),
+            graft.functions.ProfileFunctions.bucketOf(col("value"), 10, 0.0, 50.0).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val drained = StreamingOps.runAvailableNow(curCounts, "q_stream_psi")
+        val refCounts = T(s, dir, "events").where(col("event_id") % 2 === 0)
+          .groupBy(col("event_type"),
+            graft.functions.ProfileFunctions.bucketOf(col("value"), 10, 0.0, 50.0).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.functions.ProfileFunctions.psiFromCounts(
+          refCounts, drained, Seq("event_type"), 10)
+      },
+      Some("""WITH r AS (SELECT event_type,
+             |  CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS b,
+             |  count(*) AS cnt FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+             |c AS (SELECT event_type,
+             |  CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS b,
+             |  count(*) AS cnt FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+             |grid AS (SELECT g.event_type, t.b
+             |  FROM (SELECT DISTINCT event_type FROM events) g
+             |  CROSS JOIN (SELECT unnest(range(10)) AS b) t),
+             |j AS (SELECT grid.event_type, grid.b,
+             |  coalesce(r.cnt, 0) AS rcnt, coalesce(c.cnt, 0) AS ccnt
+             |  FROM grid LEFT JOIN r USING (event_type, b)
+             |  LEFT JOIN c USING (event_type, b)),
+             |t AS (SELECT *, sum(rcnt) OVER (PARTITION BY event_type) AS nr,
+             |  sum(ccnt) OVER (PARTITION BY event_type) AS nc FROM j),
+             |q AS (SELECT event_type, nr, nc,
+             |  CAST(round((((ccnt+1.0)/(nc+10)) - ((rcnt+1.0)/(nr+10)))
+             |    * ln(((ccnt+1.0)/(nc+10)) / ((rcnt+1.0)/(nr+10))) * 1e8, 0) AS BIGINT) AS q8
+             |  FROM t)
+             |SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+             |  CAST(max(nc) AS BIGINT) AS n_cur,
+             |  round(sum(q8) / 1e8, 6) AS psi
+             |FROM q GROUP BY event_type""".stripMargin)),
+
     // Streaming exact dedup: group documents by content hash (the streaming
     // form of q_dedup_exact — state is the distinct-hash set).
     Q("q_stream_dedup",
