@@ -243,13 +243,30 @@ object ScaleSoak {
     }
 
     val ev0 = graft.relational.T.normTs(spark.read.parquet(s"$sfDir/events.parquet"))
-      .select(col("user_id").cast("long").as("user_id"), col("ts"), col("value"))
+      .select(col("user_id").cast("long").as("user_id"), col("event_id"),
+        col("ts"), col("value"))
     ev0.persist().count()
     def events(n: Int): DataFrame =
       if (n == 1) ev0
       else spark.range(n).select(col("id").as("copy")).crossJoin(ev0)
         .select((col("user_id") + col("copy") * 1000000000L).as("user_id"),
-          col("ts"), col("value"))
+          col("event_id"), col("ts"), col("value"))
+
+    /** Interval-overlap join at scale: replication multiplies USERS while
+      * each user's event density (and so their pairs) stays constant —
+      * total (user, cell) shuffle and output pairs both grow n×. A
+      * cartesian/unbounded-fanout regression would grow pairs n² within
+      * merged keys; the grid-cell plan keeps it linear. */
+    def intervalRun(n: Int): Long = {
+      val iv = events(n).select(col("user_id"), col("event_id"),
+        col("ts").as("s_ns"),
+        (col("ts") + (pmod(col("event_id"), lit(7)) + 1) * lit(600000000000L)).as("e_ns"))
+      graft.operators.IntervalJoin(
+          iv.withColumnRenamed("event_id", "id1"),
+          iv.withColumnRenamed("event_id", "id2"),
+          Seq("user_id"), "s_ns", "e_ns", bucket = 1800000000000L)
+        .where(col("l_id1") < col("r_id2")).count()
+    }
 
     /** Gap fill at scale: users replicate ×n over the same time range, so
       * the (user, bucket) agg shuffle grows n× and the dense grid grows
@@ -277,7 +294,7 @@ object ScaleSoak {
       ("lsh_dedup", lshRun), ("pack_sequences", packRun), ("tiled_erosion3d", erodeRun),
       ("volume_zoom3d", zoomRun), ("semdedup", semdedupRun), ("kmeans_train", kmeansRun),
       ("remove_dup_spans", spanRun), ("gap_fill", gapRun),
-      ("sparse_cosine", sparseRun))
+      ("sparse_cosine", sparseRun), ("interval_join", intervalRun))
       .filter { case (name, _) => onlySoak.isEmpty || onlySoak(name) }
     // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
     pipelines.foreach { case (_, run) => run(1) }
