@@ -654,6 +654,38 @@ object QueriesRelational {
              |ON a.user_id = b.user_id AND a.event_id < b.event_id
              |AND a.s <= b.e AND b.s <= a.e""".stripMargin)),
 
+    // the BandJoinRewrite optimizer rule under the driver gate: a
+    // deliberately KEY-LESS |t1 - t2| <= 10min self-join (the shape Spark
+    // plans as a nested-loop product) runs through the rewritten bucketed
+    // hash join and must match DuckDB's naive evaluation. The rule is
+    // installed once per session (install-if-absent: optimization happens
+    // at action time, after this function returns, so a try/finally
+    // restore would remove it before it ever ran); it is inert for every
+    // other gate — none plans a key-less cross-side band. The gate throws
+    // if the rewrite stopped firing, so it can't silently regress to the
+    // nested-loop plan and still pass.
+    Q("q_band_rewrite",
+      (s, dir) => {
+        if (!s.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+        val e = T(s, dir, "events").where(col("user_id") % 7 === 0)
+        val l = e.select(col("event_id").as("id1"), col("ts").as("t1"))
+        val r = e.select(col("event_id").as("id2"), col("ts").as("t2"))
+        val joined = l.join(r, abs(col("t1") - col("t2")) <= 3600000000000L)
+          .where(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), (col("t2") - col("t1")).as("dt_ns"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          s"BandJoinRewrite did not fire; band join planned as a product")
+        joined
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_ns(ts) AS t FROM events
+             |  WHERE user_id % 7 = 0)
+             |SELECT a.event_id AS id1, b.event_id AS id2, b.t - a.t AS dt_ns
+             |FROM e a JOIN e b
+             |ON a.event_id < b.event_id AND abs(a.t - b.t) <= 3600000000000""".stripMargin)),
+
     // distribution drift between two corpus snapshots: PSI per event_type
     // over 10 fixed 50-wide value buckets (clamped tails), Laplace-smoothed
     // so empty buckets stay defined, each bucket term quantized to 1e-8 and
