@@ -81,9 +81,14 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             }
           case _ => None
         }
+      // strict `< w` is a subset of `<= w`: the residual filter re-checks
+      // the original predicate, so the rewrite only needs the bucket
+      // candidate set to COVER the band — same three cells either way
       val band = preds.iterator.map {
         case LessThanOrEqual(abs, w)    => bandOf(abs, w)
         case GreaterThanOrEqual(w, abs) => bandOf(abs, w)
+        case LessThan(abs, w)           => bandOf(abs, w)
+        case GreaterThan(w, abs)        => bandOf(abs, w)
         case _                          => None
       }.collectFirst { case Some(b) => b }
 

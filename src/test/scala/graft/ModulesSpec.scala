@@ -395,6 +395,16 @@ class BandJoinRewriteSpec extends AnyFunSuite {
     try body finally spark.experimental.extraOptimizations = saved
   }
 
+  // the q_band_rewrite gate installs the rule session-wide (QuerySmokeSpec
+  // runs it in this shared session), so the naive-plan precondition must
+  // explicitly strip it rather than assume a clean session
+  private def withoutRule[T](body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ eq graft.plans.BandJoinRewrite)
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
   // negative ordinates on purpose: floor bucketing must hold across zero
   private val a = Seq((1L, -7L), (2L, -2L), (3L, 0L), (4L, 9L), (5L, 23L))
     .toDF("ida", "ta")
@@ -402,10 +412,12 @@ class BandJoinRewriteSpec extends AnyFunSuite {
     .toDF("idb", "tb")
 
   test("key-less abs-band join re-plans from nested-loop to hash join") {
-    val naive = a.join(b, abs(col("ta") - col("tb")) <= 5)
-    val expected = naive.select("ida", "idb").as[(Long, Long)].collect().sorted
-    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"),
-      "precondition: without the rule this is a nested-loop join")
+    val expected = withoutRule {
+      val naive = a.join(b, abs(col("ta") - col("tb")) <= 5)
+      assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "precondition: without the rule this is a nested-loop join")
+      naive.select("ida", "idb").as[(Long, Long)].collect().sorted
+    }
     withRule {
       val rewritten = a.join(b, abs(col("ta") - col("tb")) <= 5)
       val plan = rewritten.queryExecution.executedPlan.toString
@@ -414,6 +426,18 @@ class BandJoinRewriteSpec extends AnyFunSuite {
       val got = rewritten.select("ida", "idb").as[(Long, Long)].collect().sorted
       assert(got.toSeq == expected.toSeq, "rewrite changed the join result")
       assert(expected.nonEmpty, "test data must produce matches")
+    }
+  }
+
+  test("strict-inequality bands rewrite too, with exclusive semantics kept") {
+    withRule {
+      val strict = a.join(b, abs(col("ta") - col("tb")) < 2)
+      val plan = strict.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), s"strict band not rewritten:\n${plan.take(1500)}")
+      val got = strict.select("ida", "idb").as[(Long, Long)].collect().sorted
+      // |{-7,-2,0,9,23} x {-9,1,11,100}| < 2: only (-2,-9)? no: |-2-(-9)|=7;
+      // (3:0,1)->|0-1|=1 ok; (2:-2,1)->3 no; (4:9,11)->2 excluded by strictness
+      assert(got.toSeq == Seq((3L, 20L)), s"got ${got.toSeq}")
     }
   }
 
