@@ -28,8 +28,16 @@ object Verify {
     // query shows up as a loud FAIL row instead of vanishing from the
     // correctness file) plus an err sidecar with the real message.
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    var sinceClear = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
+        // heap hygiene on long sweeps: many gates persist shared inputs /
+        // operator state and a 200-query session accumulates cached blocks
+        // until a mid-alphabet query OOMs (first seen: q_kcore at sf0.1).
+        // Periodic clearCache bounds the peak; SharedInputs re-persists
+        // evicted frames on next access, so later shared gates stay fast.
+        sinceClear += 1
+        if (sinceClear >= 50) { spark.catalog.clearCache(); sinceClear = 0 }
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
 
 /** Distributed as-of (most-recent-match) join.
   *
@@ -68,10 +68,13 @@ object AsOfJoin {
         // exact integer distance per time type — a double epoch at 1.7e9 s
         // only resolves ~0.24 µs and could flip the tie rule at boundaries
         val toNum: Column => Column = unioned.schema("__t").dataType match {
-          case TimestampType  => c => unix_micros(c)
-          case DateType       => c => unix_date(c).cast("long")
-          case _: NumericType => c => c
-          case _              => c => c.cast("double")
+          case TimestampType    => c => unix_micros(c)
+          // NTZ -> TZ reinterprets in the session zone: both distances
+          // shift by the same offset, which cancels — still exact µs
+          case TimestampNTZType => c => unix_micros(c.cast(TimestampType))
+          case DateType         => c => unix_date(c).cast("long")
+          case _: NumericType   => c => c
+          case _                => c => c.cast("double")
         }
         unioned
           .withColumn("__bp", last(rp, ignoreNulls = true).over(wb))

@@ -65,6 +65,11 @@ object SharedInputs {
       // evict entries of stopped sessions so test suites that create/stop
       // many sessions don't retain dead cached plans for the JVM lifetime
       memo.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-      memo.getOrElseUpdate((s, dir, key), build.persist())
+      val df = memo.getOrElseUpdate((s, dir, key), build.persist())
+      // self-heal after an external clearCache (Verify's periodic heap
+      // hygiene): a memoized frame whose cache marker was dropped would
+      // otherwise recompute on EVERY downstream action, silently
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      df
     }
 }

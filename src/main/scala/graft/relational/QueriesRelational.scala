@@ -511,11 +511,12 @@ object QueriesRelational {
     // maximal subgraph of min-degree 10 — the density filter that separates
     // clique-ish engagement cores from chain/pendant structure. The Spark
     // side peels to the FIXPOINT (operators.KCore, driver state = one
-    // Boolean per round); the oracle unrolls 6 peel rounds — two more than
-    // any observed depth at gate scales, and extra rounds are exact no-ops
-    // once converged, so the unroll equals the fixpoint. At sf0.01 the
-    // core keeps 140 of 150 vertices after 2 rounds; at sf0.001 everything
-    // peels in 1 (empty result on both engines — still compared).
+    // Boolean per round); the oracle unrolls 14 peel rounds — the measured
+    // fixpoint depth is 11 at sf0.1 (2 at sf0.01, 1 at sf0.001), and extra
+    // rounds are exact no-ops once converged, so the unroll equals the
+    // fixpoint at every gate scale. (The original 6-round unroll was
+    // sf0.01-calibrated and would have diverged at sf0.1 — caught when
+    // the sf0.1 sweep's q_kcore first ran to completion.)
     Q("q_kcore",
       (s, dir) => {
         val p = T(s, dir, "events").where(col("event_type") === "purchase")
@@ -533,7 +534,7 @@ object QueriesRelational {
         // and e_i references e_{i-1} three times (scan + two NOT IN
         // probes) — inlined, the 6-round unroll expands 3^6 copies of the
         // base scan and dies on open file handles
-        val rounds = (1 to 6).map { i =>
+        val rounds = (1 to 14).map { i =>
           s"""d$i AS MATERIALIZED (SELECT u, count(*) AS deg FROM
              |  (SELECT a AS u FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
              |w$i AS MATERIALIZED (SELECT u FROM d$i WHERE deg < 10),
@@ -551,7 +552,7 @@ object QueriesRelational {
            |  FROM ed WHERE src != dst),
            |$rounds
            |SELECT u AS user_id, count(*)::BIGINT AS deg FROM
-           |  (SELECT a AS u FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1""".stripMargin
+           |  (SELECT a AS u FROM e14 UNION ALL SELECT b FROM e14) GROUP BY 1""".stripMargin
       }),
 
     // Time-series RESAMPLING to regular bars (the OHLC downsample): each

@@ -56,6 +56,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("c").isEmpty)        // right time 4 < left 5
   }
 
+  test("nearest is exact on timestamp_ntz time columns") {
+    import java.time.LocalDateTime
+    val left = Seq((1L, LocalDateTime.of(2024, 1, 1, 10, 0))).toDF("k", "t")
+    val right = Seq((1L, LocalDateTime.of(2024, 1, 1, 9, 0), 100L),
+        (1L, LocalDateTime.of(2024, 1, 1, 13, 0), 200L)).toDF("k", "rt", "pay")
+    val out = AsOfJoin(left, right, "k", "k", "t", "rt", "pay", "m", "nearest")
+      .select("m").as[Long].collect()
+    assert(out.sameElements(Array(100L)), "1h back beats 3h forward")
+  }
+
   test("nearest picks the smaller distance, ties go backward") {
     val left = Seq((1L, 10L, "near_b"), (1L, 18L, "near_f"),
         (1L, 15L, "tie"), (1L, 100L, "only_b"))
@@ -551,6 +561,20 @@ class KCoreSpec extends AnyFunSuite {
   test("long path fully peels at k=2 (one layer per round)") {
     val path = (1L until 8L).map(i => (i, i + 1))
     assert(core(path, 2).isEmpty)
+  }
+
+  test("distributed rounds and the local tail reach the same fixpoint") {
+    // K6 with three chains hanging off it: multi-round cascade, nonempty core
+    val rng = new scala.util.Random(7)
+    val k6 = for (a <- 1L to 6L; b <- 1L to 6L if a < b) yield (a, b)
+    val chains = (0 until 3).flatMap(c =>
+      (0 until 5).map(i => (10L + c * 10 + i, 10L + c * 10 + i + 1))) :+ (1L, 10L)
+    val g = (k6 ++ chains).toDF("src", "dst")
+    val local = graft.operators.KCore(g, "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toMap
+    val dist = graft.operators.KCore(g, "src", "dst", k = 3, localEdgeCutoff = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist && local.nonEmpty, s"local=$local dist=$dist")
   }
 }
 
