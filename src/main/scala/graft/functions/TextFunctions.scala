@@ -192,11 +192,17 @@ object TextFunctions {
     val cnt = tf.groupBy(col(termCol)).agg(sum(col("tf")).as("cnt"))
     val tot = toks.agg(count(lit(1)).as("total"))
     val voc = cnt.agg(count(lit(1)).as("vocab"))
+    // the dsirLogRatio determinism convention: quantize each per-term
+    // log-prob to 1e-6 and run the tf-weighted per-doc sum in exact
+    // integers — FP aggregation merge order is scheduler-dependent and
+    // can flip the round(…,4) boundary between runs (the r6 dsir
+    // hash-fail class); an integer sum is order-independent on any engine
+    val lp = log((col("cnt") + 1).cast("double") / (col("total") + col("vocab")).cast("double"))
+    val q = floor(lp * lit(1e6) + lit(0.5)).cast("long")
     tf.join(broadcast(cnt), termCol)
       .crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
       .groupBy(col(docIdCol))
-      .agg((sum(col("tf").cast("double") *
-          log((col("cnt") + 1).cast("double") / (col("total") + col("vocab")).cast("double"))) /
+      .agg(((sum(col("tf") * q).cast("double") / lit(1e6)) /
         sum(col("tf")).cast("double")).as("lm_logprob"))
   }
 
@@ -217,13 +223,16 @@ object TextFunctions {
     val btf = base.select(col(idCol), explode(wordGrams(col("toks"), 2)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("bg")
+    // same 1e-6 quantize + exact-integer tf-weighted sum as
+    // [[unigramLogProb]]/[[dsirLogRatio]] (order-independent per-doc score)
+    val lp = log((col("c2") + 1).cast("double") / (col("c1") + col("vocab")).cast("double"))
+    val q = floor(lp * lit(1e6) + lit(0.5)).cast("long")
     btf.withColumn("c2", sum(col("tf")).over(w))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(broadcast(c1), "w1")
       .crossJoin(broadcast(voc))
       .groupBy(col(idCol))
-      .agg((sum(col("tf").cast("double") *
-          log((col("c2") + 1).cast("double") / (col("c1") + col("vocab")).cast("double"))) /
+      .agg(((sum(col("tf") * q).cast("double") / lit(1e6)) /
         sum(col("tf")).cast("double")).as("bigram_logprob"))
   }
 

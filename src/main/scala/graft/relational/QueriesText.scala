@@ -1520,7 +1520,8 @@ object QueriesText {
              |tot AS (SELECT count(*) AS total FROM toks),
              |voc AS (SELECT count(*) AS vocab FROM cnt)
              |SELECT t.doc_id,
-             |round(sum(t.tf::DOUBLE * ln((c.cnt + 1)::DOUBLE / (total + vocab)::DOUBLE))
+             |round((sum(t.tf * floor(ln((c.cnt + 1)::DOUBLE / (total + vocab)::DOUBLE)
+             |                        * 1000000 + 0.5)::BIGINT)::DOUBLE / 1000000)
              |  / sum(t.tf)::DOUBLE, 4) AS lm_logprob
              |FROM tf t JOIN cnt c USING (term), tot, voc
              |GROUP BY t.doc_id""".stripMargin)),
@@ -1543,7 +1544,8 @@ object QueriesText {
              |btf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
              |c2 AS (SELECT bg, sum(tf) AS c2 FROM btf GROUP BY 1)
              |SELECT btf.doc_id,
-             |  round(sum(tf::DOUBLE * ln((c2 + 1)::DOUBLE / (c1 + vocab)::DOUBLE))
+             |  round((sum(tf * floor(ln((c2 + 1)::DOUBLE / (c1 + vocab)::DOUBLE)
+             |                       * 1000000 + 0.5)::BIGINT)::DOUBLE / 1000000)
              |    / sum(tf)::DOUBLE, 4) AS bigram_logprob
              |FROM btf JOIN c2 USING (bg)
              |JOIN c1 ON c1.w1 = string_split(bg, ' ')[1], voc
@@ -1576,7 +1578,8 @@ object QueriesText {
              |btf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
              |c2 AS (SELECT bg, sum(tf) AS c2 FROM btf GROUP BY 1),
              |sc AS (SELECT btf.doc_id,
-             |  round(sum(tf::DOUBLE * ln((c2 + 1)::DOUBLE / (c1 + vocab)::DOUBLE))
+             |  round((sum(tf * floor(ln((c2 + 1)::DOUBLE / (c1 + vocab)::DOUBLE)
+             |                       * 1000000 + 0.5)::BIGINT)::DOUBLE / 1000000)
              |    / sum(tf)::DOUBLE, 4) AS lp
              |  FROM btf JOIN c2 USING (bg)
              |  JOIN c1 ON c1.w1 = string_split(bg, ' ')[1], voc
