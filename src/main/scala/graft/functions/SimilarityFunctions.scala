@@ -319,4 +319,133 @@ object SimilarityFunctions {
       .select(col("vec_id"), col("cid"), col("ccos"),
         col("fb.fid").as("fid"), col("fb.fcos").as("fcos"))
   }
+
+  // ---------------------------------------------------------------- PQ ----
+
+  /** Quantized squared L2 between two equal-length double arrays: the
+    * ascending-index fold (engine-identical IEEE order), then the repo's
+    * exact-integer convention — ×1e6, half-up, BIGINT — so every
+    * comparison/sum built on it is order- and engine-deterministic. */
+  private def d2q(a: Column, b: Column): Column =
+    floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x) * 1e6 + lit(0.5)).cast("long")
+
+  /** Per-subspace PQ codebooks from a deterministic sample: entry j of
+    * subspace s is the s-th subvector of the j-th sample (ascending id
+    * rank — replayable as `row_number() OVER (ORDER BY id) - 1`). Real
+    * deployments train per-subspace k-means offline; the codebook is
+    * driver state by definition (m·ks·dsub doubles). */
+  private def pqBooks(sample: DataFrame, m: Int, idCol: String,
+                      embCol: String): (Int, IndexedSeq[Seq[(Long, Seq[Double])]]) = {
+    val s = sample.sparkSession
+    import s.implicits._
+    val vecs = sample
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    require(vecs.nonEmpty, "PQ sample is empty")
+    val dim = vecs.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).map { sub =>
+      vecs.zipWithIndex.map { case ((_, e), j) =>
+        (j.toLong, e.slice(sub * dsub, (sub + 1) * dsub).toSeq) }.toSeq
+    }
+    (dsub, books)
+  }
+
+  /** Product-quantization encoding (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the embedding splits into
+    * `m` contiguous subspaces and each subvector is replaced by the index
+    * of its nearest codebook entry — m small ints per vector (one byte
+    * each at ks ≤ 256), a 32× compression of a 64-float embedding. That is
+    * the 100 TB story: the ADC scan ([[ivfPqTopK]]) touches ONLY codes.
+    *
+    * Scale shape: codebooks ride as per-subspace array literals and each
+    * row folds to its argmin — map-only (the [[assignBest]] rationale),
+    * zero shuffle, embarrassingly parallel. Argmin compares the quantized
+    * integer distance with min-code ties — engine-deterministic. Subvector
+    * slices are pre-projected to plain attributes (the HOF-lambda hoisting
+    * rule — an outer subexpression inside a lambda re-evaluates per
+    * element). Returns (vec_id, codes array<long>, sub_0..sub_{m-1}). */
+  def pqEncode(corpus: DataFrame, sample: DataFrame, m: Int,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (dsub, books) = pqBooks(sample, m, idCol, embCol)
+    var df = corpus.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("ce"))
+    for (sub <- 0 until m)
+      df = df.withColumn(s"sub_$sub", slice(col("ce"), sub * dsub + 1, dsub))
+    val codeCols = (0 until m).map { sub =>
+      val bl = typedlit(books(sub))
+      val zero = struct(lit(Long.MaxValue).as("dq"), lit(Long.MaxValue).as("j"))
+      aggregate(bl, zero, (acc, e) => least(acc, struct(
+        d2q(col(s"sub_$sub"), e.getField("_2")).as("dq"),
+        e.getField("_1").as("j"))))
+        .getField("j").as(s"c_$sub")
+    }
+    df.select(col("vec_id") +: (0 until m).map(i => col(s"sub_$i")) :+
+      array(codeCols: _*).as("codes"): _*)
+  }
+
+  /** IVF-PQ top-k: the inverted-file probe bounds WHICH vectors are
+    * scored ([[ivfTopK]]'s cell assignment — max-cosine centroid, queries
+    * probe `nprobe` cells) and PQ asymmetric distance computation bounds
+    * WHAT is read per vector — the query precomputes one m×ks table of
+    * quantized subspace distances to every codebook entry, and each
+    * corpus vector scores as an exact BIGINT sum of m table lookups on
+    * its codes. Codes + the small probe join are the only data touched:
+    * at 100 TB the float embeddings never leave the encode pass.
+    *
+    * Determinism: table entries are [[d2q]] integers, the per-vector sum
+    * is exact integer arithmetic, ranking orders by (adistq, vec_id) —
+    * no FP anywhere past the table build. `adist` = adistq/1e6 is the
+    * same division of the same integer on any engine. Recall < 1 by
+    * design (quantization + probe set); measure it like [[q_ann_recall]]
+    * before trusting a parameterization. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                sample: DataFrame, k: Int, nprobe: Int = 2, m: Int = 8,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cenArr = centroids
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val (dsub, books) = pqBooks(sample, m, idCol, embCol)
+    // corpus side: IVF cell + PQ codes, both map-only folds
+    val cells = assignBest(
+      corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), cenArr)
+      .select(col("vec_id"), col("cid"))
+    val codes = pqEncode(corpus, sample, m, idCol, embCol)
+      .select(col("vec_id"), col("codes"))
+    val coded = cells.join(codes, Seq("vec_id"))
+    // query side (small by contract): nprobe cells via the windowed argmax
+    // (broadcast-sized, unlike the corpus fold), plus the ADC tables —
+    // per subspace an array<long> indexed by code (books are j-ascending)
+    val cen = typedlit(cenArr)
+    var q = queries.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
+    for (sub <- 0 until m)
+      q = q.withColumn(s"qsub_$sub", slice(col("qe"), sub * dsub + 1, dsub))
+    val probes = q
+      .select(Seq(col("qid"), col("qe"), explode(cen).as("c")) ++
+        (0 until m).map(i => col(s"qsub_$i")): _*)
+    val probed = probes
+      .withColumn("ccos", round(cosine(col("qe"), col("c._2")), 6))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ccos").desc, col("c._1"))))
+      .where(col("cr") <= nprobe)
+      .select(col("qid") +: col("c._1").as("cid") +:
+        (0 until m).map { sub =>
+          transform(typedlit(books(sub)),
+            e => d2q(col(s"qsub_$sub"), e.getField("_2"))).as(s"dtab_$sub")
+        }: _*)
+    val adistq = (0 until m).map(sub =>
+      element_at(col(s"dtab_$sub"), element_at(col("codes"), sub + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val scored = coded.join(broadcast(probed), Seq("cid"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("adistq", adistq)
+    val w = Window.partitionBy("qid").orderBy(col("adistq").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"),
+        (col("adistq") / 1e6).as("adist"), col("rank"))
+  }
 }

@@ -1146,6 +1146,93 @@ object QueriesText {
            |FROM va LEFT JOIN vf ON vf.vec_id = va.vec_id""".stripMargin
       }),
 
+    // PRODUCT QUANTIZATION encode (Jégou et al. 2011): the 64-dim
+    // embedding splits into 8 subspaces and each subvector becomes the
+    // index of its nearest codebook entry — 8 small ints per vector, the
+    // 32× compression that makes a 100 TB ANN index fit storage. Codebook
+    // entry j of subspace s = the s-th subvector of the j-th sampled
+    // vector (ascending-id rank — real deployments train per-subspace
+    // k-means offline and pass the table unchanged). Argmin compares the
+    // exact-integer quantized L2 (×1e6 BIGINT) with min-code ties, so the
+    // oracle replays every code bit-for-bit.
+    Q("q_pq_encode",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        graft.functions.SimilarityFunctions.pqEncode(
+            e, e.where(col("vec_id") % 100 === 0), m = 8)
+          .select(col("vec_id") +:
+            (0 until 8).map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
+      },
+      Some {
+        val diff = "(CAST(v.embedding[s.s*8+k] AS DOUBLE) - CAST(cb.cemb[s.s*8+k] AS DOUBLE))"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           |  embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |d AS (SELECT v.vec_id, s.s, cb.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> $diff * $diff)) * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM v CROSS JOIN range(0, 8) s(s) CROSS JOIN cb),
+           |best AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d)
+           |  WHERE r = 1)
+           |SELECT vec_id,
+           |${(0 until 8).map(i => s"  max(CASE WHEN s = $i THEN j END) AS c$i").mkString(",\n")}
+           |FROM best GROUP BY vec_id""".stripMargin
+      }),
+
+    // IVF-PQ ADC top-k — the composed 100 TB ANN shape: the IVF probe
+    // bounds WHICH vectors are scored (nprobe max-cosine cells), PQ
+    // asymmetric distance computation bounds WHAT is read per vector (m
+    // code lookups into the query's precomputed distance table; the float
+    // embeddings never leave the encode pass). Table entries are ×1e6
+    // BIGINT, the per-vector ADC sum is exact integer arithmetic, ranking
+    // orders by (adistq, vec_id) — no FP past the table build, so both
+    // engines agree bit-for-bit. Recall < 1 by design; parameterize via
+    // the q_ann_recall pattern before trusting it.
+    Q("q_ann_ivfpq",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        graft.functions.SimilarityFunctions.ivfPqTopK(
+          e.where(col("vec_id") < 5), e,
+          e.where(col("vec_id") % 100 === 0),
+          e.where(col("vec_id") % 100 === 0), k = 3, nprobe = 2, m = 8)
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        val diff = "(CAST(v.embedding[s.s*8+k] AS DOUBLE) - CAST(cb.cemb[s.s*8+k] AS DOUBLE))"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |cen AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |casn AS (SELECT v.vec_id, cen.cid, ${cos("v.embedding", "cen.cemb")} AS ccos
+           |  FROM v CROSS JOIN cen),
+           |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr FROM casn)
+           |  WHERE cr = 1),
+           |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr
+           |  FROM casn WHERE vec_id < 5) WHERE cr <= 2),
+           |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           |  embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |d AS (SELECT v.vec_id, s.s, cb.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> $diff * $diff)) * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM v CROSS JOIN range(0, 8) s(s) CROSS JOIN cb),
+           |best AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d)
+           |  WHERE r = 1),
+           |adist AS (SELECT p.qid, c.vec_id, SUM(qd.d2q)::BIGINT AS adq
+           |  FROM probes p JOIN cells c ON c.cid = p.cid AND c.vec_id != p.qid
+           |  JOIN best b ON b.vec_id = c.vec_id
+           |  JOIN d qd ON qd.vec_id = p.qid AND qd.s = b.s AND qd.j = b.j
+           |  GROUP BY 1, 2),
+           |ranked AS (SELECT qid, vec_id, adq,
+           |  row_number() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rank FROM adist)
+           |SELECT qid, vec_id, adq / 1000000.0 AS adist, rank
+           |FROM ranked WHERE rank <= 3""".stripMargin
+      }),
+
     // ---- backend dispatch (/root/reference/imops/backend.py:7-95) ----
     // The same minhash signature computed through BOTH execution backends
     // via the facade's conf-scoped dispatch (`withBackend` = the

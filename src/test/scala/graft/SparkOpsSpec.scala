@@ -416,6 +416,47 @@ class SimilaritySpec extends AnyFunSuite {
       "tilted vector must pick the tilted fine centroid")
     assert(out(3L) == (10L, -1L, -2.0), "fine-less coarse cell -> explicit sentinel")
   }
+
+  test("pqEncode maps every sampled vector to its own codebook rank") {
+    // 3 sample vectors (ids 10/20/30 -> ranks 0/1/2); a sampled vector's
+    // subvector distance to its own entry is exactly 0 in every subspace,
+    // so its code vector must be (rank, rank, ...)
+    val vecs = Seq(
+      (10L, Seq(1f, 0f, 0f, 2f)), (20L, Seq(0f, 1f, 3f, 0f)),
+      (30L, Seq(0.5f, 0.5f, 1f, 1f)), (1L, Seq(0.9f, 0.1f, 0.1f, 1.9f)))
+      .toDF("vec_id", "embedding")
+    val sample = vecs.where($"vec_id" >= 10)
+    val out = SimilarityFunctions.pqEncode(vecs, sample, m = 2)
+      .select($"vec_id", $"codes").as[(Long, Seq[Long])].collect().toMap
+    assert(out(10L) == Seq(0L, 0L) && out(20L) == Seq(1L, 1L) && out(30L) == Seq(2L, 2L))
+    // id 1 hugs sample 10 in both subspaces
+    assert(out(1L) == Seq(0L, 0L))
+  }
+
+  test("ivfPqTopK ADC ranking equals exact L2 when quantization is lossless") {
+    // corpus vectors ARE codebook entries (every vector sampled), so the
+    // ADC distance is the quantized true distance and the PQ ranking must
+    // reproduce the exact nearest-neighbor order
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0.5f, 0f)), (3L, Seq(0.95f, 0f, 0.1f, 0f)),
+      (4L, Seq(0f, 0.9f, 0.6f, 0.1f))).toDF("vec_id", "embedding")
+    val out = SimilarityFunctions.ivfPqTopK(
+        vecs.where($"vec_id" === 0), vecs,
+        centroids = vecs.where($"vec_id" === 0), // one cell: pure ADC ranking
+        sample = vecs, k = 4, nprobe = 1, m = 2)
+      .select($"vec_id", $"rank", $"adist").as[(Long, Int, Double)].collect()
+      .sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(3L, 1L, 4L, 2L),
+      s"ADC order must match exact L2 order, got ${out.toSeq}")
+    // lossless codes -> adist IS the sum of the per-subspace quantized
+    // squared distances (each subspace quantizes to 1e-6 BEFORE the sum)
+    def q2(ps: Seq[(Float, Float)]): Double =
+      math.floor(ps.map { case (a, b) =>
+        val d = a.toDouble - b.toDouble; d * d }.sum * 1e6 + 0.5)
+    val d3 = (q2(Seq((1f, 0.95f), (0f, 0f))) + q2(Seq((0f, 0.1f), (0f, 0f)))) / 1e6
+    assert(math.abs(out.head._3 - d3) < 1e-12)
+  }
 }
 
 class PipelinePlanSpec extends AnyFunSuite {
@@ -478,6 +519,23 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"two-level assignment plans a window:\n${plan.take(1500)}")
     assert(!plan.contains("SortAggregate"), s"argmax fell back to SortAggregate:\n${plan.take(1500)}")
     assert(!plan.contains("Exchange"), s"assignment shuffles:\n${plan.take(1500)}")
+    assert(out.count() == 64L)
+  }
+
+  test("pqEncode is map-only: codebooks ride as literals, codes never shuffle") {
+    // the PQ encode pass runs over the full 100 TB corpus — it must plan
+    // as projections only (the assignBest rationale): argmin folds over
+    // per-subspace array literals, no join/window/sort-agg/exchange
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Seq.tabulate(8)(k => if (k == i % 4) 1f else 0.01f * ((i + k) % 3))))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.SimilarityFunctions.pqEncode(
+      vecs, vecs.where($"vec_id" < 4), m = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"encode plans a join:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"encode plans a window:\n${plan.take(1500)}")
+    assert(!plan.contains("SortAggregate"), s"argmin fell back to SortAggregate:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange"), s"encode shuffles:\n${plan.take(1500)}")
     assert(out.count() == 64L)
   }
 }
