@@ -655,6 +655,30 @@ object QueriesRelational {
              |ON a.user_id = b.user_id AND a.event_id < b.event_id
              |AND a.s <= b.e AND b.s <= a.e""".stripMargin)),
 
+    // EXACT edit-distance similarity join via PassJoin partition blocking
+    // (Li et al., PVLDB 2011): the indexed side emits its d+1 segments,
+    // the probe side every ±d-shifted substring that could contain one,
+    // and a residual levenshtein verifies candidates. The pigeonhole makes
+    // blocking complete (no false negatives), so the oracle is the naive
+    // all-pairs filter while the Spark plan is one equi-join on
+    // (length, segment-index, segment) — all-pairs never materializes.
+    Q("q_fuzzy_join",
+      (s, dir) => {
+        val c = T(s, dir, "customer")
+        graft.operators.FuzzyJoin.edJoin(
+            c.where(col("c_custkey") < 200)
+              .select(col("c_custkey").as("id1"), col("c_name").as("s1")),
+            c.select(col("c_custkey").as("id2"), col("c_name").as("s2")),
+            d = 1)
+          .where(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), col("dist"))
+      },
+      Some("""SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+             |  levenshtein(a.c_name, b.c_name) AS dist
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE a.c_custkey < 200
+             |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
+
     // the BandJoinRewrite optimizer rule under the driver gate: a
     // deliberately KEY-LESS |t1 - t2| <= 10min self-join (the shape Spark
     // plans as a nested-loop product) runs through the rewritten bucketed

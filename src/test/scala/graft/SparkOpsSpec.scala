@@ -207,6 +207,45 @@ class JoinPropertySpec extends AnyFunSuite {
           s"dir=$dir id=$id k=$k t=$t: got ${got(id)}, want ${brute(k, t, dir)}")
     }
   }
+
+  test("FuzzyJoin matches brute-force Levenshtein at d=1 and d=2") {
+    // variable lengths + shared stems force real insert/delete matches,
+    // not just same-length substitutions; the blocking must not lose any
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val alpha = "ab"
+    val strs = (1 to 80).map { i =>
+      val n = 3 + rng.nextInt(5)
+      (i.toLong, (0 until n).map(_ => alpha(rng.nextInt(alpha.length))).mkString)
+    }
+    val df = strs.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = graft.operators.FuzzyJoin.edJoin(
+          df.select(col("id").as("id1"), col("s").as("s1")),
+          df.select(col("id").as("id2"), col("s").as("s2")), d)
+        .where(col("id1") < col("id2"))
+        .select("id1", "id2", "dist").as[(Long, Long, Int)].collect().toSet
+      val exp = (for {
+        a <- strs; b <- strs
+        if a._1 < b._1
+        dist = lev(a._2, b._2)
+        if dist <= d
+      } yield (a._1, b._1, dist)).toSet
+      assert(got == exp,
+        s"d=$d missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+  }
 }
 
 class Interp1dJoinSpec extends AnyFunSuite {
