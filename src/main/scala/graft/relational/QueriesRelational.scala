@@ -609,6 +609,60 @@ object QueriesRelational {
              |WINDOW w AS (PARTITION BY user_id ORDER BY t
              |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // Autocorrelation of each event-type's value series at lags 1..3 —
+    // r_k = Σ dev_t·dev_{t+k} / Σ dev_t² over the (ts, event_id)-ordered
+    // series. Entirely in the exact-integer convention: values quantize to
+    // 1e-6 BIGINT, the mean quantizes through integer floor-division
+    // ((2S+n) div 2n — round-half-up, exact for the non-negative value
+    // domain), deviations stay BIGINT (products ≤ ~3e17, inside long; the
+    // wider-corpus escape is a coarser quantization), and the sums run in
+    // decimal(38,0)/HUGEINT — the final acf is the same division of the
+    // same integers on both engines, no FP accumulation anywhere. One
+    // window pass + one aggregation; lags fan out row-locally.
+    Q("q_acf",
+      (s, dir) => {
+        val ev = T(s, dir, "events").select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
+        val st = ev.groupBy("event_type").agg(count(lit(1)).as("n"), sum("vq").as("sv"))
+        val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        val dev = ev.join(broadcast(st), "event_type")
+          .withColumn("dev", col("vq") - expr("(2 * sv + n) div (2 * n)"))
+          .withColumn("d1", lead("dev", 1).over(w))
+          .withColumn("d2", lead("dev", 2).over(w))
+          .withColumn("d3", lead("dev", 3).over(w))
+        def p(a: String, b: String) =
+          sum((col(a).cast("decimal(19,0)") * col(b).cast("decimal(19,0)")))
+        val agg = dev.groupBy("event_type").agg(
+          p("dev", "dev").as("den"),
+          p("dev", "d1").as("n1"), p("dev", "d2").as("n2"), p("dev", "d3").as("n3"))
+        // the quotient truncates to 1e-9 units in EXACT integer arithmetic
+        // (Spark div == DuckDB // : both toward zero) — a double division
+        // of two >2^53 integers is 1-ulp engine-dependent, measured here
+        agg.select(col("event_type"), explode(array((1 to 3).map(k =>
+            struct(lit(k).as("lag"),
+              (expr(s"(n$k * 1000000000) div den").cast("double") / 1e9).as("acf"))): _*)).as("x"))
+          .select(col("event_type"), col("x.lag").as("lag"), col("x.acf").as("acf"))
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_ns(ts) AS tns, event_id,
+             |  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq FROM events),
+             |st AS (SELECT event_type, count(*) AS n, CAST(sum(vq) AS BIGINT) AS sv
+             |  FROM ev GROUP BY 1),
+             |d AS (SELECT e.event_type, e.tns, e.event_id,
+             |  e.vq - ((2 * st.sv + st.n) // (2 * st.n)) AS dev
+             |  FROM ev e JOIN st USING (event_type)),
+             |l AS (SELECT event_type, dev,
+             |  lead(dev, 1) OVER w AS d1, lead(dev, 2) OVER w AS d2,
+             |  lead(dev, 3) OVER w AS d3
+             |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY tns, event_id)),
+             |a AS (SELECT event_type, sum(dev::HUGEINT * dev) AS den,
+             |  sum(dev::HUGEINT * d1) AS n1, sum(dev::HUGEINT * d2) AS n2,
+             |  sum(dev::HUGEINT * d3) AS n3
+             |  FROM l GROUP BY 1)
+             |SELECT event_type, lag, acf FROM (
+             |  SELECT event_type, 1 AS lag, ((n1 * 1000000000) // den)::DOUBLE / 1e9 AS acf FROM a
+             |  UNION ALL SELECT event_type, 2, ((n2 * 1000000000) // den)::DOUBLE / 1e9 FROM a
+             |  UNION ALL SELECT event_type, 3, ((n3 * 1000000000) // den)::DOUBLE / 1e9 FROM a)""".stripMargin)),
+
     // Banded range join (time-proximity self-join): pairs of events by the
     // same user within 5 minutes, via RangeJoin's bucketed equi-join (the
     // naive inequality join is a nested loop — see RangeJoin scaladoc).
