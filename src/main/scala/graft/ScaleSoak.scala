@@ -268,6 +268,43 @@ object ScaleSoak {
         .where(col("l_id1") < col("r_id2")).count()
     }
 
+    /** FuzzyJoin at scale: 50k·n 12-char strings in (dist-1 twin) pairs —
+      * the md5-derived bases keep segment keys high-entropy, so blocking
+      * keys stay narrow and candidates/matches grow n×, not n². (A
+      * low-entropy corpus — shared long prefixes — degenerates PassJoin
+      * blocking to a hot key; that is a property of the data, not the
+      * plan, and the gate's Customer# corpus bounds it with a small probe
+      * side.) Probe fan-out is the constant (d+1)(2d+1)² per row; one
+      * equi-join shuffle + residual levenshtein. */
+    def fuzzyNames(n: Int): DataFrame =
+      spark.range(50000L * n).select(col("id"),
+        md5(concat(lit("fz"), floor(col("id") / 2).cast("string"))).substr(1, 12).as("base"))
+        .select(col("id"),
+          when(pmod(col("id"), lit(2)) === 0, col("base"))
+            .otherwise(concat(col("base").substr(1, 5), lit("z"), col("base").substr(7, 6)))
+            .as("s"))
+    def fuzzyRun(n: Int): Long = {
+      val d = fuzzyNames(n)
+      graft.operators.FuzzyJoin.edJoin(
+          d.select(col("id").as("id1"), col("s").as("s1")),
+          d.select(col("id").as("id2"), col("s").as("s2")), 1)
+        .where(col("id1") < col("id2")).count()
+    }
+
+    /** IVF-PQ at scale: quantizer + codebooks FIXED (offline-trained
+      * deployment constants) while the corpus grows n× — encode and cell
+      * assignment are map-only folds (linear), and the probed-cell ADC
+      * scan grows with cell width (∝ n at fixed cells) under one
+      * broadcast join. Anything superlinear here would mean the encode
+      * or probe shape regressed to a shuffle/sort. */
+    def ivfpqRun(n: Int): Long = {
+      val v = vecs(n)
+      graft.functions.SimilarityFunctions.ivfPqTopK(
+        emb0.where(col("vec_id") < 5), v,
+        emb0.where(col("vec_id") % 100 === 0),
+        emb0.where(col("vec_id") % 100 === 0), k = 10, nprobe = 2, m = 8).count()
+    }
+
     /** Gap fill at scale: users replicate ×n over the same time range, so
       * the (user, bucket) agg shuffle grows n× and the dense grid grows
       * n× (users × fixed bucket range) — linear end to end. */
@@ -294,7 +331,8 @@ object ScaleSoak {
       ("lsh_dedup", lshRun), ("pack_sequences", packRun), ("tiled_erosion3d", erodeRun),
       ("volume_zoom3d", zoomRun), ("semdedup", semdedupRun), ("kmeans_train", kmeansRun),
       ("remove_dup_spans", spanRun), ("gap_fill", gapRun),
-      ("sparse_cosine", sparseRun), ("interval_join", intervalRun))
+      ("sparse_cosine", sparseRun), ("interval_join", intervalRun),
+      ("fuzzy_join", fuzzyRun), ("ivfpq", ivfpqRun))
       .filter { case (name, _) => onlySoak.isEmpty || onlySoak(name) }
     // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
     pipelines.foreach { case (_, run) => run(1) }

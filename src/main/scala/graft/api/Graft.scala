@@ -427,6 +427,41 @@ object Graft {
     graft.operators.SparseSimJoin(posts, idCol, "term", "tf", maxDf, minCosine)
   }
 
+  /** Exact edit-distance pairs (Levenshtein <= d) between two string
+    * tables — record-linkage / near-identical-key matching. PassJoin
+    * partition blocking keeps it one equi-join + residual verify, never
+    * all-pairs; see operators.FuzzyJoin for the pigeonhole contract and
+    * the low-entropy-corpus caveat. Returns (id1, id2, dist). */
+  def fuzzyPairs(left: org.apache.spark.sql.DataFrame, leftId: String, leftStr: String,
+                 right: org.apache.spark.sql.DataFrame, rightId: String, rightStr: String,
+                 maxDist: Int = 1): org.apache.spark.sql.DataFrame =
+    graft.operators.FuzzyJoin.edJoin(left, right, maxDist,
+      leftId, leftStr, rightId, rightStr)
+
+  /** Product-quantization codes for an embedding column — m codebook
+    * indices per vector (one byte each at <= 256 entries; 32× compression
+    * of a 64-float embedding). `sample` is the codebook source (train
+    * per-subspace k-means offline at real scale); encode is a map-only
+    * fold. Returns (vec_id, codes). */
+  def pqCompress(corpus: org.apache.spark.sql.DataFrame,
+                 sample: org.apache.spark.sql.DataFrame, m: Int = 8,
+                 idCol: String = "vec_id", embCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    graft.functions.SimilarityFunctions.pqEncode(corpus, sample, m, idCol, embCol)
+      .select(col("vec_id"), col("codes"))
+
+  /** IVF-PQ approximate top-k — the compressed-index ANN search: IVF
+    * probe bounds the candidate cells, PQ asymmetric-distance tables make
+    * each candidate m integer lookups. See SimilarityFunctions.ivfPqTopK;
+    * measure recall (q_ann_recall pattern) before trusting parameters. */
+  def ivfPqSearch(queries: org.apache.spark.sql.DataFrame,
+                  corpus: org.apache.spark.sql.DataFrame,
+                  centroids: org.apache.spark.sql.DataFrame,
+                  sample: org.apache.spark.sql.DataFrame, k: Int,
+                  nprobe: Int = 2, m: Int = 8,
+                  idCol: String = "vec_id", embCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    graft.functions.SimilarityFunctions.ivfPqTopK(
+      queries, corpus, centroids, sample, k, nprobe, m, idCol, embCol)
+
   /** Fixed-point EWMA (alpha = 1/2) per key over a non-negative value
     * series: values scale to 1e-6 BIGINTs and fold through
     * s := (s + x) >> 1 in event-time order — bit-exact, re-run-stable
