@@ -163,22 +163,35 @@ object SimilarityFunctions {
   }
 
   /** Row-local max-cosine centroid assignment: the centroid set rides into
-    * every task as ONE array literal (the kmeansAssign O(cells·dim)
-    * driver-state convention — a coarse quantizer is small by definition)
-    * and each row folds over it with a higher-order `aggregate`, keeping
-    * the running best as a (ccos, -cid, cid) struct under `greatest`'s
-    * lexicographic ordering — max rounded cosine first, min cid on ties,
-    * exactly the old window's ORDER BY ccos DESC, cid rule.
+    * every task as driver state (the kmeansAssign O(cells·dim) convention
+    * — a coarse quantizer is small by definition) and each row argmaxes
+    * over it in the codegen'd [[graft.exprs.NearestCentroid]] primitive
+    * pass — max rounded cosine first, min cid on ties, exactly the old
+    * window's ORDER BY ccos DESC, cid rule.
     *
-    * Why a fold and not a join+argmax: the corpus × centroid crossJoin
+    * Why row-local and not a join+argmax: the corpus × centroid crossJoin
     * materializes N·k rows, and EVERY argmax shape over them sorts —
     * row_number windows sort each partition (9.4 GB spill at the x30
     * soak), and max(struct) falls back to SortAggregate because struct
-    * buffers aren't hash-aggregable. The fold is map-only: zero shuffle,
-    * zero spill, same O(N·k) dot products, and assignment cost scales
-    * embarrassingly with executors at 100 TB.
+    * buffers aren't hash-aggregable. Row-local assignment is map-only:
+    * zero shuffle, zero spill, and cost scales embarrassingly with
+    * executors at 100 TB. Why a native Expression and not the interpreted
+    * `aggregate` fold ([[assignBestHof]], the spec-pinned reference
+    * backend): per-centroid lambda evaluation is ~2 orders slower, and
+    * Catalyst pushes `isnotnull(<fold>)` null guards from downstream
+    * equi-joins INTO join conditions, re-evaluating the whole fold per
+    * joined pair (measured 40 s of a 43 s IVF-PQ soak point).
     * Input `v` must carry (vec_id, ce); returns (vec_id, ce, cid, ccos). */
-  private def assignBest(v: DataFrame, cenArr: Seq[(Long, Seq[Double])]): DataFrame = {
+  private def assignBest(v: DataFrame, cenArr: Seq[(Long, Seq[Double])]): DataFrame =
+    v.withColumn("b", graft.exprs.NearestCentroid.best(col("ce"), cenArr))
+      .select(col("vec_id"), col("ce"),
+        col("b.cid").as("cid"), col("b.ccos").as("ccos"))
+
+  /** The interpreted expression-tree form of [[assignBest]] (aggregate
+    * fold keeping the best (ccos, -cid, cid) struct under `greatest`) —
+    * the reference backend the agreement spec pins the codegen expression
+    * against. */
+  private[graft] def assignBestHof(v: DataFrame, cenArr: Seq[(Long, Seq[Double])]): DataFrame = {
     val cenLit = typedlit(cenArr)
     val zero = struct(lit(-2.0).as("ccos"),
       lit(Long.MinValue).as("ncid"), lit(-1L).as("cid"))
@@ -191,6 +204,11 @@ object SimilarityFunctions {
       .select(col("vec_id"), col("ce"),
         col("b.cid").as("cid"), col("b.ccos").as("ccos"))
   }
+
+  /** The codegen assignment on (vec_id, ce) frames — test hook mirroring
+    * [[assignBestHof]]'s signature. */
+  private[graft] def assignBestExpr(v: DataFrame, cenArr: Seq[(Long, Seq[Double])]): DataFrame =
+    assignBest(v, cenArr)
 
   /** SemDeDup-style semantic deduplication scoped to coarse-quantizer
     * cells (Abbas et al. 2023, arXiv:2303.09540): every vector joins its
@@ -360,15 +378,31 @@ object SimilarityFunctions {
     * each at ks ≤ 256), a 32× compression of a 64-float embedding. That is
     * the 100 TB story: the ADC scan ([[ivfPqTopK]]) touches ONLY codes.
     *
-    * Scale shape: codebooks ride as per-subspace array literals and each
-    * row folds to its argmin — map-only (the [[assignBest]] rationale),
-    * zero shuffle, embarrassingly parallel. Argmin compares the quantized
-    * integer distance with min-code ties — engine-deterministic. Subvector
-    * slices are pre-projected to plain attributes (the HOF-lambda hoisting
-    * rule — an outer subexpression inside a lambda re-evaluates per
-    * element). Returns (vec_id, codes array<long>, sub_0..sub_{m-1}). */
+    * Scale shape: map-only (the [[assignBest]] rationale), zero shuffle,
+    * embarrassingly parallel — and the hot path is the codegen'd
+    * [[graft.exprs.PqCodes]] expression: all m argmins in one primitive
+    * pass with the codebook as a constant `double[][][]` (the interpreted
+    * per-subspace HOF folds, kept as [[pqEncodeHof]] for the backend-
+    * agreement spec, pay ~m·ks lambda calls + allocations per row; the
+    * codegen pass + the NearestCentroid expression + the single-projection
+    * corpus pass took the x30 IVF-PQ soak point from 43 s to 3.8 s).
+    * Argmin compares the quantized integer distance with min-code ties —
+    * engine-deterministic, both paths bit-identical. Returns
+    * (vec_id, codes array<long>). */
   def pqEncode(corpus: DataFrame, sample: DataFrame, m: Int,
                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (_, books) = pqBooks(sample, m, idCol, embCol)
+    corpus.select(col(idCol).as("vec_id"),
+      graft.exprs.PqCodes.codes(col(embCol).cast("array<double>"), books).as("codes"))
+  }
+
+  /** The interpreted expression-tree form of [[pqEncode]] (per-subspace
+    * `aggregate` argmin folds over codebook literals, subvector slices
+    * pre-projected per the HOF-lambda hoisting rule) — the reference
+    * backend the PqCodesSpec agreement test pins against the codegen
+    * path. */
+  def pqEncodeHof(corpus: DataFrame, sample: DataFrame, m: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val (dsub, books) = pqBooks(sample, m, idCol, embCol)
     var df = corpus.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("ce"))
@@ -382,8 +416,7 @@ object SimilarityFunctions {
         e.getField("_1").as("j"))))
         .getField("j").as(s"c_$sub")
     }
-    df.select(col("vec_id") +: (0 until m).map(i => col(s"sub_$i")) :+
-      array(codeCols: _*).as("codes"): _*)
+    df.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
 
   /** IVF-PQ top-k: the inverted-file probe bounds WHICH vectors are
@@ -410,13 +443,14 @@ object SimilarityFunctions {
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     val (dsub, books) = pqBooks(sample, m, idCol, embCol)
-    // corpus side: IVF cell + PQ codes, both map-only folds
-    val cells = assignBest(
-      corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), cenArr)
-      .select(col("vec_id"), col("cid"))
-    val codes = pqEncode(corpus, sample, m, idCol, embCol)
-      .select(col("vec_id"), col("codes"))
-    val coded = cells.join(codes, Seq("vec_id"))
+    // corpus side: IVF cell + PQ codes in ONE projection — both are
+    // row-local codegen'd expressions, so a vec_id self-join between them
+    // would be a pure shuffle tax (and was: the original two-pass form
+    // paid a SortMergeJoin plus double expression evaluation)
+    val coded = corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
+      .select(col("vec_id"),
+        graft.exprs.NearestCentroid.best(col("ce"), cenArr).getField("cid").as("cid"),
+        graft.exprs.PqCodes.codes(col("ce").cast("array<double>"), books).as("codes"))
     // query side (small by contract): nprobe cells via the windowed argmax
     // (broadcast-sized, unlike the corpus fold), plus the ADC tables —
     // per subspace an array<long> indexed by code (books are j-ascending)

@@ -472,6 +472,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1L) == Seq(0L, 0L))
   }
 
+  test("nearest-centroid codegen path is bit-identical to the fold path") {
+    // adversarial inputs: random floats, negated copies, and a DUPLICATED
+    // centroid (exact ccos tie -> min cid must win on both paths).
+    // Zero-norm vectors are OUTSIDE the contract: under ANSI mode the
+    // interpreted fold raises DIVIDE_BY_ZERO on them (so no gate can ever
+    // have passed one), while the codegen path yields a NaN cosine.
+    val rng = new scala.util.Random(99)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(8)((rng.nextGaussian() * 0.4).toFloat)))
+    val vecs = (base ++ Seq(
+      (201L, base(5)._2.map(x => -x))))              // exact antipode
+      .toDF("vec_id", "embedding")
+    val spark2 = vecs.sparkSession
+    import spark2.implicits._
+    val cen = base.take(4).map { case (id, e) => (id, e.map(_.toDouble)) } ++
+      Seq((50L, base(0)._2.map(_.toDouble)))          // duplicate of centroid 0
+    val v = vecs.select($"vec_id", $"embedding".as("ce"))
+    val fast = SimilarityFunctions.assignBestExpr(v, cen)
+      .select($"vec_id", $"cid", $"ccos").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val slow = SimilarityFunctions.assignBestHof(v, cen)
+      .select($"vec_id", $"cid", $"ccos").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val diff = fast.keys.filter { k =>
+      val (fc, fv) = fast(k); val (sc, sv) = slow(k)
+      fc != sc || java.lang.Double.compare(fv, sv) != 0
+    }
+    assert(diff.isEmpty, s"mismatch at ${diff.take(3).map(k => (k, fast(k), slow(k)))}")
+    // the duplicated centroid (ids 0 and 50): vector 0 ties at ccos=1.0
+    // and must take the LOWER cid on both paths
+    assert(fast(0L)._1 == 0L)
+  }
+
+  test("pqEncode codegen path is bit-identical to the interpreted fold path") {
+    // pseudo-random floats plus exact codebook copies (zero-distance ties)
+    // and a duplicated sample vector (equal-distance tie -> lowest rank
+    // must win on BOTH paths)
+    val rng = new scala.util.Random(77)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(8)((rng.nextGaussian() * 0.3).toFloat)))
+    val dupes = Seq((100L, base(3)._2), (101L, base(3)._2)) // duplicate pair
+    val vecs = (base ++ dupes).toDF("vec_id", "embedding")
+    val sample = vecs.where($"vec_id" >= 100 || $"vec_id" < 6) // includes the dup twice
+    val fast = SimilarityFunctions.pqEncode(vecs, sample, m = 4)
+      .select($"vec_id", $"codes").as[(Long, Seq[Long])].collect().toMap
+    val slow = SimilarityFunctions.pqEncodeHof(vecs, sample, m = 4)
+      .select($"vec_id", $"codes").as[(Long, Seq[Long])].collect().toMap
+    assert(fast == slow, s"codegen vs fold mismatch: ${
+      fast.keys.filter(k => fast(k) != slow(k)).take(3).map(k => (k, fast(k), slow(k)))}")
+    // the duplicated sample vector occupies three codebook ranks (3, 6, 7);
+    // its copies must all code to the LOWEST rank in every subspace
+    assert(fast(100L) == fast(101L) && fast(100L) == fast(3L))
+  }
+
   test("ivfPqTopK ADC ranking equals exact L2 when quantization is lossless") {
     // corpus vectors ARE codebook entries (every vector sampled), so the
     // ADC distance is the quantized true distance and the PQ ranking must
