@@ -1233,6 +1233,118 @@ object QueriesText {
            |FROM ranked WHERE rank <= 3""".stripMargin
       }),
 
+    // IVF-PQ recall@10 against the exact cosine top-10 — the measurement
+    // the ivfPqTopK scaladoc demands before trusting a parameterization
+    // (the q_ann_recall pattern: both sides rank engine-deterministically,
+    // recall is an exact integer count over deterministic sets). The
+    // metric mismatch is intentional and realistic: the index ranks by
+    // quantized L2 while ground truth is cosine — recall measures probe
+    // loss AND quantization/metric loss together, and at the gate's
+    // deliberately UNTRAINED id-sample codebooks it reads ~0.11: exactly
+    // the number this harness exists to surface before deployment
+    // (trained per-subspace k-means codebooks and more probes raise it).
+    Q("q_pq_recall",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        val exact = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+          .withColumn("cos", round(graft.functions.SimilarityFunctions.cosine(
+            col("qe"), col("ce")), 6))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val approx = graft.functions.SimilarityFunctions.ivfPqTopK(
+            e.where(col("vec_id") < 20), e,
+            e.where(col("vec_id") % 100 === 0),
+            e.where(col("vec_id") % 100 === 0), k = 10, nprobe = 2, m = 8)
+          .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("qid"), col("n_hit"),
+            round(col("n_hit") / 10.0, 4).as("recall"))
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        val diff = "(CAST(v.embedding[s.s*8+k] AS DOUBLE) - CAST(cb.cemb[s.s*8+k] AS DOUBLE))"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |qs AS (SELECT vec_id, embedding FROM v WHERE vec_id < 20),
+           |ex AS (SELECT q.vec_id AS qid, c.vec_id AS vid, ${cos("q.embedding", "c.embedding")} AS cos
+           |  FROM qs q JOIN v c ON q.vec_id != c.vec_id),
+           |ek AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM ex)
+           |  WHERE rk <= 10),
+           |cen AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |casn AS (SELECT v.vec_id, cen.cid, ${cos("v.embedding", "cen.cemb")} AS ccos
+           |  FROM v CROSS JOIN cen),
+           |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr FROM casn)
+           |  WHERE cr = 1),
+           |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr
+           |  FROM casn WHERE vec_id < 20) WHERE cr <= 2),
+           |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           |  embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |d AS (SELECT v.vec_id, s.s, cb.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> $diff * $diff)) * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM v CROSS JOIN range(0, 8) s(s) CROSS JOIN cb),
+           |best AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d)
+           |  WHERE r = 1),
+           |adist AS (SELECT p.qid, c.vec_id AS vid, SUM(qd.d2q)::BIGINT AS adq
+           |  FROM probes p JOIN cells c ON c.cid = p.cid AND c.vec_id != p.qid
+           |  JOIN best b ON b.vec_id = c.vec_id
+           |  JOIN d qd ON qd.vec_id = p.qid AND qd.s = b.s AND qd.j = b.j
+           |  GROUP BY 1, 2),
+           |ak AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY adq, vid) AS rk FROM adist)
+           |  WHERE rk <= 10)
+           |SELECT ek.qid, count(ak.vid)::BIGINT AS n_hit,
+           |  round(count(ak.vid) / 10.0, 4) AS recall
+           |FROM ek LEFT JOIN ak ON ak.qid = ek.qid AND ak.vid = ek.vid
+           |GROUP BY ek.qid""".stripMargin
+      }),
+
+    // Embedding-space decontamination (the semantic counterpart of
+    // q_decontaminate's n-gram scrub): drop training vectors whose cosine
+    // to ANY eval vector reaches tau. The eval side is small by contract
+    // and broadcasts — the 100 TB side is one map-scored semi-join, no
+    // shuffle. Survivor ids hash under the oracle.
+    Q("q_embed_decontaminate",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val eval0 = e.where(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("eid"), col("embedding").as("ee"))
+        val train = e.where(col("vec_id") % 40 =!= 0)
+          .select(col("vec_id"), col("embedding").as("ce"))
+        val hits = train.join(broadcast(eval0),
+          round(graft.functions.SimilarityFunctions.cosine(col("ce"), col("ee")), 6) >= 0.35,
+          "left_semi")
+        train.join(hits.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"))
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        // an uncorrelated NOT IN: DuckDB list lambdas cannot capture a
+        // correlated outer column, so the cosine must live in a JOIN
+        // condition, not inside NOT EXISTS
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |ev AS (SELECT vec_id, embedding FROM v WHERE vec_id % 40 = 0),
+           |tr AS (SELECT vec_id, embedding FROM v WHERE vec_id % 40 != 0),
+           |hit AS (SELECT DISTINCT a.vec_id FROM tr a JOIN ev e
+           |  ON ${cos("a.embedding", "e.embedding")} >= 0.35)
+           |SELECT vec_id FROM tr WHERE vec_id NOT IN (SELECT vec_id FROM hit)""".stripMargin
+      }),
+
     // ---- backend dispatch (/root/reference/imops/backend.py:7-95) ----
     // The same minhash signature computed through BOTH execution backends
     // via the facade's conf-scoped dispatch (`withBackend` = the
