@@ -162,6 +162,46 @@ object NearestCentroid {
     else java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** The shared argmax kernel: (best id, best rounded cosine) of `arr`
+    * against id-ascending (ids, cents, norms) — the exact loop the
+    * NearestCentroid codegen emits, exposed for expressions whose
+    * centroid set is row-dependent ([[NearestCentroidByCell]]) and so
+    * cannot bake the loops at codegen time. Empty set → (-1, -2.0). */
+  def bestRow(arr: ArrayData, isFloat: Boolean, ids: Array[Long],
+              cents: Array[Array[Double]], norms: Array[Double]): InternalRow = {
+    val n = arr.numElements()
+    var da = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        da += x * x
+      }
+      i += 1
+    }
+    val na = math.sqrt(da)
+    var bestCos = -2.0
+    var bestCid = -1L
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val lim = math.min(n, c.length)
+      var dot = 0.0
+      var k = 0
+      while (k < lim) {
+        if (!arr.isNullAt(k)) {
+          val x = if (isFloat) arr.getFloat(k).toDouble else arr.getDouble(k)
+          dot += x * c(k)
+        }
+        k += 1
+      }
+      val r = round6(dot / (na * norms(j)))
+      if (java.lang.Double.compare(r, bestCos) > 0) { bestCos = r; bestCid = ids(j) }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](bestCid, bestCos))
+  }
+
   /** Column wrapper: struct(cid, ccos) of the max-cosine centroid among
     * `cen` (iterated in the given order — pass id-ascending for the
     * min-id tie rule). */

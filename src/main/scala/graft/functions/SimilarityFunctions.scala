@@ -321,19 +321,14 @@ object SimilarityFunctions {
       .as[(Long, Long, Seq[Double])].collect()
       .groupBy(_._1).map { case (c, rs) =>
         c -> rs.map(r => (r._2, r._3)).sortBy(_._1).toSeq }
-    val fineLit = typedlit(fineByCell)
-    val zero = struct(lit(-2.0).as("fcos"),
-      lit(Long.MinValue).as("nfid"), lit(-1L).as("fid"))
-    val best = aggregate(
-      coalesce(element_at(fineLit, col("cid")),
-        typedlit(Seq.empty[(Long, Seq[Double])])),
-      zero, (acc, f) =>
-        greatest(acc, struct(
-          round(cosine(col("ce"), f.getField("_2")), 6).as("fcos"),
-          (-f.getField("_1")).as("nfid"),
-          f.getField("_1").as("fid"))))
+    // fine argmax rides the codegen'd per-cell expression (binary-search
+    // cell lookup + the shared bestRow kernel) — the interpreted
+    // `aggregate` over `element_at(<map literal>, cid)` it replaces is the
+    // same cost class the IVF-PQ soak caught Catalyst duplicating into
+    // join conditions (see assignBest's scaladoc)
     assignBest(corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), coarseArr)
-      .withColumn("fb", best)
+      .withColumn("fb",
+        graft.exprs.NearestCentroidByCell.best(col("ce"), col("cid"), fineByCell))
       .select(col("vec_id"), col("cid"), col("ccos"),
         col("fb.fid").as("fid"), col("fb.fcos").as("fcos"))
   }
@@ -419,6 +414,27 @@ object SimilarityFunctions {
     df.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
 
+  /** The compressed-index build pass: IVF cell + PQ codes of every corpus
+    * vector in ONE map-only projection (both are codegen'd row-local
+    * expressions — see [[assignBest]] / [[pqEncode]]). This is the pass
+    * that runs over the full 100 TB corpus, and being stateless it
+    * composes unchanged onto a streaming source (a continuously-ingesting
+    * index build). Returns (vec_id, cid, codes). */
+  def pqCells(corpus: DataFrame, centroids: DataFrame, sample: DataFrame,
+              m: Int = 8, idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    val s = centroids.sparkSession
+    import s.implicits._
+    val cenArr = centroids
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val (_, books) = pqBooks(sample, m, idCol, embCol)
+    corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
+      .select(col("vec_id"),
+        graft.exprs.NearestCentroid.best(col("ce"), cenArr).getField("cid").as("cid"),
+        graft.exprs.PqCodes.codes(col("ce").cast("array<double>"), books).as("codes"))
+  }
+
   /** IVF-PQ top-k: the inverted-file probe bounds WHICH vectors are
     * scored ([[ivfTopK]]'s cell assignment — max-cosine centroid, queries
     * probe `nprobe` cells) and PQ asymmetric distance computation bounds
@@ -443,14 +459,11 @@ object SimilarityFunctions {
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     val (dsub, books) = pqBooks(sample, m, idCol, embCol)
-    // corpus side: IVF cell + PQ codes in ONE projection — both are
-    // row-local codegen'd expressions, so a vec_id self-join between them
-    // would be a pure shuffle tax (and was: the original two-pass form
-    // paid a SortMergeJoin plus double expression evaluation)
-    val coded = corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
-      .select(col("vec_id"),
-        graft.exprs.NearestCentroid.best(col("ce"), cenArr).getField("cid").as("cid"),
-        graft.exprs.PqCodes.codes(col("ce").cast("array<double>"), books).as("codes"))
+    // corpus side: [[pqCells]] — IVF cell + PQ codes in ONE projection;
+    // a vec_id self-join between the two row-local columns would be a
+    // pure shuffle tax (and was: the original two-pass form paid a
+    // SortMergeJoin plus double expression evaluation)
+    val coded = pqCells(corpus, centroids, sample, m, idCol, embCol)
     // query side (small by contract): nprobe cells via the windowed argmax
     // (broadcast-sized, unlike the corpus fold), plus the ADC tables —
     // per subspace an array<long> indexed by code (books are j-ascending)

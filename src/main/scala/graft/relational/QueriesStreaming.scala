@@ -166,6 +166,54 @@ object QueriesStreaming {
               |SELECT band, h, min(doc_id) AS keep_id, count(*) AS n_docs
               |FROM bands GROUP BY band, h""".stripMargin)),
 
+    // Streaming compressed-index build: every incoming embedding gets its
+    // IVF cell and PQ codes through the STATELESS pqCells projection (the
+    // codegen'd NearestCentroid/PqCodes expressions compose unchanged onto
+    // a stream — quantizer and codebooks are driver literals, trained
+    // offline in deployment), then ONE stateful rollup per (cell, first
+    // subspace code): the continuously-ingesting ANN-index shape. State is
+    // O(cells × ks) forever. Composition of the streaming surface with
+    // the IVF-PQ surface; the oracle replays assignment + subspace-0
+    // argmin in batch SQL.
+    Q("q_stream_pq_cells",
+      (s, dir) => {
+        val schema = T.rawSchema(s, dir, "embeddings")
+        val cen = T(s, dir, "embeddings").where(col("vec_id") % 100 === 0)
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val agg = graft.functions.SimilarityFunctions.pqCells(src, cen, cen, m = 8)
+          .select(col("vec_id"), col("cid"), element_at(col("codes"), 1).as("c0"))
+          .groupBy("cid", "c0")
+          .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_id"))
+        StreamingOps.runAvailableNow(agg, "q_stream_pq_cells")
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        val diff = "(CAST(v.embedding[k] AS DOUBLE) - CAST(cb.cemb[k] AS DOUBLE))"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |cen AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |casn AS (SELECT v.vec_id, cen.cid, ${cos("v.embedding", "cen.cemb")} AS ccos
+           |  FROM v CROSS JOIN cen),
+           |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr FROM casn)
+           |  WHERE cr = 1),
+           |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           |  embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |d0 AS (SELECT v.vec_id, cb.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> $diff * $diff)) * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM v CROSS JOIN cb),
+           |best0 AS (SELECT vec_id, j FROM (SELECT vec_id, j,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d2q, j) AS r FROM d0)
+           |  WHERE r = 1)
+           |SELECT c.cid, b.j AS c0, count(*) AS n_vectors, min(c.vec_id) AS min_id
+           |FROM cells c JOIN best0 b USING (vec_id)
+           |GROUP BY 1, 2""".stripMargin
+      }),
+
     // Gap-based session windows as a streaming merging-window aggregation.
     // Spark only supports append mode for session windows, so with a
     // 0-second watermark exactly the sessions whose end (last event +
