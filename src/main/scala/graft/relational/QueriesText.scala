@@ -363,7 +363,9 @@ object QueriesText {
              |  JOIN rp b ON b.term = a.term AND a.id < b.id),
              |n AS (SELECT id, sum(tf * tf) AS n2 FROM p GROUP BY 1),
              |dots AS (SELECT c.id1, c.id2, sum(x.tf * y.tf) AS dot FROM cand c
-             |  JOIN p x ON x.id = c.id1 JOIN p y ON y.id = c.id2 AND y.term = x.term
+             |  JOIN p x ON x.id = c.id1 JOIN p y ON y.id = c.id2
+             |  AND ('0x' || substr(md5(y.term), 1, 15))::BIGINT
+             |    = ('0x' || substr(md5(x.term), 1, 15))::BIGINT
              |  GROUP BY 1, 2),
              |cos AS (SELECT d.id1, d.id2, d.dot::BIGINT AS dot,
              |  round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine

@@ -787,6 +787,27 @@ class SparseSimJoinSpec extends AnyFunSuite {
     assert(row.length == 1 && row(0)._1 == 7L)
     assert(math.abs(row(0)._2 - 7.0 / math.sqrt(50.0)) < 1e-6)
   }
+
+  test("packed-array plan matches the row-join reference plan on random postings") {
+    // small vocabulary + skewed tfs: dense term collisions exercise the
+    // merge-intersection against the term-equality join, including pairs
+    // whose shared-term sets mix rare (blocking) and common terms
+    val rng = new scala.util.Random(1234)
+    val vocab = (0 until 30).map(i => f"t$i%02d")
+    val rows = for {
+      id <- 1L to 40L
+      t <- rng.shuffle(vocab).take(3 + rng.nextInt(6))
+    } yield (id, t, 1L + rng.nextInt(4))
+    val p = rows.toDF("id", "term", "tf")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id1", $"id2", $"dot", $"cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val fast = key(graft.operators.SparseSimJoin(p, "id", "term", "tf", 6, 0.1))
+    val slow = key(graft.operators.SparseSimJoin.applyRowJoin(p, "id", "term", "tf", 6, 0.1))
+    assert(fast == slow,
+      s"missing=${(slow -- fast).take(3)} extra=${(fast -- slow).take(3)}")
+    assert(fast.nonEmpty, "degenerate test: no candidate pairs at all")
+  }
 }
 
 class CdcChunksSpec extends AnyFunSuite {
