@@ -438,6 +438,28 @@ object Graft {
     graft.operators.FuzzyJoin.edJoin(left, right, maxDist,
       leftId, leftStr, rightId, rightStr)
 
+  /** Fuzzy-key dedup clusters: connected components of the Levenshtein-
+    * <= maxDist pair graph (the [[fuzzyPairs]] × GraphCC composition —
+    * record linkage's transitive-closure step). Cluster label = min id of
+    * the component. Returns (id, cluster, cluster_size). */
+  def fuzzyDedupClusters(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         strCol: String, maxDist: Int = 1): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("nm"))
+    val pairs = graft.operators.FuzzyJoin.edJoin(
+        base.select(col("id").as("id1"), col("nm").as("s1")),
+        base.select(col("id").as("id2"), col("nm").as("s2")), maxDist)
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    val labels = graft.operators.GraphCC.minLabels(
+      base.select(col("id")).as[Long].rdd,
+      pairs.as[(Long, Long)].rdd)(s)
+    val comp = base.select(col("id")).join(labels.toDF("id", "cluster"), Seq("id"))
+    comp.join(comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size")), Seq("cluster"))
+      .select(col("id"), col("cluster"), col("cluster_size"))
+  }
+
   /** Product-quantization codes for an embedding column — m codebook
     * indices per vector (one byte each at <= 256 entries; 32× compression
     * of a 64-float embedding). `sample` is the codebook source (train

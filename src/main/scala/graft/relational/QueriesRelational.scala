@@ -733,6 +733,30 @@ object QueriesRelational {
              |WHERE a.c_custkey < 200
              |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
 
+    // Fuzzy-key dedup clusters: transitive closure over the Levenshtein-1
+    // pair graph (FuzzyJoin × GraphCC — record linkage's dedup step). The
+    // mod-37 id slice keeps the graph NON-degenerate: zero-padded decimal
+    // names chain into one giant component under any contiguous or
+    // single-digit-aligned slice (every ±1-digit neighbor is distance 1),
+    // while 37k/37k+1 twins sit ≥2 digits from other groups — many small
+    // clusters, including size-1 singletons where the twin crosses a
+    // carry (…59 → …60 is TWO substitutions). The oracle replays the
+    // closure as a recursive CTE.
+    Q("q_fuzzy_clusters",
+      (s, dir) => graft.api.Graft.fuzzyDedupClusters(
+        T(s, dir, "customer").where(col("c_custkey") % 37 <= 1),
+        "c_custkey", "c_name", maxDist = 1),
+      Some("""WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS nm
+             |  FROM customer WHERE c_custkey % 37 <= 1),
+             |e AS (SELECT a.id AS s, b.id AS t FROM c a JOIN c b
+             |  ON a.id <> b.id AND levenshtein(a.nm, b.nm) <= 1),
+             |reach(s, t) AS (SELECT id, id FROM c
+             |  UNION SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
+             |comp AS (SELECT s AS id, min(t) AS cluster FROM reach GROUP BY s),
+             |sz AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY 1)
+             |SELECT comp.id, comp.cluster, sz.cluster_size
+             |FROM comp JOIN sz USING (cluster)""".stripMargin)),
+
     // the BandJoinRewrite optimizer rule under the driver gate: a
     // deliberately KEY-LESS |t1 - t2| <= 10min self-join (the shape Spark
     // plans as a nested-loop product) runs through the rewritten bucketed
