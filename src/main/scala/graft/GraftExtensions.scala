@@ -22,8 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     // optimizer surface: key-less |l.t - r.t| <= w joins re-plan from
-    // nested-loop to the bucketed hash join (see BandJoinRewrite)
+    // nested-loop to the bucketed hash join (see BandJoinRewrite), and
+    // key-less levenshtein(l.s, r.s) <= d joins re-plan to the PassJoin
+    // blocked equi-join with a canonical-witness exactly-once predicate
+    // (see FuzzyJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.FuzzyJoinRewrite)
   }
 }
 

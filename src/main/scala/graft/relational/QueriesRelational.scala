@@ -757,6 +757,38 @@ object QueriesRelational {
              |SELECT comp.id, comp.cluster, sz.cluster_size
              |FROM comp JOIN sz USING (cluster)""".stripMargin)),
 
+    // The FuzzyJoinRewrite optimizer rule under the driver gate (the
+    // q_band_rewrite pattern): a deliberately NAIVE key-less
+    // levenshtein(n1, n2) <= 1 join — the shape Spark plans as a
+    // nested-loop product — must re-plan through the PassJoin blocked
+    // equi-join (with the canonical-witness exactly-once predicate) and
+    // match DuckDB's naive evaluation. The gate throws if the rewrite
+    // stopped firing, so it can't silently regress to the product plan
+    // and still pass.
+    Q("q_fuzzy_rewrite",
+      (s, dir) => {
+        if (!s.experimental.extraOptimizations.contains(graft.plans.FuzzyJoinRewrite))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.FuzzyJoinRewrite
+        val c = T(s, dir, "customer")
+        val l = c.where(col("c_custkey") < 150)
+          .select(col("c_custkey").as("id1"), col("c_name").as("n1"))
+        val r = c.select(col("c_custkey").as("id2"), col("c_name").as("n2"))
+        val joined = l.join(r, levenshtein(col("n1"), col("n2")) <= 1)
+          .where(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            levenshtein(col("n1"), col("n2")).as("dist"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          "FuzzyJoinRewrite did not fire; levenshtein join planned as a product")
+        joined
+      },
+      Some("""SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+             |  levenshtein(a.c_name, b.c_name) AS dist
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE a.c_custkey < 150
+             |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
+
     // the BandJoinRewrite optimizer rule under the driver gate: a
     // deliberately KEY-LESS |t1 - t2| <= 10min self-join (the shape Spark
     // plans as a nested-loop product) runs through the rewritten bucketed

@@ -452,6 +452,92 @@ class BandJoinRewriteSpec extends AnyFunSuite {
   }
 }
 
+class FuzzyJoinRewriteSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def withRule[T](body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ graft.plans.FuzzyJoinRewrite
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
+  private def withoutRule[T](body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ eq graft.plans.FuzzyJoinRewrite)
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
+  // substitutions, inserts, deletes, a shared stem, and a DUPLICATE row:
+  // the rewrite's canonical witness must keep exactly one candidate per
+  // joined ROW INSTANCE, so duplicate inputs still produce duplicate
+  // output rows like the nested loop does
+  private val a = Seq((1L, "kitten"), (2L, "sittin"), (3L, "kitte"),
+    (4L, "abc"), (5L, "kittenxy"), (6L, "kitten")).toDF("ida", "sa")
+  private val b = Seq((10L, "kitten"), (20L, "sitten"), (30L, "kittens"),
+    (40L, "abd"), (50L, "zzz")).toDF("idb", "sb")
+
+  test("key-less levenshtein join re-plans from nested-loop to hash join") {
+    val expected = withoutRule {
+      val naive = a.join(b, levenshtein(col("sa"), col("sb")) <= 1)
+      assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "precondition: without the rule this is a nested-loop join")
+      naive.select("ida", "idb").as[(Long, Long)].collect().sorted
+    }
+    withRule {
+      val rewritten = a.join(b, levenshtein(col("sa"), col("sb")) <= 1)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"fuzzy join not rewritten:\n${plan.take(2000)}")
+      val got = rewritten.select("ida", "idb").as[(Long, Long)].collect().sorted
+      assert(got.toSeq == expected.toSeq,
+        s"rewrite changed the join result: got ${got.toSeq}, want ${expected.toSeq}")
+      assert(expected.length >= 8, s"test data too weak: ${expected.toSeq}")
+    }
+  }
+
+  test("d=2 window admits insert+substitution pairs the d=1 window cannot") {
+    val expected = withoutRule {
+      a.join(b, levenshtein(col("sa"), col("sb")) <= 2)
+        .select("ida", "idb").as[(Long, Long)].collect().sorted
+    }
+    withRule {
+      val rewritten = a.join(b, levenshtein(col("sa"), col("sb")) <= 2)
+      assert(!rewritten.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      val got = rewritten.select("ida", "idb").as[(Long, Long)].collect().sorted
+      assert(got.toSeq == expected.toSeq)
+      assert(expected.length > 8, "d=2 must admit strictly more pairs")
+    }
+  }
+
+  test("strict < folds to <= d-1 with exclusive semantics kept") {
+    withRule {
+      val strict = a.join(b, levenshtein(col("sa"), col("sb")) < 2)
+      assert(!strict.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      val got = strict.select("ida", "idb").as[(Long, Long)].collect().sorted
+      val expected = withoutRule {
+        a.join(b, levenshtein(col("sa"), col("sb")) <= 1)
+          .select("ida", "idb").as[(Long, Long)].collect().sorted
+      }
+      assert(got.toSeq == expected.toSeq)
+    }
+  }
+
+  test("equi-joins and over-threshold bounds are left alone") {
+    withRule {
+      val equi = a.join(b, col("ida") === col("idb") &&
+        levenshtein(col("sa"), col("sb")) <= 1)
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("_graft_fj_"),
+        "rule fired on an equi-join")
+      val wide = a.join(b, levenshtein(col("sa"), col("sb")) <= 9)
+      assert(!wide.queryExecution.optimizedPlan.toString.contains("_graft_fj_"),
+        "rule fired past the d <= 3 fan-out cap")
+    }
+  }
+}
+
 class TensorSourceSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
 
