@@ -471,6 +471,16 @@ object Graft {
     graft.functions.SimilarityFunctions.pqEncode(corpus, sample, m, idCol, embCol)
       .select(col("vec_id"), col("codes"))
 
+  /** Per-subspace Lloyd training of PQ codebooks — returns a codebook
+    * table shaped like a sample (rank id + concatenated subvectors),
+    * passed straight as the `sample` of [[pqCompress]] / [[ivfPqSearch]].
+    * Measure what training buys with the q_pq_recall harness. */
+  def pqTrainCodebooks(corpus: org.apache.spark.sql.DataFrame,
+                       init: org.apache.spark.sql.DataFrame, m: Int = 8,
+                       iters: Int = 2, idCol: String = "vec_id",
+                       embCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    graft.functions.SimilarityFunctions.pqTrain(corpus, init, m, iters, idCol, embCol)
+
   /** IVF-PQ approximate top-k — the compressed-index ANN search: IVF
     * probe bounds the candidate cells, PQ asymmetric-distance tables make
     * each candidate m integer lookups. See SimilarityFunctions.ivfPqTopK;

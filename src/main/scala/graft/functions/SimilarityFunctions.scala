@@ -391,6 +391,52 @@ object SimilarityFunctions {
       graft.exprs.PqCodes.codes(col(embCol).cast("array<double>"), books).as("codes"))
   }
 
+  /** Per-subspace Lloyd refinement of PQ codebooks — the trainer that
+    * turns an id-sample initialization into real codebooks (the
+    * q_pq_recall harness measures what that buys). Classic [[kmeansAssign]]
+    * shape per subspace, all m subspaces in each pass: encode the corpus
+    * with the current books (one codegen'd map pass), refit every
+    * (subspace, code) entry to the mean of its assigned subvectors — ONE
+    * groupBy over (subspace, code, component), O(m·ks·dsub) driver state —
+    * with means rounded to 6 places (engine-reproducible) and empty codes
+    * keeping their previous entry. `iters` encode passes run with
+    * `iters - 1` refits between them.
+    *
+    * Returns the trained codebook as a DataFrame shaped exactly like a
+    * sample table (vec_id = codebook rank, embedding = the concatenated
+    * subvectors) — pass it straight as the `sample` of [[pqEncode]] /
+    * [[ivfPqTopK]] / [[pqCells]]. */
+  def pqTrain(corpus: DataFrame, sample: DataFrame, m: Int, iters: Int = 2,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    var (dsub, books) = pqBooks(sample, m, idCol, embCol)
+    val v = corpus.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("ce"))
+    for (_ <- 1 until math.max(1, iters)) {
+      val enc = v.select(col("ce"),
+        graft.exprs.PqCodes.codes(col("ce"), books).as("codes"))
+      val refit = enc
+        .select(col("codes"), posexplode(col("ce")).as(Seq("k", "x")))
+        .select((col("k") / dsub).cast("int").as("s"),
+          pmod(col("k"), lit(dsub)).as("kk"), col("codes"), col("x"))
+        .select(col("s"), col("kk"),
+          element_at(col("codes"), col("s") + 1).as("j"), col("x"))
+        .groupBy("s", "j", "kk")
+        .agg(round(avg(col("x")), 6).as("mu"))
+        .as[(Int, Long, Int, Double)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case ((sub, j), rs) => (sub, j) -> rs.sortBy(_._3).map(_._4).toSeq }
+      books = books.zipWithIndex.map { case (book, sub) =>
+        book.map { case (j, old) => (j, refit.getOrElse((sub, j), old)) }
+      }
+    }
+    val ks = books.head.length
+    (0 until ks).map { j =>
+      (j.toLong, (0 until m).flatMap(sub => books(sub)(j.toInt)._2))
+    }.toDF(idCol, embCol)
+  }
+
   /** The interpreted expression-tree form of [[pqEncode]] (per-subspace
     * `aggregate` argmin folds over codebook literals, subvector slices
     * pre-projected per the HOF-lambda hoisting rule) — the reference

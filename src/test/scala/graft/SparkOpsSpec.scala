@@ -526,6 +526,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fast(100L) == fast(101L) && fast(100L) == fast(3L))
   }
 
+  test("pqTrain cuts reconstruction error by an order of magnitude") {
+    // 8 well-separated anchor directions; the first 16 ids (the untrained
+    // initialization) sit in only TWO clusters by construction, so the
+    // untrained codebooks waste most entries on two patterns. Lloyd refit
+    // must spread them: assert on quantization MSE — the objective Lloyd
+    // optimizes, deterministic and dramatic here (measured 38 -> ~1, the
+    // per-vector jitter floor). Recall deltas are deliberately NOT the
+    // assertion: within-cluster fine ranking sits at the jitter scale
+    // where ADC noise dominates for ANY codebook, and the realistic
+    // recall measurement (vs exact cosine) is the gated q_pq_recall
+    // harness.
+    val rng = new scala.util.Random(2024)
+    val dim = 16
+    val m = 4; val dsub = 4
+    val anchors = (0 until 8).map(c => Seq.tabulate(dim)(k =>
+      if (k % 8 == c) 4f else 0f))
+    def jitter(a: Seq[Float]) = a.map(x => x + (rng.nextGaussian() * 0.3).toFloat)
+    val vecs = (0 until 240).map { i =>
+      val c = if (i < 16) i % 2 else i % 8
+      (i.toLong, jitter(anchors(c)))
+    }.toDF("vec_id", "embedding")
+    val init = vecs.where($"vec_id" < 16)
+    def mse(sample: org.apache.spark.sql.DataFrame): Double = {
+      val books = sample
+        .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      val bk = (0 until m).map(s => books.map(_._2.slice(s * dsub, (s + 1) * dsub)))
+      val data = vecs.select($"vec_id", $"embedding".cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+      data.map { case (_, e) =>
+        (0 until m).map { s =>
+          val sub = e.slice(s * dsub, (s + 1) * dsub)
+          bk(s).map(c => sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum / data.length
+    }
+    val before = mse(init)
+    val after = mse(SimilarityFunctions.pqTrain(vecs, init, m = m, iters = 3))
+    assert(after < before / 10.0,
+      s"Lloyd refit must collapse the quantization error: before=$before after=$after")
+    // and the trained table feeds the encode path unchanged
+    val enc = SimilarityFunctions.pqEncode(vecs,
+      SimilarityFunctions.pqTrain(vecs, init, m = m, iters = 2), m = m)
+    assert(enc.count() == 240L)
+  }
+
   test("ivfPqTopK ADC ranking equals exact L2 when quantization is lossless") {
     // corpus vectors ARE codebook entries (every vector sampled), so the
     // ADC distance is the quantized true distance and the PQ ranking must
