@@ -339,7 +339,7 @@ object SimilarityFunctions {
     * ascending-index fold (engine-identical IEEE order), then the repo's
     * exact-integer convention — ×1e6, half-up, BIGINT — so every
     * comparison/sum built on it is order- and engine-deterministic. */
-  private def d2q(a: Column, b: Column): Column =
+  private[graft] def d2q(a: Column, b: Column): Column =
     floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x) * 1e6 + lit(0.5)).cast("long")
 
@@ -481,6 +481,11 @@ object SimilarityFunctions {
         graft.exprs.PqCodes.codes(col("ce").cast("array<double>"), books).as("codes"))
   }
 
+  /** [[pqBooks]] for the sibling [[PqIndex]] builder. */
+  private[graft] def pqBooksFor(sample: DataFrame, m: Int, idCol: String,
+                                embCol: String): (Int, IndexedSeq[Seq[(Long, Seq[Double])]]) =
+    pqBooks(sample, m, idCol, embCol)
+
   /** IVF-PQ top-k: the inverted-file probe bounds WHICH vectors are
     * scored ([[ivfTopK]]'s cell assignment — max-cosine centroid, queries
     * probe `nprobe` cells) and PQ asymmetric distance computation bounds
@@ -499,24 +504,47 @@ object SimilarityFunctions {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                 sample: DataFrame, k: Int, nprobe: Int = 2, m: Int = 8,
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val s = corpus.sparkSession
-    import s.implicits._
-    val cenArr = centroids
-      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-    val (dsub, books) = pqBooks(sample, m, idCol, embCol)
+    val idx = PqIndex.build(centroids, sample, m, idCol, embCol)
     // corpus side: [[pqCells]] — IVF cell + PQ codes in ONE projection;
     // a vec_id self-join between the two row-local columns would be a
     // pure shuffle tax (and was: the original two-pass form paid a
     // SortMergeJoin plus double expression evaluation)
-    val coded = pqCells(corpus, centroids, sample, m, idCol, embCol)
-    // query side (small by contract): nprobe cells via the windowed argmax
-    // (broadcast-sized, unlike the corpus fold), plus the ADC tables —
-    // per subspace an array<long> indexed by code (books are j-ascending)
+    idx.search(queries, idx.encode(corpus, idCol, embCol), k, nprobe, idCol, embCol)
+  }
+}
+
+/** A built IVF-PQ index: quantizer and codebooks collected ONCE and
+  * reusable across encode and search calls — the deployment shape where
+  * the coded table is computed once ([[encode]]), PERSISTED (it is plain
+  * (vec_id, cid, codes) columns — parquet round-trips it), and searched
+  * many times ([[search]]) without re-collecting the quantizer tables the
+  * way each [[SimilarityFunctions.ivfPqTopK]] call does. Semantics are
+  * identical to ivfPqTopK by construction (it routes through here). */
+final class PqIndex private (val cenArr: Seq[(Long, Seq[Double])],
+                             val books: IndexedSeq[Seq[(Long, Seq[Double])]],
+                             val m: Int, val dsub: Int) extends Serializable {
+  import SimilarityFunctions.{cosine, d2q}
+
+  /** The compressed-index build pass over a corpus: (vec_id, cid, codes).
+    * Map-only codegen'd expressions; composes onto streams unchanged. */
+  def encode(corpus: DataFrame, idCol: String = "vec_id",
+             embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
+      .select(col("vec_id"),
+        graft.exprs.NearestCentroid.best(col("ce"), cenArr).getField("cid").as("cid"),
+        graft.exprs.PqCodes.codes(col("ce").cast("array<double>"), books).as("codes"))
+
+  /** ADC top-k of `queries` against a PREVIOUSLY ENCODED (vec_id, cid,
+    * codes) table — e.g. [[encode]]'s output read back from parquet. */
+  def search(queries: DataFrame, coded: DataFrame, k: Int, nprobe: Int = 2,
+             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val cen = typedlit(cenArr)
     var q = queries.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
     for (sub <- 0 until m)
       q = q.withColumn(s"qsub_$sub", slice(col("qe"), sub * dsub + 1, dsub))
+    // query side (small by contract): nprobe cells via the windowed argmax
+    // (broadcast-sized, unlike the corpus fold), plus the ADC tables —
+    // per subspace an array<long> indexed by code (books are j-ascending)
     val probes = q
       .select(Seq(col("qid"), col("qe"), explode(cen).as("c")) ++
         (0 until m).map(i => col(s"qsub_$i")): _*)
@@ -540,5 +568,20 @@ object SimilarityFunctions {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("vec_id"),
         (col("adistq") / 1e6).as("adist"), col("rank"))
+  }
+}
+
+object PqIndex {
+  /** Collect the quantizer + codebooks once. `sample` may be a raw
+    * id-sample or a [[SimilarityFunctions.pqTrain]]-ed codebook table. */
+  def build(centroids: DataFrame, sample: DataFrame, m: Int = 8,
+            idCol: String = "vec_id", embCol: String = "embedding"): PqIndex = {
+    val s = centroids.sparkSession
+    import s.implicits._
+    val cenArr = centroids
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val (dsub, books) = SimilarityFunctions.pqBooksFor(sample, m, idCol, embCol)
+    new PqIndex(cenArr, books, m, dsub)
   }
 }

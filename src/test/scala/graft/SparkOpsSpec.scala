@@ -526,6 +526,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fast(100L) == fast(101L) && fast(100L) == fast(3L))
   }
 
+  test("PqIndex: encode once, persist, search the stored codes identically") {
+    // the deployment shape: build the index, WRITE the coded table to
+    // parquet, read it back, search — results must equal the one-shot
+    // ivfPqTopK (which routes through the same machinery)
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(8)((rng.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cen = vecs.where($"vec_id" % 10 === 0)
+    val idx = graft.functions.PqIndex.build(cen, cen, m = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    idx.encode(vecs).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = vecs.where($"vec_id" < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"vec_id", $"adist", $"rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val viaStore = key(idx.search(q, stored, k = 4, nprobe = 2))
+    val direct = key(SimilarityFunctions.ivfPqTopK(q, vecs, cen, cen, k = 4, nprobe = 2, m = 4))
+    assert(viaStore.toSeq == direct.toSeq,
+      s"stored-codes search diverged: ${viaStore.take(3).toSeq} vs ${direct.take(3).toSeq}")
+    assert(direct.nonEmpty)
+  }
+
   test("pqTrain cuts reconstruction error by an order of magnitude") {
     // 8 well-separated anchor directions; the first 16 ids (the untrained
     // initialization) sit in only TWO clusters by construction, so the
