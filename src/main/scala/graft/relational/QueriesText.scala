@@ -1182,6 +1182,62 @@ object QueriesText {
            |FROM best GROUP BY vec_id""".stripMargin
       }),
 
+    // PQ codes under a TRAINED codebook — one Lloyd refit between the
+    // id-sample initialization and the encode, replayed end-to-end in
+    // SQL: assign codes under books0, refit every (subspace, code,
+    // component) to the 6-place-rounded mean of its assigned subvectors
+    // (codes that captured nothing keep their initial entry — the
+    // coalesce), rebuild per-entry lists ORDERED BY component (list_sum
+    // keeps the ascending IEEE fold the BIGINT quantization needs), and
+    // argmin again. The refit mean is round(avg(...), 6) on both engines
+    // — the q_kmeans precedent. This makes the TRAINER cross-engine
+    // verified, not just spec-verified.
+    Q("q_pq_encode_trained",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val trained = graft.functions.SimilarityFunctions.pqTrain(
+          e, e.where(col("vec_id") % 100 === 0), m = 8, iters = 2)
+        graft.functions.SimilarityFunctions.pqEncode(e, trained, m = 8)
+          .select(col("vec_id") +:
+            (0 until 8).map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
+      },
+      Some {
+        val diff = "(CAST(v.embedding[s.s*8+k] AS DOUBLE) - CAST(cb.cemb[s.s*8+k] AS DOUBLE))"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           |  embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |d0 AS (SELECT v.vec_id, s.s, cb.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> $diff * $diff)) * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM v CROSS JOIN range(0, 8) s(s) CROSS JOIN cb),
+           |b0 AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d0)
+           |  WHERE r = 1),
+           |rf AS (SELECT b0.s, b0.j, t.kk,
+           |  round(avg(CAST(v.embedding[b0.s * 8 + t.kk] AS DOUBLE)), 6) AS mu
+           |  FROM b0 JOIN v USING (vec_id) CROSS JOIN range(1, 9) t(kk)
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT s.s, cb.j, t.kk,
+           |  CAST(cb.cemb[s.s * 8 + t.kk] AS DOUBLE) AS c0
+           |  FROM cb CROSS JOIN range(0, 8) s(s) CROSS JOIN range(1, 9) t(kk)),
+           |cb1 AS (SELECT g.s, g.j,
+           |  list(coalesce(rf.mu, g.c0) ORDER BY g.kk) AS sub
+           |  FROM grid g LEFT JOIN rf ON rf.s = g.s AND rf.j = g.j AND rf.kk = g.kk
+           |  GROUP BY 1, 2),
+           |d1 AS (SELECT v.vec_id, cb1.s, cb1.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> (CAST(v.embedding[cb1.s*8+k] AS DOUBLE) - cb1.sub[k])
+           |       * (CAST(v.embedding[cb1.s*8+k] AS DOUBLE) - cb1.sub[k])))
+           |    * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM v CROSS JOIN cb1),
+           |b1 AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d1)
+           |  WHERE r = 1)
+           |SELECT vec_id,
+           |${(0 until 8).map(i => s"  max(CASE WHEN s = $i THEN j END) AS c$i").mkString(",\n")}
+           |FROM b1 GROUP BY vec_id""".stripMargin
+      }),
+
     // IVF-PQ ADC top-k — the composed 100 TB ANN shape: the IVF probe
     // bounds WHICH vectors are scored (nprobe max-cosine cells), PQ
     // asymmetric distance computation bounds WHAT is read per vector (m
