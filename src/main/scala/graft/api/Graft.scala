@@ -893,6 +893,7 @@ object Graft {
     TextFunctions.dsirLogRatio(
       docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term")),
       target.select(col(idCol)), idCol, "term")
+      .select(col(idCol), col("dsir_logratio"))
 
   /** Temperature-scaled domain mixing weights: per-`groupCol` token mass
     * raised to `alpha` (alpha < 1 upweights small domains, the standard

@@ -236,6 +236,54 @@ object TextFunctions {
         sum(col("tf")).cast("double")).as("bigram_logprob"))
   }
 
+  /** Engine-portable natural log of a POSITIVE integral column
+    * (1 ≤ n < 2⁵³), built ONLY from operations that are bit-exact across
+    * engines — no libm anywhere:
+    *   - the exponent e = ⌊log₂ n⌋ comes from the binary-string length
+    *     (`bin()` has identical unpadded semantics in Spark and DuckDB —
+    *     an exact integer computation),
+    *   - the mantissa m = n / 2ᵉ ∈ [1,2) is an exact power-of-two
+    *     division,
+    *   - ln(m) is the explicit atanh series 2z(1 + z²/3 + z⁴/5 + …) in
+    *     z = (m−1)/(m+1) (|z| < 1/3, truncation < 1e-8), Horner-nested
+    *     with literal coefficients,
+    *   - ln n = e·ln2 + ln(m) with the ln2 literal.
+    * IEEE-754 +,−,×,÷ are correctly rounded, so any engine evaluating the
+    * SAME expression tree over the SAME integers produces the SAME double
+    * bit pattern — unlike libm `ln`, whose last ULP differs across libm /
+    * DuckDB builds (the r6/r7 `q_dsir_weights` hash failures: a 1-ULP ln
+    * difference flips a 1e-6 quantization boundary). [[lnPolySql]] is the
+    * character-for-character DuckDB replay; association and literals must
+    * stay identical in both. */
+  def lnPoly(n: Column): Column = {
+    val e = (length(bin(n.cast("long"))) - 1).cast("int")
+    val p2 = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.GraftColumnBridge.expression(e)))
+    val m = n.cast("double") / p2.cast("double")
+    val z = (m - lit(1.0)) / (m + lit(1.0))
+    val z2 = z * z
+    val poly = lit(1.0) + z2 * (lit(0.3333333333333333) + z2 * (lit(0.2) + z2 *
+      (lit(0.14285714285714285) + z2 * (lit(0.1111111111111111) + z2 *
+      (lit(0.09090909090909091) + z2 * lit(0.07692307692307693))))))
+    e.cast("double") * lit(0.6931471805599453) + lit(2.0) * z * poly
+  }
+
+  /** The DuckDB SQL mirror of [[lnPoly]] — same sub-expressions, same
+    * association, same literals, so both engines produce bit-identical
+    * doubles. `n` is an SQL expression string for a positive BIGINT. */
+  def lnPolySql(n: String): String = {
+    val e = s"(length(bin(CAST(($n) AS BIGINT))) - 1)"
+    val m = s"(CAST(($n) AS DOUBLE) / CAST((1::BIGINT << $e) AS DOUBLE))"
+    val z = s"(($m - 1.0) / ($m + 1.0))"
+    val z2 = s"($z * $z)"
+    val poly = s"(1.0 + $z2 * (0.3333333333333333 + $z2 * (0.2 + $z2 * " +
+      s"(0.14285714285714285 + $z2 * (0.1111111111111111 + $z2 * " +
+      s"(0.09090909090909091 + $z2 * 0.07692307692307693))))))"
+    s"(CAST($e AS DOUBLE) * 0.6931471805599453 + 2.0 * $z * $poly)"
+  }
+
   /** DSIR-style importance log-ratio (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document
     * token-mass-weighted mean log-likelihood ratio between a TARGET unigram
@@ -245,7 +293,15 @@ object TextFunctions {
     * thresholding the ratio) is the published selection rule. Scale shape:
     * the corpus shuffles once into the (doc, term) tf agg (shared with
     * [[unigramLogProb]]); both models are O(vocab) count tables that join
-    * back by broadcast, so the 100 TB side never re-shuffles. */
+    * back by broadcast, so the 100 TB side never re-shuffles.
+    *
+    * Determinism: every per-term log-ratio is computed with [[lnPoly]]
+    * (bit-exact cross-engine — no libm), quantized to 1e-6 as an exact
+    * BIGINT, and accumulated tf-weighted in exact integer arithmetic
+    * (order-independent under any partitioning). The reported weight is
+    * `dsir_e4` = the mean ratio half-up-rounded at 1e-4 as a BIGINT —
+    * an all-integer output column that cannot drift across engines —
+    * plus the `dsir_logratio` double convenience (= dsir_e4 / 1e4). */
   def dsirLogRatio(toks: org.apache.spark.sql.DataFrame,
                    targetIds: org.apache.spark.sql.DataFrame,
                    docIdCol: String, termCol: String): org.apache.spark.sql.DataFrame = {
@@ -257,21 +313,19 @@ object TextFunctions {
     val tgtTot = tgtTf.agg(sum(col("tf")).as("ttot"))
     val voc = rawCnt.agg(count(lit(1)).as("vocab"))
     val stats = rawCnt.join(tgtCnt, Seq(termCol), "left").na.fill(0L, Seq("tcnt"))
-    // Each per-term log-ratio quantizes to 1e-6 BEFORE the per-doc sum, and
-    // the tf-weighted accumulation runs in exact integer arithmetic: FP
-    // aggregation merge order is scheduler-dependent (partition order flips
-    // last digits at the round(…,4) boundary vs a serial oracle), while an
-    // integer sum is order-independent on any engine. 1e-6 per-term
-    // granularity is far below the 1e-4 reporting precision.
     val ratio =
-      log((col("tcnt") + 1).cast("double") / (col("ttot") + col("vocab")).cast("double")) -
-      log((col("rcnt") + 1).cast("double") / (col("rtot") + col("vocab")).cast("double"))
-    val qRatio = floor(ratio * lit(1e6) + lit(0.5)).cast("long")
+      (lnPoly(col("tcnt") + 1) - lnPoly(col("ttot") + col("vocab"))) -
+      (lnPoly(col("rcnt") + 1) - lnPoly(col("rtot") + col("vocab")))
+    val qRatio = floor(ratio * lit(1000000.0) + lit(0.5)).cast("long")
     tf.join(broadcast(stats), termCol)
       .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot)).crossJoin(broadcast(voc))
       .groupBy(col(docIdCol))
-      .agg(((sum(col("tf") * qRatio).cast("double") / lit(1e6)) /
-        sum(col("tf")).cast("double")).as("dsir_logratio"))
+      .agg(sum(col("tf") * qRatio).as("sum_tfq"), sum(col("tf")).as("sum_tf"))
+      .select(col(docIdCol),
+        floor(((col("sum_tfq").cast("double") / lit(1000000.0)) /
+          col("sum_tf").cast("double")) * lit(10000.0) + lit(0.5)).cast("long")
+          .as("dsir_e4"))
+      .withColumn("dsir_logratio", col("dsir_e4").cast("double") / lit(10000.0))
   }
 
   /** One BPE merge applied greedily left-to-right: every non-overlapping

@@ -2074,25 +2074,36 @@ object QueriesText {
           docTokens(s, dir),
           T(s, dir, "documents").where(col("lang") === "en").select(col("doc_id")),
           "doc_id", "term")
-        .select(col("doc_id"), round(col("dsir_logratio"), 4).as("dsir_logratio")),
-      Some("""WITH toks AS (SELECT doc_id,
-             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-             |raw AS (SELECT term, sum(tf) AS rcnt FROM tf GROUP BY 1),
-             |tgt AS (SELECT t.term, sum(t.tf) AS tcnt FROM tf t
-             |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
-             |rt AS (SELECT count(*) AS rtot FROM toks),
-             |tt AS (SELECT sum(t.tf) AS ttot FROM tf t
-             |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
-             |voc AS (SELECT count(*) AS vocab FROM raw)
-             |SELECT t.doc_id,
-             |round((sum(t.tf * floor((ln((coalesce(g.tcnt, 0) + 1)::DOUBLE / (ttot + vocab)::DOUBLE)
-             |                       - ln((r.rcnt + 1)::DOUBLE / (rtot + vocab)::DOUBLE))
-             |                        * 1000000 + 0.5)::BIGINT)::DOUBLE / 1000000)
-             |  / sum(t.tf)::DOUBLE, 4) AS dsir_logratio
-             |FROM tf t JOIN raw r USING (term) LEFT JOIN tgt g USING (term), rt, tt, voc
-             |GROUP BY t.doc_id""".stripMargin)),
+        .select(col("doc_id"), col("dsir_e4")),
+      Some {
+        // Per-term log-ratio via the engine-portable lnPoly (bit-exact
+        // IEEE-only arithmetic — no libm; see TextFunctions.lnPoly) then
+        // exact-integer quantize/sum; the declared output `dsir_e4` is an
+        // all-integer column (mean ratio half-up at 1e-4), so no
+        // cross-engine FP can reach the hash. The ln SQL is generated by
+        // lnPolySql to mirror the Spark expression character-for-op.
+        val lnA = graft.functions.TextFunctions.lnPolySql("coalesce(g.tcnt, 0) + 1")
+        val lnB = graft.functions.TextFunctions.lnPolySql("ttot + vocab")
+        val lnC = graft.functions.TextFunctions.lnPolySql("r.rcnt + 1")
+        val lnD = graft.functions.TextFunctions.lnPolySql("rtot + vocab")
+        val ratio = s"(($lnA - $lnB) - ($lnC - $lnD))"
+        val q = s"CAST(floor($ratio * 1000000.0 + 0.5) AS BIGINT)"
+        s"""WITH toks AS (SELECT doc_id,
+           |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |raw AS (SELECT term, sum(tf) AS rcnt FROM tf GROUP BY 1),
+           |tgt AS (SELECT t.term, sum(t.tf) AS tcnt FROM tf t
+           |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+           |rt AS (SELECT count(*) AS rtot FROM toks),
+           |tt AS (SELECT sum(t.tf) AS ttot FROM tf t
+           |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+           |voc AS (SELECT count(*) AS vocab FROM raw)
+           |SELECT t.doc_id,
+           |CAST(floor(((CAST(sum(t.tf * $q) AS DOUBLE) / 1000000.0) / CAST(sum(t.tf) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS dsir_e4
+           |FROM tf t JOIN raw r USING (term) LEFT JOIN tgt g USING (term), rt, tt, voc
+           |GROUP BY t.doc_id""".stripMargin
+      }),
 
     Q("q_tfidf",
       (s, dir) => {

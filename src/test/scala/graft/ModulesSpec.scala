@@ -1106,3 +1106,43 @@ class TsNormSpec extends AnyFunSuite {
     assert(graft.relational.T.normTs(df) eq df)
   }
 }
+
+/** Pins the cross-engine determinism contract of [[graft.functions
+  * .TextFunctions.lnPoly]]: the Spark column must produce EXACTLY the
+  * double the same sequence of IEEE +,-,*,/ produces anywhere (replicated
+  * here in plain Scala — JVM doubles are IEEE-754, and the same ops in
+  * DuckDB/Python were verified bit-identical offline), and must stay a
+  * faithful ln (|err| < 2e-8 over the full magnitude range). libm never
+  * participates — that is the whole point (r6/r7 q_dsir_weights). */
+class LnPolySpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def lnRef(n: Long): Double = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val m = n.toDouble / (1L << e).toDouble
+    val z = (m - 1.0) / (m + 1.0)
+    val z2 = z * z
+    val poly = 1.0 + z2 * (0.3333333333333333 + z2 * (0.2 + z2 *
+      (0.14285714285714285 + z2 * (0.1111111111111111 + z2 *
+      (0.09090909090909091 + z2 * 0.07692307692307693)))))
+    e.toDouble * 0.6931471805599453 + 2.0 * z * poly
+  }
+
+  test("lnPoly is bit-identical to the plain-IEEE replica and ~1e-8 accurate") {
+    val rnd = new scala.util.Random(7)
+    val ns = Seq(1L, 2L, 3L, 5L, 7L, 100L, 12345L, 999983L,
+      (1L << 40) - 7, (1L << 52) - 1) ++
+      Seq.fill(500)(1L + (rnd.nextLong().abs % ((1L << 50) - 1)))
+    val got = ns.toDF("n")
+      .select(graft.functions.TextFunctions.lnPoly(col("n")).as("l"))
+      .as[Double].collect()
+    ns.zip(got).foreach { case (n, g) =>
+      assert(java.lang.Double.doubleToRawLongBits(g) ==
+        java.lang.Double.doubleToRawLongBits(lnRef(n)),
+        s"bit mismatch at n=$n: got $g ref ${lnRef(n)}")
+      assert(math.abs(g - math.log(n.toDouble)) < 2e-8,
+        s"accuracy at n=$n: $g vs ${math.log(n.toDouble)}")
+    }
+  }
+}
