@@ -100,18 +100,30 @@ object SimilarityFunctions {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    // CORPUS side (the 100 TB side): row-local codegen argmax — zero
+    // shuffle, zero sort. The crossJoin(broadcast)+row_number shape this
+    // replaces materializes N·k rows and sorts every partition (9.4 GB
+    // spill at the x30 soak — see assignBest's scaladoc); keep = 1 is
+    // exactly the fold's semantics (max 6-place cosine, min-cid ties).
+    val cenArr = centroids
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val cells = assignBest(
+      corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), cenArr)
+      .drop("ccos")
+    // QUERY side needs keep = nprobe ranks, and is small by contract —
+    // the windowed form stays (it never sees corpus-scale rows)
     val cen = centroids.select(col(idCol).as("cid"), col(embCol).as("cemb"))
-    def assign(side: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
-      val scored = side.crossJoin(broadcast(cen))
-        .withColumn("ccos", round(cosine(col(emb), col("cemb")), 6))
-      val w = Window.partitionBy(id).orderBy(col("ccos").desc, col("cid"))
-      scored.withColumn("cr", row_number().over(w)).where(col("cr") <= keep)
+    val probes = {
+      val scored = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+        .crossJoin(broadcast(cen))
+        .withColumn("ccos", round(cosine(col("qe"), col("cemb")), 6))
+      val w = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("cr", row_number().over(w)).where(col("cr") <= nprobe)
         .drop("cemb", "ccos", "cr")
     }
-    val cells = assign(corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")),
-      "vec_id", "ce", keep = 1)
-    val probes = assign(queries.select(col(idCol).as("qid"), col(embCol).as("qe")),
-      "qid", "qe", keep = nprobe)
     val scored = cells.join(broadcast(probes), Seq("cid"))
       .where(col("qid") =!= col("vec_id"))
       // rank on the 6-place-rounded cosine (like the assignment) so result
@@ -414,8 +426,12 @@ object SimilarityFunctions {
     val v = corpus.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("ce"))
     for (_ <- 1 until math.max(1, iters)) {
+      // PqCodes yields null for embeddings whose length != m*dsub; a null
+      // code row would NPE the typed collect below — malformed vectors
+      // are excluded from the refit (and from search, see PqIndex.search)
       val enc = v.select(col("ce"),
         graft.exprs.PqCodes.codes(col("ce"), books).as("codes"))
+        .where(col("codes").isNotNull)
       val refit = enc
         .select(col("codes"), posexplode(col("ce")).as(Seq("k", "x")))
         .select((col("k") / dsub).cast("int").as("s"),
@@ -535,11 +551,19 @@ final class PqIndex private (val cenArr: Seq[(Long, Seq[Double])],
         graft.exprs.PqCodes.codes(col("ce").cast("array<double>"), books).as("codes"))
 
   /** ADC top-k of `queries` against a PREVIOUSLY ENCODED (vec_id, cid,
-    * codes) table — e.g. [[encode]]'s output read back from parquet. */
+    * codes) table — e.g. [[encode]]'s output read back from parquet.
+    *
+    * Malformed rows are excluded deterministically, not ranked: a corpus
+    * vector whose embedding length != m·dsub encodes to null codes
+    * ([[graft.exprs.PqCodes]]'s quarantine convention) and a null adistq
+    * would sort FIRST under the ascending rank window (Spark nulls-first),
+    * displacing real neighbors — so null-coded rows are filtered before
+    * scoring. Dimension-mismatched queries are dropped the same way. */
   def search(queries: DataFrame, coded: DataFrame, k: Int, nprobe: Int = 2,
              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val cen = typedlit(cenArr)
     var q = queries.select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
+      .where(size(col("qe")) === lit(m * dsub))
     for (sub <- 0 until m)
       q = q.withColumn(s"qsub_$sub", slice(col("qe"), sub * dsub + 1, dsub))
     // query side (small by contract): nprobe cells via the windowed argmax
@@ -561,7 +585,8 @@ final class PqIndex private (val cenArr: Seq[(Long, Seq[Double])],
     val adistq = (0 until m).map(sub =>
       element_at(col(s"dtab_$sub"), element_at(col("codes"), sub + 1).cast("int") + 1))
       .reduce(_ + _)
-    val scored = coded.join(broadcast(probed), Seq("cid"))
+    val scored = coded.where(col("codes").isNotNull)
+      .join(broadcast(probed), Seq("cid"))
       .where(col("qid") =!= col("vec_id"))
       .withColumn("adistq", adistq)
     val w = Window.partitionBy("qid").orderBy(col("adistq").asc, col("vec_id"))

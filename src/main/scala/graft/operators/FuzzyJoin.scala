@@ -64,7 +64,10 @@ object FuzzyJoin {
       .withColumn("llen", length(col("s1")))
       .select(col("id1"), col("s1"), col("llen"),
         explode(sequence(col("llen") - d, col("llen") + d)).as("rlen"))
-      .where(col("rlen") >= 1)
+      // >= 0, not >= 1: an empty right string is a legitimate neighbor of
+      // any left string with llen <= d (its p segments are all empty —
+      // the equi-keys (0, i, "") still block correctly)
+      .where(col("rlen") >= 0)
       .select(col("id1"), col("s1"), col("llen"), col("rlen"),
         explode(sequence(lit(0), lit(p - 1))).as("i"))
     val (lStart, lLen) = segOf(col("rlen"), col("i"), p)

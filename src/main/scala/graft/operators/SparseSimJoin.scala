@@ -48,7 +48,17 @@ object SparseSimJoin {
     * @param maxDf    only terms with df <= maxDf generate candidates
     * @param minCosine keep pairs at or above this cosine (post-exact-dot)
     * @return (id1, id2, dot, cosine) with id1 < id2, cosine rounded to 6
-    */
+    *
+    * CAVEAT — 60-bit term keys: vectors are packed under the first 60
+    * bits of md5(term), so the "exact" dot is exact only up to hash
+    * collisions. A collision between two distinct terms IN one document
+    * violates the merge kernel's unique-sorted-key assumption; a
+    * cross-document collision inflates the dot by treating unrelated
+    * terms as shared. Corpus-wide odds are ~V²/2⁶¹ (≈1e-10 at a million
+    * terms) and the agreement spec asserts per-document key uniqueness,
+    * but a paranoid caller with adversarial term sets should key by the
+    * raw term (the [[applyRowJoin]] reference plan) and accept the
+    * measured ~35% shuffle premium. */
   def apply(postings: DataFrame, idCol: String, termCol: String, tfCol: String,
             maxDf: Int, minCosine: Double): DataFrame = {
     require(maxDf >= 2, "maxDf < 2 generates no candidate pairs")

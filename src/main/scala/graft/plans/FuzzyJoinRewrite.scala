@@ -130,7 +130,11 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(lrAttr, liAttr, lpAttr), child = l)
           val (_, lSlen) = segParams(lrAttr, liAttr, p)
-          val valid = And(And(GreaterThanOrEqual(lrAttr, Literal(1)),
+          // rlen >= 0, NOT >= 1: an empty right string pairs with any left
+          // string of length <= d (levenshtein = llen <= d). segParams
+          // degenerates safely at 0 (slen 0, empty-substring keys) and
+          // PassJoinWitness keeps exactly the (i=0, pos=0) candidate.
+          val valid = And(And(GreaterThanOrEqual(lrAttr, Literal(0)),
             GreaterThanOrEqual(lpAttr, Literal(0))),
             LessThanOrEqual(addI(lpAttr, lSlen), la))
           val filtL = Filter(valid, genL)

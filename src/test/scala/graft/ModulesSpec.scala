@@ -525,6 +525,29 @@ class FuzzyJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("empty strings survive the rewrite (rlen = 0 candidate generation)") {
+    // "" vs any string of length <= d satisfies levenshtein <= d; the
+    // nested loop finds these, so the rewrite must too (the r7 bound
+    // rlen >= 1 silently dropped every empty-right pair)
+    val ea = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "abc")).toDF("ida", "sa")
+    val eb = Seq((10L, ""), (20L, "b"), (30L, "xy"), (40L, "abcd")).toDF("idb", "sb")
+    for (d <- Seq(1, 2)) {
+      val expected = withoutRule {
+        ea.join(eb, levenshtein(col("sa"), col("sb")) <= d)
+          .select("ida", "idb").as[(Long, Long)].collect().sorted
+      }
+      withRule {
+        val rewritten = ea.join(eb, levenshtein(col("sa"), col("sb")) <= d)
+        assert(!rewritten.queryExecution.executedPlan.toString.contains("NestedLoop"))
+        val got = rewritten.select("ida", "idb").as[(Long, Long)].collect().sorted
+        assert(got.toSeq == expected.toSeq,
+          s"d=$d: got ${got.toSeq}, want ${expected.toSeq}")
+        assert(expected.contains((1L, 10L)) && expected.contains((2L, 10L)),
+          "corpus must exercise empty-empty and empty-short pairs")
+      }
+    }
+  }
+
   test("equi-joins and over-threshold bounds are left alone") {
     withRule {
       val equi = a.join(b, col("ida") === col("idb") &&

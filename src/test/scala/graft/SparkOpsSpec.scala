@@ -225,8 +225,10 @@ class JoinPropertySpec extends AnyFunSuite {
       dp(a.length)
     }
     val alpha = "ab"
+    // lengths 0..7: empty and length-1 strings are the regression corpus
+    // for the rlen >= 0 blocking bound ("" must pair with any s, |s| <= d)
     val strs = (1 to 80).map { i =>
-      val n = 3 + rng.nextInt(5)
+      val n = rng.nextInt(8)
       (i.toLong, (0 until n).map(_ => alpha(rng.nextInt(alpha.length))).mkString)
     }
     val df = strs.toDF("id", "s")
@@ -685,6 +687,28 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(out.count() == 64L)
   }
 
+  test("ivfTopK windows only the query/rank sides, never the corpus assignment") {
+    // the corpus cell assignment is the 100 TB pass: it must ride the
+    // row-local assignBest fold, so the WHOLE plan carries exactly two
+    // Window sorts — the nprobe probe rank (query-sized) and the final
+    // per-query top-k (probed-candidate-sized). A third Window means the
+    // corpus-side crossJoin+row_number shape is back (9.4 GB spill at the
+    // x30 soak).
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Seq.tabulate(8)(k => if (k == i % 4) 1f else 0.01f * ((i + k) % 3))))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.SimilarityFunctions.ivfTopK(
+      vecs.where($"vec_id" >= 60), vecs, vecs.where($"vec_id" < 4),
+      k = 3, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    val windows = plan.split("\n").count(_.matches(".*\\bWindow \\[.*"))
+    assert(windows == 2, s"expected 2 Window nodes (probe + rank), got $windows:\n" +
+      plan.split("\n").filter(_.contains("Window")).mkString("\n"))
+    assert(!plan.contains("SortAggregate"),
+      s"corpus argmax fell back to SortAggregate:\n${plan.take(1500)}")
+    assert(out.count() > 0)
+  }
+
   test("pqEncode is map-only: codebooks ride as literals, codes never shuffle") {
     // the PQ encode pass runs over the full 100 TB corpus — it must plan
     // as projections only (the assignBest rationale): argmin folds over
@@ -877,6 +901,15 @@ class SparseSimJoinSpec extends AnyFunSuite {
     assert(fast == slow,
       s"missing=${(slow -- fast).take(3)} extra=${(fast -- slow).take(3)}")
     assert(fast.nonEmpty, "degenerate test: no candidate pairs at all")
+    // the merge kernel's unique-sorted-key assumption: no two distinct
+    // terms of one document may collide in the 60-bit md5 key (the
+    // documented caveat in SparseSimJoin.apply — assert, don't hope)
+    val collisions = p
+      .select($"id", $"term",
+        conv(substring(md5($"term"), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"id", $"h").agg(countDistinct($"term").as("nterms"))
+      .where($"nterms" > 1).count()
+    assert(collisions == 0L, s"60-bit in-document key collisions: $collisions")
   }
 }
 
