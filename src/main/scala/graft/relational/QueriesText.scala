@@ -1369,6 +1369,110 @@ object QueriesText {
            |GROUP BY ek.qid""".stripMargin
       }),
 
+    // The SAME recall@10 harness with TRAINED codebooks (one Lloyd refit,
+    // the q_pq_encode_trained replay) at a deployment-shaped
+    // parameterization: 25 IVF cells / nprobe 8 / ~125 codebook entries
+    // per subspace — the swept optimum at gate scale. The oracle composes
+    // the full refit (d0 → b0 → rf → cb1) into the recall pipeline:
+    // corpus codes AND query ADC tables both come from the trained books,
+    // so the recall delta vs q_pq_recall (~0.11 → ~0.39 at sf0.01) is
+    // cross-engine verified, not spec-asserted. Context for the absolute
+    // number: the synthetic embeddings are i.i.d. uniform unit vectors —
+    // the known worst case for vector quantization (no cluster structure
+    // to exploit; measured ceiling 0.43 even with HALF the corpus as
+    // codebook) — so 0.40 here is the harness working correctly on
+    // adversarial data, not a weak index; see ROUND_NOTES r8 for the
+    // probe-loss/quantization-loss decomposition.
+    Q("q_pq_recall_trained",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        val exact = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+          .withColumn("cos", round(graft.functions.SimilarityFunctions.cosine(
+            col("qe"), col("ce")), 6))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val trained = graft.functions.SimilarityFunctions.pqTrain(
+          e, e.where(col("vec_id") % 4 === 0), m = 8, iters = 2)
+        val approx = graft.functions.SimilarityFunctions.ivfPqTopK(
+            e.where(col("vec_id") < 20), e,
+            e.where(col("vec_id") % 20 === 0),
+            trained, k = 10, nprobe = 8, m = 8)
+          .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("qid"), col("n_hit"),
+            round(col("n_hit") / 10.0, 4).as("recall"))
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        val diff = "(CAST(v.embedding[s.s*8+k] AS DOUBLE) - CAST(cb.cemb[s.s*8+k] AS DOUBLE))"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |qs AS (SELECT vec_id, embedding FROM v WHERE vec_id < 20),
+           |ex AS (SELECT q.vec_id AS qid, c.vec_id AS vid, ${cos("q.embedding", "c.embedding")} AS cos
+           |  FROM qs q JOIN v c ON q.vec_id != c.vec_id),
+           |ek AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM ex)
+           |  WHERE rk <= 10),
+           |cen AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 20 = 0),
+           |casn AS (SELECT v.vec_id, cen.cid, ${cos("v.embedding", "cen.cemb")} AS ccos
+           |  FROM v CROSS JOIN cen),
+           |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr FROM casn)
+           |  WHERE cr = 1),
+           |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr
+           |  FROM casn WHERE vec_id < 20) WHERE cr <= 8),
+           |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           |  embedding AS cemb FROM v WHERE vec_id % 4 = 0),
+           |d0 AS (SELECT v.vec_id, s.s, cb.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> $diff * $diff)) * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM v CROSS JOIN range(0, 8) s(s) CROSS JOIN cb),
+           |b0 AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d0)
+           |  WHERE r = 1),
+           |rf AS (SELECT b0.s, b0.j, t.kk,
+           |  round(avg(CAST(v.embedding[b0.s * 8 + t.kk] AS DOUBLE)), 6) AS mu
+           |  FROM b0 JOIN v USING (vec_id) CROSS JOIN range(1, 9) t(kk)
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT s.s, cb.j, t.kk,
+           |  CAST(cb.cemb[s.s * 8 + t.kk] AS DOUBLE) AS c0
+           |  FROM cb CROSS JOIN range(0, 8) s(s) CROSS JOIN range(1, 9) t(kk)),
+           |cb1 AS (SELECT g.s, g.j,
+           |  list(coalesce(rf.mu, g.c0) ORDER BY g.kk) AS sub
+           |  FROM grid g LEFT JOIN rf ON rf.s = g.s AND rf.j = g.j AND rf.kk = g.kk
+           |  GROUP BY 1, 2),
+           |d1 AS (SELECT v.vec_id, cb1.s, cb1.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> (CAST(v.embedding[cb1.s*8+k] AS DOUBLE) - cb1.sub[k])
+           |       * (CAST(v.embedding[cb1.s*8+k] AS DOUBLE) - cb1.sub[k])))
+           |    * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM v CROSS JOIN cb1),
+           |best AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d1)
+           |  WHERE r = 1),
+           |adist AS (SELECT p.qid, c.vec_id AS vid, SUM(qd.d2q)::BIGINT AS adq
+           |  FROM probes p JOIN cells c ON c.cid = p.cid AND c.vec_id != p.qid
+           |  JOIN best b ON b.vec_id = c.vec_id
+           |  JOIN d1 qd ON qd.vec_id = p.qid AND qd.s = b.s AND qd.j = b.j
+           |  GROUP BY 1, 2),
+           |ak AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY adq, vid) AS rk FROM adist)
+           |  WHERE rk <= 10)
+           |SELECT ek.qid, count(ak.vid)::BIGINT AS n_hit,
+           |  round(count(ak.vid) / 10.0, 4) AS recall
+           |FROM ek LEFT JOIN ak ON ak.qid = ek.qid AND ak.vid = ek.vid
+           |GROUP BY ek.qid""".stripMargin
+      }),
+
     // Embedding-space decontamination (the semantic counterpart of
     // q_decontaminate's n-gram scrub): drop training vectors whose cosine
     // to ANY eval vector reaches tau. The eval side is small by contract

@@ -552,6 +552,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("PqIndex is build-once: repeated search planning launches zero jobs") {
+    // the quantizer + codebooks are collected exactly once, at build();
+    // every subsequent encode/search must assemble its plan from the
+    // cached driver state with NO Spark jobs (ivfPqTopK, by contrast,
+    // re-collects per call — the contrast assertion below). Job starts
+    // are counted through a listener; events post asynchronously, so the
+    // zero-assertion waits for the bus to drain via a sentinel action.
+    val rng = new scala.util.Random(11)
+    // RDD-backed, NOT a local Seq: ConvertToLocalRelation folds local
+    // relations so their collects never launch jobs — which would make
+    // both halves of this test vacuous
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(8)((rng.nextGaussian() * 0.5).toFloat)))
+    val vecs = spark.createDataset(spark.sparkContext.parallelize(rows, 2))
+      .toDF("vec_id", "embedding")
+    val cen = vecs.where($"vec_id" % 10 === 0)
+    val idx = graft.functions.PqIndex.build(cen, cen, m = 4)
+    val coded = idx.encode(vecs)
+    val q = vecs.where($"vec_id" < 3)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def settle(atLeast: Int): Int = {
+      val deadline = System.nanoTime() + 5000000000L
+      while (counter.get() < atLeast && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200) // absorb any stragglers still on the bus
+      counter.get()
+    }
+    try {
+      // drain sentinel: in-flight events from build()'s collects can still
+      // be on the async bus when the listener registers — absorb them
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val base = settle(1)
+      for (_ <- 1 to 3) idx.search(q, coded, k = 4, nprobe = 2)
+      // sentinel: one action AFTER the plan-only calls; once its job-start
+      // event is visible, any job the searches had launched would be too
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val after = settle(base + 1)
+      assert(after == base + 1,
+        s"search planning launched ${after - base - 1} extra job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // contrast: the convenience one-shot DOES collect during planning
+    val before = counter.get()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SimilarityFunctions.ivfPqTopK(q, vecs, cen, cen, k = 4, nprobe = 2, m = 4)
+      val deadline = System.nanoTime() + 5000000000L
+      while (counter.get() == before && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(counter.get() > before, "expected ivfPqTopK planning to collect")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("pqTrain cuts reconstruction error by an order of magnitude") {
     // 8 well-separated anchor directions; the first 16 ids (the untrained
     // initialization) sit in only TWO clusters by construction, so the
