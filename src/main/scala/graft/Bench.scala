@@ -67,6 +67,18 @@ object Bench {
     // one global agg over cached input) adaptive re-planning only adds a
     // per-pass stage-materialization floor that dwarfs several ops' actual
     // work; the query sweep above keeps it on. ----
+    //
+    // Heap hygiene between sections: the 216-query sweep leaves hundreds
+    // of persisted Dataset AND raw-RDD blocks (SharedInputs, semDedup's
+    // internal cache, GraphCC state, ...) that nothing unpersists; the op
+    // benches then time kernels against an old-gen full of dead cache.
+    // Measured on volume_zoom_o1_512 (8 MB humongous output slices, the
+    // allocation G1 handles worst): 11.6 s inside the polluted suite vs
+    // 1.9 s with the op section's own inputs only — a 6x phantom
+    // regression of suite STATE, not the operator. The ops pin their own
+    // inputs explicitly, so clearing here changes nothing they measure.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -182,6 +194,24 @@ object Bench {
     bench("binary_dilation", v512.toDouble, Some(masks512)) {
       masks512
         .select(graft.exprs.MorphExpr.dilate(col("mask"), array(lit(512), lit(512))).as("e"))
+        .agg(sum(when(get(col("e"), lit(0)), 1).otherwise(0))).collect()
+    }
+    // closing/opening at the same 512^3 matched-work shape
+    // (/root/reference/README.md:31-32: 469/522 ms): the two-pass
+    // composition (dilate-erode / erode-dilate) fused into one projection
+    // so the intermediate mask never leaves the codegen stage
+    bench("binary_closing", v512.toDouble, Some(masks512)) {
+      masks512
+        .select(graft.exprs.MorphExpr.erode(
+          graft.exprs.MorphExpr.dilate(col("mask"), array(lit(512), lit(512))),
+          array(lit(512), lit(512))).as("e"))
+        .agg(sum(when(get(col("e"), lit(0)), 1).otherwise(0))).collect()
+    }
+    bench("binary_opening", v512.toDouble, Some(masks512)) {
+      masks512
+        .select(graft.exprs.MorphExpr.dilate(
+          graft.exprs.MorphExpr.erode(col("mask"), array(lit(512), lit(512))),
+          array(lit(512), lit(512))).as("e"))
         .agg(sum(when(get(col("e"), lit(0)), 1).otherwise(0))).collect()
     }
     // center_of_mass is pure memory bandwidth (one read + 3 FMAs per cell):
@@ -388,7 +418,7 @@ object Bench {
     // bytes for the LSH/pack/halo pipelines) rides along in the full
     // artifact when present — it is run per-round by hand, not per-bench
     val soak = {
-      val p = Seq("SOAK_r7.json", "SOAK_r6.json")
+      val p = Seq("SOAK_r8.json", "SOAK_r7.json", "SOAK_r6.json")
         .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
       p.map(f => "," + "\"soak\":" +
         new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim).getOrElse("")

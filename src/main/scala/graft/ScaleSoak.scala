@@ -134,13 +134,19 @@ object ScaleSoak {
       while (i < m) { a(i) = ((id * 1315423911L + i * 2654435761L) & 0xffff) * 1.5e-5; i += 1 }
       a
     }
+    // dev knob for the stripe-size/heap trade measurement (r7 verdict
+    // item 5): SPARK_GRAFT_VZ_STRIPE overrides VolumeZoom's output-stripe
+    // width for this soak only — smaller stripes shrink each group's
+    // live set (fewer output slices in flight per task) at the cost of
+    // more input duplication (1 + 2*scale/stripe)
+    val vzStripe = sys.env.getOrElse("SPARK_GRAFT_VZ_STRIPE", "32").toInt
     def zoomRun(n: Int): Long = {
       import spark.implicits._
       val slices = spark.range(256L * n).select(
           lit(0L).as("id"), col("id").cast("int").as("sid"), sliceGen(col("id")).as("data"))
         .as[graft.operators.VolumeZoom.ZSlice]
       graft.operators.VolumeZoom(slices, Array(256 * n, 256, 256),
-          Array(2.0, 2.0, 2.0), order = 1)(spark)
+          Array(2.0, 2.0, 2.0), order = 1, stripeSize = vzStripe)(spark)
         .toDF().count()
     }
 
@@ -349,7 +355,7 @@ object ScaleSoak {
     }
     out ++= s"""{"sf":"$sfDir","scales":[1,10,30],"cores":$cpus,${parts.mkString(",")}}"""
     try {
-      val soakOut = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r7.json")
+      val soakOut = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r8.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(soakOut),
         (out.toString + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }

@@ -33,9 +33,28 @@ object VolumeZoom {
     * ≈ 1 + 2·scale/stripeSize of the volume, vs 2·scale× for a naive
     * per-output-slice gather (measured 7.8× faster end-to-end at 256³×2:
     * 6.16 s → 0.79 s on 32 cores — fewer groups also means fewer
-    * per-group map materializations, not just fewer shuffled bytes). */
+    * per-group map materializations, not just fewer shuffled bytes).
+    *
+    * `stripeSize` is an UPPER BOUND; the effective stripe adapts to the
+    * volume so group count stays in the sweet spot measured by the r8
+    * stripe sweep (7680×256×256 / x30, 32 cores, 24 g heap — the r7
+    * superlinear time tail was a STRIPE-WIDTH story, not an inherent heap
+    * wall): forced stripe 8 → 115.7 s (16.9× x10→x30 tail, 50 s GC —
+    * group count explodes the shuffle-block fan-out), 16 → 27.9 s (5.7×
+    * tail), 32 → 13.0 s with an exactly-linear 3.02× tail and −10%
+    * shuffle, 64 → GC re-climbs (35.8 s) and small volumes starve (8
+    * groups on 32 cores at the x1 shape). Outputs stream out of
+    * flatMapGroups lazily, so a wider stripe does NOT widen the task live
+    * set — it only cuts group-fixed costs and duplication. The adaptive
+    * rule `clamp(n0_out / (2·cores), 1, stripeSize)` therefore takes the
+    * widest stripe that still leaves ≥ 2 waves of groups per core: the
+    * 512³ single-tensor shape picks 16 (64 groups — measured 1.5 s vs
+    * 4.2 s when forced to 32's single unbalanced wave), the x30 soak
+    * shape picks the full 32, and test-sized volumes degrade to
+    * one-slice stripes (striping never changes results — only grouping;
+    * VolumeZoomSpec pins bit-equality across stripe widths). */
   def apply(slices: Dataset[ZSlice], dims: Array[Int], scale: Array[Double], order: Int,
-            stripeSize: Int = 16)
+            stripeSize: Int = 32)
            (implicit spark: SparkSession): Dataset[ZSlice] = {
     import spark.implicits._
     require(dims.length == 3 && scale.length == 3, "VolumeZoom is rank-3")
@@ -48,7 +67,9 @@ object VolumeZoom {
     val t0 = ZoomKernel.axisTables(d0, n0)
     val t1 = ZoomKernel.axisTables(d1, n1)
     val t2 = ZoomKernel.axisTables(d2, n2)
-    val nStripes = (n0 + stripeSize - 1) / stripeSize
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    val effStripe = math.max(1, math.min(stripeSize, n0 / (2 * par)))
+    val nStripes = (n0 + effStripe - 1) / effStripe
 
     // exact input-slice set needed by each output stripe (driver-side:
     // O(n0) ints total) — a set, not a [min,max] range, so an order-0
@@ -56,7 +77,7 @@ object VolumeZoom {
     def needOf(o: Int): Seq[Int] =
       if (order == 0) Seq(t0.nr(o)) else Seq(t0.lo(o), t0.hi(o))
     val needed: Array[Set[Int]] = Array.tabulate(nStripes) { st =>
-      (st * stripeSize until math.min((st + 1) * stripeSize, n0)).flatMap(needOf).toSet
+      (st * effStripe until math.min((st + 1) * effStripe, n0)).flatMap(needOf).toSet
     }
 
     val pieces = slices.flatMap { sl =>
@@ -68,8 +89,8 @@ object VolumeZoom {
       (key: (Long, Int), it: Iterator[SlicePiece]) =>
         val (id, st) = key
         val bySid = it.map(p => p.sid -> p.data).toMap
-        val oLo = st * stripeSize
-        val oHi = math.min(oLo + stripeSize, n0)
+        val oLo = st * effStripe
+        val oHi = math.min(oLo + effStripe, n0)
         (oLo until oHi).iterator.map { os =>
           val out = new Array[Double](n1 * n2)
           var p = 0
