@@ -192,18 +192,24 @@ object TextFunctions {
     val cnt = tf.groupBy(col(termCol)).agg(sum(col("tf")).as("cnt"))
     val tot = toks.agg(count(lit(1)).as("total"))
     val voc = cnt.agg(count(lit(1)).as("vocab"))
-    // the dsirLogRatio determinism convention: quantize each per-term
-    // log-prob to 1e-6 and run the tf-weighted per-doc sum in exact
-    // integers — FP aggregation merge order is scheduler-dependent and
-    // can flip the round(…,4) boundary between runs (the r6 dsir
-    // hash-fail class); an integer sum is order-independent on any engine
-    val lp = log((col("cnt") + 1).cast("double") / (col("total") + col("vocab")).cast("double"))
-    val q = floor(lp * lit(1e6) + lit(0.5)).cast("long")
+    // the dsirLogRatio determinism convention, r8 form: the per-term
+    // log-prob comes from [[lnPoly]] (bit-exact cross-engine, no libm —
+    // the quantize-a-libm-ln form this replaces is exactly what
+    // hash-failed q_dsir_weights two rounds running), quantizes to 1e-6
+    // exact BIGINT, and the tf-weighted per-doc sum runs in exact
+    // integers (order-independent under any partitioning). `lm_e4` is
+    // the all-integer reporting column (mean half-up at 1e-4).
+    val lp = lnPoly(col("cnt") + 1) - lnPoly(col("total") + col("vocab"))
+    val q = floor(lp * lit(1000000.0) + lit(0.5)).cast("long")
     tf.join(broadcast(cnt), termCol)
       .crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
       .groupBy(col(docIdCol))
-      .agg(((sum(col("tf") * q).cast("double") / lit(1e6)) /
-        sum(col("tf")).cast("double")).as("lm_logprob"))
+      .agg(sum(col("tf") * q).as("sum_tfq"), sum(col("tf")).as("sum_tf"))
+      .select(col(docIdCol),
+        floor(((col("sum_tfq").cast("double") / lit(1000000.0)) /
+          col("sum_tf").cast("double")) * lit(10000.0) + lit(0.5)).cast("long")
+          .as("lm_e4"))
+      .withColumn("lm_logprob", col("lm_e4").cast("double") / lit(10000.0))
   }
 
   /** Bigram-LM quality score (the conditional counterpart of
@@ -223,17 +229,23 @@ object TextFunctions {
     val btf = base.select(col(idCol), explode(wordGrams(col("toks"), 2)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("bg")
-    // same 1e-6 quantize + exact-integer tf-weighted sum as
-    // [[unigramLogProb]]/[[dsirLogRatio]] (order-independent per-doc score)
-    val lp = log((col("c2") + 1).cast("double") / (col("c1") + col("vocab")).cast("double"))
-    val q = floor(lp * lit(1e6) + lit(0.5)).cast("long")
+    // same lnPoly + 1e-6 quantize + exact-integer tf-weighted sum as
+    // [[unigramLogProb]]/[[dsirLogRatio]] (order-independent per-doc
+    // score, zero libm in the hash path); `bigram_e4` is the all-integer
+    // reporting column
+    val lp = lnPoly(col("c2") + 1) - lnPoly(col("c1") + col("vocab"))
+    val q = floor(lp * lit(1000000.0) + lit(0.5)).cast("long")
     btf.withColumn("c2", sum(col("tf")).over(w))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(broadcast(c1), "w1")
       .crossJoin(broadcast(voc))
       .groupBy(col(idCol))
-      .agg(((sum(col("tf") * q).cast("double") / lit(1e6)) /
-        sum(col("tf")).cast("double")).as("bigram_logprob"))
+      .agg(sum(col("tf") * q).as("sum_tfq"), sum(col("tf")).as("sum_tf"))
+      .select(col(idCol),
+        floor(((col("sum_tfq").cast("double") / lit(1000000.0)) /
+          col("sum_tf").cast("double")) * lit(10000.0) + lit(0.5)).cast("long")
+          .as("bigram_e4"))
+      .withColumn("bigram_logprob", col("bigram_e4").cast("double") / lit(10000.0))
   }
 
   /** Engine-portable natural log of a POSITIVE integral column

@@ -1867,25 +1867,30 @@ object QueriesText {
     // tf/df are exact integers.
     // corpus-LM quality signal (CCNet-style): per-doc mean token
     // log-probability under an add-one-smoothed unigram model trained on
-    // the corpus itself. ln + float mean: diffs ~1e-14 relative, far
-    // inside round(_, 4) (the q_tfidf precedent)
+    // the corpus itself. Hash path is all-integer via lnPoly (no libm —
+    // the quantized-libm-ln form this replaces is the exact convention
+    // that hash-failed q_dsir_weights in r6/r7; `lm_e4` = mean log-prob
+    // half-up at 1e-4 as BIGINT).
     Q("q_lm_score",
       (s, dir) => graft.functions.TextFunctions.unigramLogProb(
           docTokens(s, dir), "doc_id", "term")
-        .select(col("doc_id"), round(col("lm_logprob"), 4).as("lm_logprob")),
-      Some("""WITH toks AS (SELECT doc_id,
-             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-             |cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
-             |tot AS (SELECT count(*) AS total FROM toks),
-             |voc AS (SELECT count(*) AS vocab FROM cnt)
-             |SELECT t.doc_id,
-             |round((sum(t.tf * floor(ln((c.cnt + 1)::DOUBLE / (total + vocab)::DOUBLE)
-             |                        * 1000000 + 0.5)::BIGINT)::DOUBLE / 1000000)
-             |  / sum(t.tf)::DOUBLE, 4) AS lm_logprob
-             |FROM tf t JOIN cnt c USING (term), tot, voc
-             |GROUP BY t.doc_id""".stripMargin)),
+        .select(col("doc_id"), col("lm_e4")),
+      Some {
+        val lp = s"(${graft.functions.TextFunctions.lnPolySql("c.cnt + 1")} - " +
+          s"${graft.functions.TextFunctions.lnPolySql("total + vocab")})"
+        val q = s"CAST(floor($lp * 1000000.0 + 0.5) AS BIGINT)"
+        s"""WITH toks AS (SELECT doc_id,
+           |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+           |tot AS (SELECT count(*) AS total FROM toks),
+           |voc AS (SELECT count(*) AS vocab FROM cnt)
+           |SELECT t.doc_id,
+           |CAST(floor(((CAST(sum(t.tf * $q) AS DOUBLE) / 1000000.0) / CAST(sum(t.tf) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS lm_e4
+           |FROM tf t JOIN cnt c USING (term), tot, voc
+           |GROUP BY t.doc_id""".stripMargin
+      }),
 
     // Bigram-LM quality score: per-doc mean ln P(w2|w1), add-one smoothed —
     // the conditional upgrade of q_lm_score and the signal CCNet buckets
@@ -1895,22 +1900,25 @@ object QueriesText {
     Q("q_bigram_lm",
       (s, dir) => graft.functions.TextFunctions.bigramLogProb(
           T(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), round(col("bigram_logprob"), 4).as("bigram_logprob")),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
-             |c1 AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1),
-             |voc AS (SELECT count(*) AS vocab FROM c1),
-             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-             |  i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
-             |btf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
-             |c2 AS (SELECT bg, sum(tf) AS c2 FROM btf GROUP BY 1)
-             |SELECT btf.doc_id,
-             |  round((sum(tf * floor(ln((c2 + 1)::DOUBLE / (c1 + vocab)::DOUBLE)
-             |                       * 1000000 + 0.5)::BIGINT)::DOUBLE / 1000000)
-             |    / sum(tf)::DOUBLE, 4) AS bigram_logprob
-             |FROM btf JOIN c2 USING (bg)
-             |JOIN c1 ON c1.w1 = string_split(bg, ' ')[1], voc
-             |GROUP BY btf.doc_id""".stripMargin)),
+        .select(col("doc_id"), col("bigram_e4")),
+      Some {
+        val lp = s"(${graft.functions.TextFunctions.lnPolySql("c2 + 1")} - " +
+          s"${graft.functions.TextFunctions.lnPolySql("c1 + vocab")})"
+        val q = s"CAST(floor($lp * 1000000.0 + 0.5) AS BIGINT)"
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
+           |c1 AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1),
+           |voc AS (SELECT count(*) AS vocab FROM c1),
+           |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |  i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+           |btf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+           |c2 AS (SELECT bg, sum(tf) AS c2 FROM btf GROUP BY 1)
+           |SELECT btf.doc_id,
+           |CAST(floor(((CAST(sum(tf * $q) AS DOUBLE) / 1000000.0) / CAST(sum(tf) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS bigram_e4
+           |FROM btf JOIN c2 USING (bg)
+           |JOIN c1 ON c1.w1 = string_split(bg, ' ')[1], voc
+           |GROUP BY btf.doc_id""".stripMargin
+      }),
 
     // CCNet-style perplexity bucketing: documents ntile'd into
     // head/middle/tail by the bigram-LM score. The ntile runs over the
@@ -1923,32 +1931,35 @@ object QueriesText {
       (s, dir) => {
         val scored = graft.functions.TextFunctions.bigramLogProb(
             T(s, dir, "documents"), "doc_id", "text")
-          .select(col("doc_id"), round(col("bigram_logprob"), 4).as("lp"))
-        val w = Window.orderBy(col("lp").desc, col("doc_id"))
+          .select(col("doc_id"), col("bigram_e4").as("lp_e4"))
+        val w = Window.orderBy(col("lp_e4").desc, col("doc_id"))
         scored.withColumn("b", ntile(3).over(w))
-          .select(col("doc_id"), col("lp"),
+          .select(col("doc_id"), col("lp_e4"),
             when(col("b") === 1, "head").when(col("b") === 2, "middle")
               .otherwise("tail").as("bucket"))
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
-             |c1 AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1),
-             |voc AS (SELECT count(*) AS vocab FROM c1),
-             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-             |  i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
-             |btf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
-             |c2 AS (SELECT bg, sum(tf) AS c2 FROM btf GROUP BY 1),
-             |sc AS (SELECT btf.doc_id,
-             |  round((sum(tf * floor(ln((c2 + 1)::DOUBLE / (c1 + vocab)::DOUBLE)
-             |                       * 1000000 + 0.5)::BIGINT)::DOUBLE / 1000000)
-             |    / sum(tf)::DOUBLE, 4) AS lp
-             |  FROM btf JOIN c2 USING (bg)
-             |  JOIN c1 ON c1.w1 = string_split(bg, ' ')[1], voc
-             |  GROUP BY btf.doc_id),
-             |nt AS (SELECT doc_id, lp, ntile(3) OVER (ORDER BY lp DESC, doc_id) AS b FROM sc)
-             |SELECT doc_id, lp,
-             |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-             |FROM nt""".stripMargin)),
+      Some {
+        val lp = s"(${graft.functions.TextFunctions.lnPolySql("c2 + 1")} - " +
+          s"${graft.functions.TextFunctions.lnPolySql("c1 + vocab")})"
+        val q = s"CAST(floor($lp * 1000000.0 + 0.5) AS BIGINT)"
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
+           |c1 AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1),
+           |voc AS (SELECT count(*) AS vocab FROM c1),
+           |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |  i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+           |btf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+           |c2 AS (SELECT bg, sum(tf) AS c2 FROM btf GROUP BY 1),
+           |sc AS (SELECT btf.doc_id,
+           |CAST(floor(((CAST(sum(tf * $q) AS DOUBLE) / 1000000.0) / CAST(sum(tf) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS lp_e4
+           |  FROM btf JOIN c2 USING (bg)
+           |  JOIN c1 ON c1.w1 = string_split(bg, ' ')[1], voc
+           |  GROUP BY btf.doc_id),
+           |nt AS (SELECT doc_id, lp_e4, ntile(3) OVER (ORDER BY lp_e4 DESC, doc_id) AS b FROM sc)
+           |SELECT doc_id, lp_e4,
+           |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM nt""".stripMargin
+      }),
 
     // Zipf slope of the corpus frequency spectrum: OLS fit of ln(freq) on
     // ln(rank) — the sanity statistic for whether a corpus has a natural
