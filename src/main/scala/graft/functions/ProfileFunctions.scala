@@ -61,11 +61,23 @@ object ProfileFunctions {
       .withColumn("nc", sum("ccnt").over(w))
     val pr = (col("rcnt") + 1) / (col("nr") + buckets)
     val pc = (col("ccnt") + 1) / (col("nc") + buckets)
+    // ln(pc/pr) through the integer-ratio identity
+    // pc/pr = ((ccnt+1)(nr+B)) / ((rcnt+1)(nc+B)) and the portable
+    // polynomial ln (TextFunctions.lnPoly — bit-exact cross-engine, no
+    // libm; the quantized-libm form this replaces is the q_dsir_weights
+    // failure class). Each bucket term is ≥ 0 ((x−y)·ln(x/y) ≥ 0), so
+    // floor(x + 0.5) is plain half-up; the per-group sum is exact BIGINT
+    // and the reported psi derives from it by one deterministic division.
+    val lnr =
+      TextFunctions.lnPoly((col("ccnt") + 1) * (col("nr") + buckets)) -
+      TextFunctions.lnPoly((col("rcnt") + 1) * (col("nc") + buckets))
     withTot
-      .withColumn("q8", round((pc - pr) * log(pc / pr) * 1e8, 0).cast("long"))
+      .withColumn("q8", floor((pc - pr) * lnr * lit(100000000.0) + lit(0.5)).cast("long"))
       .groupBy(gcols: _*)
       .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
-        round(sum("q8") / 1e8, 6).as("psi"))
+        floor(sum("q8").cast("double") / lit(100.0) + lit(0.5)).cast("long").as("psi_e6"))
+      .withColumn("psi", col("psi_e6").cast("double") / lit(1000000.0))
+      .drop("psi_e6")
   }
 
   /** One-pass column profile — the constraint metrics a pipeline asserts

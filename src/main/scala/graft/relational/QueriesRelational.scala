@@ -839,29 +839,33 @@ object QueriesRelational {
           e.where(col("event_id") % 2 === 0), e.where(col("event_id") % 2 === 1),
           "value", Seq("event_type"))
       },
-      Some("""WITH r AS (SELECT event_type,
-             |  CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS b,
-             |  count(*) AS cnt FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
-             |c AS (SELECT event_type,
-             |  CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS b,
-             |  count(*) AS cnt FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
-             |grid AS (SELECT g.event_type, t.b
-             |  FROM (SELECT DISTINCT event_type FROM events) g
-             |  CROSS JOIN (SELECT unnest(range(10)) AS b) t),
-             |j AS (SELECT grid.event_type, grid.b,
-             |  coalesce(r.cnt, 0) AS rcnt, coalesce(c.cnt, 0) AS ccnt
-             |  FROM grid LEFT JOIN r USING (event_type, b)
-             |  LEFT JOIN c USING (event_type, b)),
-             |t AS (SELECT *, sum(rcnt) OVER (PARTITION BY event_type) AS nr,
-             |  sum(ccnt) OVER (PARTITION BY event_type) AS nc FROM j),
-             |q AS (SELECT event_type, nr, nc,
-             |  CAST(round((((ccnt+1.0)/(nc+10)) - ((rcnt+1.0)/(nr+10)))
-             |    * ln(((ccnt+1.0)/(nc+10)) / ((rcnt+1.0)/(nr+10))) * 1e8, 0) AS BIGINT) AS q8
-             |  FROM t)
-             |SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
-             |  CAST(max(nc) AS BIGINT) AS n_cur,
-             |  round(sum(q8) / 1e8, 6) AS psi
-             |FROM q GROUP BY event_type""".stripMargin)),
+      Some {
+        val lnC = graft.functions.TextFunctions.lnPolySql("(ccnt+1) * (nr+10)")
+        val lnR = graft.functions.TextFunctions.lnPolySql("(rcnt+1) * (nc+10)")
+        s"""WITH r AS (SELECT event_type,
+           |  CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS b,
+           |  count(*) AS cnt FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+           |c AS (SELECT event_type,
+           |  CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS b,
+           |  count(*) AS cnt FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+           |grid AS (SELECT g.event_type, t.b
+           |  FROM (SELECT DISTINCT event_type FROM events) g
+           |  CROSS JOIN (SELECT unnest(range(10)) AS b) t),
+           |j AS (SELECT grid.event_type, grid.b,
+           |  coalesce(r.cnt, 0) AS rcnt, coalesce(c.cnt, 0) AS ccnt
+           |  FROM grid LEFT JOIN r USING (event_type, b)
+           |  LEFT JOIN c USING (event_type, b)),
+           |t AS (SELECT *, sum(rcnt) OVER (PARTITION BY event_type) AS nr,
+           |  sum(ccnt) OVER (PARTITION BY event_type) AS nc FROM j),
+           |q AS (SELECT event_type, nr, nc,
+           |  CAST(floor((((ccnt+1.0)/(nc+10)) - ((rcnt+1.0)/(nr+10)))
+           |    * ($lnC - $lnR) * 100000000.0 + 0.5) AS BIGINT) AS q8
+           |  FROM t)
+           |SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+           |  CAST(max(nc) AS BIGINT) AS n_cur,
+           |  CAST(CAST(floor(CAST(sum(q8) AS DOUBLE) / 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS psi
+           |FROM q GROUP BY event_type""".stripMargin
+      }),
 
     // one-pass column profile (the deequ-style constraint metrics): row
     // count, completeness, exact distinctness, typed min/max per column —

@@ -1723,15 +1723,17 @@ object QueriesText {
     // Weighted sampling without replacement (Efraimidis-Spirakis 2006):
     // top-5 per source by key u^(1/w) with u a deterministic md5-uniform
     // and w = n_chars — longer documents proportionally likelier, yet
-    // re-run-stable. Ranking uses the equivalent ln(u)/w form SCALED AND
-    // ROUNDED TO AN INTEGER (1e6 ulp) so a 1-ulp libm ln() divergence
-    // between engines cannot reorder the boundary; ties break on doc_id.
-    // One window shuffle on the group key; no global sort.
+    // re-run-stable. Ranking uses the equivalent ln(u)/w form with
+    // ln(u) = lnPoly(h+1) − lnPoly(2⁶⁰) (bit-exact cross-engine — no
+    // libm anywhere near the rank key), half-up-quantized to a 1e-6
+    // integer; ties break on doc_id. One window shuffle on the group key;
+    // no global sort.
     Q("q_weighted_sample",
       (s, dir) => {
-        val u = (graft.functions.SketchFunctions.hash60(col("doc_id")) + 1)
-          .cast("double") / lit(1.152921504606846976e18)
-        val key = round(log(u) / col("n_chars") * lit(1e6), 0).cast("long")
+        val lnU = graft.functions.TextFunctions.lnPoly(
+            graft.functions.SketchFunctions.hash60(col("doc_id")) + 1) -
+          graft.functions.TextFunctions.lnPoly(lit(1152921504606846976L))
+        val key = floor(lnU / col("n_chars") * lit(1000000.0) + lit(0.5)).cast("long")
         val w = Window.partitionBy("source").orderBy(col("key").desc, col("doc_id"))
         T(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"), key.as("key"))
@@ -1739,38 +1741,52 @@ object QueriesText {
           .where(col("rk") <= 5)
           .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
       },
-      Some("""WITH b AS (SELECT doc_id, source, n_chars,
-             |  cast(round(ln((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT + 1)::DOUBLE
-             |    / 1152921504606846976) / n_chars * 1000000, 0) AS BIGINT) AS key
-             |  FROM documents),
-             |r AS (SELECT doc_id, source, n_chars,
-             |  row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk FROM b)
-             |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 5""".stripMargin)),
+      Some {
+        val lnU = s"(${graft.functions.TextFunctions.lnPolySql(
+            "('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT + 1")} - " +
+          s"${graft.functions.TextFunctions.lnPolySql("1152921504606846976")})"
+        s"""WITH b AS (SELECT doc_id, source, n_chars,
+           |  CAST(floor($lnU / n_chars * 1000000.0 + 0.5) AS BIGINT) AS key
+           |  FROM documents),
+           |r AS (SELECT doc_id, source, n_chars,
+           |  row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk FROM b)
+           |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 5""".stripMargin
+      }),
 
     // Per-document character-level Shannon entropy (bits/char): the
     // classic gibberish/boilerplate quality signal — low entropy flags
     // repeated filler, high entropy flags random noise. H = log2(n) -
-    // sum(c*ln c)/(n*ln 2) from the per-doc char histogram: explode to
-    // (doc, char) counts (bounded by alphabet size per doc), one per-doc
-    // reduction; round(4) absorbs sub-ulp ln() and sum-order noise (the
-    // q_lm_score acceptance).
+    // sum(c*ln c)/(n*ln 2) from the per-doc char histogram. Hash path is
+    // the repo's integer convention: per-class c*ln(c) quantizes via
+    // lnPoly (no libm) to 1e-6 BIGINT and sums exactly (the raw double
+    // sum this replaces was partial-agg ORDER-dependent on top of libm);
+    // `entropy_e4` = bits/char half-up at 1e-4.
     Q("q_entropy",
-      (s, dir) => T(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n"),
-          sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
-        .select(col("doc_id"), col("n").as("n_chars_tot"),
-          round((log(col("n").cast("double")) - col("slc") / col("n").cast("double"))
-            / log(lit(2.0)), 4).as("char_entropy")),
-      Some("""WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
-             |cc AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
-             |ag AS (SELECT doc_id, sum(c) AS n, sum(c::DOUBLE * ln(c::DOUBLE)) AS slc
-             |  FROM cc GROUP BY doc_id)
-             |SELECT doc_id, cast(n AS BIGINT) AS n_chars_tot,
-             |  round((ln(n::DOUBLE) - slc / n::DOUBLE) / ln(2.0), 4) AS char_entropy
-             |FROM ag""".stripMargin)),
+      (s, dir) => {
+        val q = floor(graft.functions.TextFunctions.lnPoly(col("c")) *
+          lit(1000000.0) + lit(0.5)).cast("long")
+        T(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n"), sum(col("c") * q).as("slcq"))
+          .select(col("doc_id"), col("n").as("n_chars_tot"),
+            floor(((graft.functions.TextFunctions.lnPoly(col("n")) -
+              (col("slcq").cast("double") / lit(1000000.0)) / col("n").cast("double"))
+              / lit(0.6931471805599453)) * lit(10000.0) + lit(0.5)).cast("long")
+              .as("entropy_e4"))
+      },
+      Some {
+        val q = s"CAST(floor(${graft.functions.TextFunctions.lnPolySql("c")} * 1000000.0 + 0.5) AS BIGINT)"
+        val lnN = graft.functions.TextFunctions.lnPolySql("n")
+        s"""WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+           |cc AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+           |ag AS (SELECT doc_id, sum(c) AS n, sum(c * $q) AS slcq
+           |  FROM cc GROUP BY doc_id)
+           |SELECT doc_id, cast(n AS BIGINT) AS n_chars_tot,
+           |CAST(floor((($lnN - (CAST(slcq AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) / 0.6931471805599453) * 10000.0 + 0.5) AS BIGINT) AS entropy_e4
+           |FROM ag""".stripMargin
+      }),
 
     // Edit-distance fuzzy dedup: LSH-blocked candidate pairs scored with
     // levenshtein on the 64-char prefix (O(n·m) per pair is only paid on
@@ -1975,7 +1991,8 @@ object QueriesText {
           .groupBy("w").agg(count(lit(1)).as("c"))
         val r = c.select(col("c"),
           row_number().over(Window.orderBy(col("c").desc, col("w"))).as("rank"))
-        val lx = log(col("rank").cast("double")); val ly = log(col("c").cast("double"))
+        val lx = graft.functions.TextFunctions.lnPoly(col("rank"))
+        val ly = graft.functions.TextFunctions.lnPoly(col("c"))
         val sums = r.agg(count(lit(1)).as("n"),
           sum(lx.cast("decimal(28,10)")).as("sx"), sum(ly.cast("decimal(28,10)")).as("sy"),
           sum((lx * lx).cast("decimal(28,10)")).as("sxx"),
@@ -1986,22 +2003,26 @@ object QueriesText {
         sums.select(col("n").as("n_terms"), round(slope, 4).as("slope"),
           round((col("sy").cast("double") - slope * col("sx").cast("double")) / n, 4).as("intercept"))
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      Some {
+        val lr = graft.functions.TextFunctions.lnPolySql("rank")
+        val lc = graft.functions.TextFunctions.lnPolySql("c")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
              |uni AS (SELECT unnest(toks) AS w FROM t),
              |c AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
              |r AS (SELECT row_number() OVER (ORDER BY c DESC, w) AS rank, c FROM c),
-             |s AS (SELECT count(*) AS n,
-             |  sum(cast(ln(rank::DOUBLE) AS DECIMAL(28,10))) AS sx,
-             |  sum(cast(ln(c::DOUBLE) AS DECIMAL(28,10))) AS sy,
-             |  sum(cast(ln(rank::DOUBLE) * ln(rank::DOUBLE) AS DECIMAL(28,10))) AS sxx,
-             |  sum(cast(ln(rank::DOUBLE) * ln(c::DOUBLE) AS DECIMAL(28,10))) AS sxy
-             |  FROM r)
+           |s AS (SELECT count(*) AS n,
+           |  sum(cast($lr AS DECIMAL(28,10))) AS sx,
+           |  sum(cast($lc AS DECIMAL(28,10))) AS sy,
+           |  sum(cast($lr * $lr AS DECIMAL(28,10))) AS sxx,
+           |  sum(cast($lr * $lc AS DECIMAL(28,10))) AS sxy
+           |  FROM r)
              |SELECT cast(n AS BIGINT) AS n_terms,
              |  round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
              |    / (n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4) AS slope,
              |  round((sy::DOUBLE - (n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
              |    / (n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sx::DOUBLE) / n, 4) AS intercept
-             |FROM s""".stripMargin)),
+             |FROM s""".stripMargin
+      }),
 
     // Collocation extraction by PMI LIFT: top-20 bigrams ranked by
     // p(w1 w2) / (p(w1) p(w2)), min count 5 — the phrase-mining signal
@@ -2232,18 +2253,23 @@ object QueriesText {
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"), col("tf"), col("df"),
             round(col("tf").cast("double") *
-              log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 6)
+              (graft.functions.TextFunctions.lnPoly(col("n_docs") + 1) -
+               graft.functions.TextFunctions.lnPoly(col("df") + 1)), 6)
               .as("tfidf"))
       },
-      Some("""WITH toks AS (SELECT doc_id,
-             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-             |n AS (SELECT count(*) AS n_docs FROM documents)
-             |SELECT t.doc_id, t.term, t.tf, d.df,
-             |round(t.tf::DOUBLE * ln((n_docs + 1)::DOUBLE / (d.df + 1)::DOUBLE), 6) AS tfidf
-             |FROM tf t JOIN df d USING (term), n WHERE t.doc_id < 25""".stripMargin)),
+      Some {
+        val lnr = s"(${graft.functions.TextFunctions.lnPolySql("n_docs + 1")} - " +
+          s"${graft.functions.TextFunctions.lnPolySql("d.df + 1")})"
+        s"""WITH toks AS (SELECT doc_id,
+           |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT t.doc_id, t.term, t.tf, d.df,
+           |round(t.tf::DOUBLE * $lnr, 6) AS tfidf
+           |FROM tf t JOIN df d USING (term), n WHERE t.doc_id < 25""".stripMargin
+      }),
 
     // BM25 top-20 for the fixed query {join, hash, scan}, k1=1.2 b=0.75.
     // Per-term contributions are summed in a FIXED order (one conditional
@@ -2261,8 +2287,10 @@ object QueriesText {
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-        val idf = log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
-          (col("df").cast("double") + 0.5) + 1.0)
+        // ln((n - df + 0.5)/(df + 0.5) + 1) == ln(2(n+1)) - ln(2df+1):
+        // an integer-ratio identity, so the idf rides lnPoly (no libm)
+        val idf = graft.functions.TextFunctions.lnPoly((col("n_docs") + 1) * 2) -
+          graft.functions.TextFunctions.lnPoly(col("df") * 2 + 1)
         val contrib = idf * (col("tf").cast("double") * 2.2) /
           (col("tf").cast("double") +
             lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
@@ -2280,7 +2308,10 @@ object QueriesText {
         top.withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       },
-      Some("""WITH toks AS (SELECT doc_id,
+      Some {
+        val idf = s"(${graft.functions.TextFunctions.lnPolySql("(n_docs + 1) * 2")} - " +
+          s"${graft.functions.TextFunctions.lnPolySql("d.df * 2 + 1")})"
+        s"""WITH toks AS (SELECT doc_id,
              |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
              |  FROM documents),
              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
@@ -2289,7 +2320,7 @@ object QueriesText {
              |  WHERE term IN ('join', 'hash', 'scan') GROUP BY 1, 2),
              |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
              |per AS (SELECT t.doc_id, t.term,
-             |  ln((n_docs::DOUBLE - d.df::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5) + 1.0) *
+             |  $idf *
              |  (t.tf::DOUBLE * 2.2) /
              |  (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (l.dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))) AS c
              |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id), stats),
@@ -2300,7 +2331,8 @@ object QueriesText {
              |  FROM per GROUP BY doc_id),
              |ranked AS (SELECT doc_id, score,
              |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored)
-             |SELECT doc_id, score, rank FROM ranked WHERE rank <= 20""".stripMargin)),
+             |SELECT doc_id, score, rank FROM ranked WHERE rank <= 20""".stripMargin
+      }),
 
     // RECIPROCAL RANK FUSION (Cormack et al. 2009): the standard
     // score-free combiner for hybrid retrieval — here fusing the BM25
@@ -2321,8 +2353,10 @@ object QueriesText {
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-        val idf = log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
-          (col("df").cast("double") + 0.5) + 1.0)
+        // ln((n - df + 0.5)/(df + 0.5) + 1) == ln(2(n+1)) - ln(2df+1):
+        // an integer-ratio identity, so the idf rides lnPoly (no libm)
+        val idf = graft.functions.TextFunctions.lnPoly((col("n_docs") + 1) * 2) -
+          graft.functions.TextFunctions.lnPoly(col("df") * 2 + 1)
         val contrib = idf * (col("tf").cast("double") * 2.2) /
           (col("tf").cast("double") +
             lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
@@ -2349,7 +2383,10 @@ object QueriesText {
           .orderBy(col("rrf").desc, col("doc_id")).limit(10)
           .withColumn("rank", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
       },
-      Some("""WITH toks AS (SELECT doc_id,
+      Some {
+        val idf = s"(${graft.functions.TextFunctions.lnPolySql("(n_docs + 1) * 2")} - " +
+          s"${graft.functions.TextFunctions.lnPolySql("d.df * 2 + 1")})"
+        s"""WITH toks AS (SELECT doc_id,
              |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
              |  FROM documents),
              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
@@ -2358,7 +2395,7 @@ object QueriesText {
              |  WHERE term IN ('join', 'hash', 'scan') GROUP BY 1, 2),
              |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
              |per AS (SELECT t.doc_id, t.term,
-             |  ln((n_docs::DOUBLE - d.df::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5) + 1.0) *
+             |  $idf *
              |  (t.tf::DOUBLE * 2.2) /
              |  (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (l.dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))) AS c
              |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id), stats),
@@ -2379,7 +2416,8 @@ object QueriesText {
              |      + coalesce(1.0 / (60.0 + rb.rank), 0.0), 6) AS rrf
              |  FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id)
              |SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
-             |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+             |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+      }),
 
     // ---- corpus-level n-gram dedup, decontamination, repetition, mixing ----
 
