@@ -319,31 +319,12 @@ object SimilarityFunctions {
     * deterministic semantics; size the fine set so it stays rare).
     * Returns (vec_id, cid, ccos, fid, fcos). */
   def ivf2Assign(corpus: DataFrame, coarse: DataFrame, fine: DataFrame,
-                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val s = corpus.sparkSession
-    import s.implicits._
-    val coarseArr = coarse
-      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-    // fine → coarse: quantizer-sized (k₂ rows), same fold as the corpus
-    val fineByCell: Map[Long, Seq[(Long, Seq[Double])]] = assignBest(
-      fine.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("ce")),
-      coarseArr)
-      .select(col("cid"), col("vec_id"), col("ce"))
-      .as[(Long, Long, Seq[Double])].collect()
-      .groupBy(_._1).map { case (c, rs) =>
-        c -> rs.map(r => (r._2, r._3)).sortBy(_._1).toSeq }
-    // fine argmax rides the codegen'd per-cell expression (binary-search
-    // cell lookup + the shared bestRow kernel) — the interpreted
-    // `aggregate` over `element_at(<map literal>, cid)` it replaces is the
-    // same cost class the IVF-PQ soak caught Catalyst duplicating into
-    // join conditions (see assignBest's scaladoc)
-    assignBest(corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), coarseArr)
-      .withColumn("fb",
-        graft.exprs.NearestCentroidByCell.best(col("ce"), col("cid"), fineByCell))
-      .select(col("vec_id"), col("cid"), col("ccos"),
-        col("fb.fid").as("fid"), col("fb.fcos").as("fcos"))
-  }
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    Ivf2Index.build(coarse, fine, idCol, embCol).assign(corpus, idCol, embCol)
+
+  private[functions] def assignBestFor(v: DataFrame,
+                                       cenArr: Seq[(Long, Seq[Double])]): DataFrame =
+    assignBest(v, cenArr)
 
   // ---------------------------------------------------------------- PQ ----
 
@@ -593,6 +574,55 @@ final class PqIndex private (val cenArr: Seq[(Long, Seq[Double])],
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("vec_id"),
         (col("adistq") / 1e6).as("adist"), col("rank"))
+  }
+}
+
+/** A built two-level IVF quantizer: BOTH levels collected once (the
+  * coarse array and the per-coarse-cell fine map) and reusable across
+  * assignment passes — [[SimilarityFunctions.ivf2Assign]] is the one-shot
+  * convenience that builds-and-assigns in one call; hold this object when
+  * assigning repeatedly (a continuously-ingesting index build, per-batch
+  * streaming assignment). `assign` plans from cached driver state with
+  * ZERO Spark jobs — the [[PqIndex]] contract. */
+final class Ivf2Index private (val coarseArr: Seq[(Long, Seq[Double])],
+                               val fineByCell: Map[Long, Seq[(Long, Seq[Double])]])
+    extends Serializable {
+
+  /** Two-level max-cosine assignment of `corpus`: map-only, zero shuffle
+    * (both argmaxes are codegen'd row-local folds — see
+    * [[SimilarityFunctions.ivf2Assign]]'s scaladoc for the scale story).
+    * Returns (vec_id, cid, ccos, fid, fcos). */
+  def assign(corpus: DataFrame, idCol: String = "vec_id",
+             embCol: String = "embedding"): DataFrame =
+    SimilarityFunctions.assignBestFor(
+        corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), coarseArr)
+      .withColumn("fb",
+        graft.exprs.NearestCentroidByCell.best(col("ce"), col("cid"), fineByCell))
+      .select(col("vec_id"), col("cid"), col("ccos"),
+        col("fb.fid").as("fid"), col("fb.fcos").as("fcos"))
+}
+
+object Ivf2Index {
+  /** Collect both quantizer levels once: the coarse centroids, and the
+    * fine centroids grouped by their max-cosine coarse cell (the fine →
+    * coarse assignment itself runs the codegen fold — quantizer-sized
+    * work). */
+  def build(coarse: DataFrame, fine: DataFrame, idCol: String = "vec_id",
+            embCol: String = "embedding"): Ivf2Index = {
+    val s = coarse.sparkSession
+    import s.implicits._
+    val coarseArr = coarse
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val fineByCell: Map[Long, Seq[(Long, Seq[Double])]] =
+      SimilarityFunctions.assignBestFor(
+        fine.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("ce")),
+        coarseArr)
+      .select(col("cid"), col("vec_id"), col("ce"))
+      .as[(Long, Long, Seq[Double])].collect()
+      .groupBy(_._1).map { case (c, rs) =>
+        c -> rs.map(r => (r._2, r._3)).sortBy(_._1).toSeq }
+    new Ivf2Index(coarseArr, fineByCell)
   }
 }
 

@@ -607,6 +607,46 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("Ivf2Index is build-once: repeated assign planning launches zero jobs") {
+    // same contract as PqIndex: both quantizer levels are collected at
+    // build(); every later assign() is plan-only (RDD-backed data so
+    // LocalRelation folding can't fake the zero — see the PqIndex test)
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(8)((rng.nextGaussian() * 0.5).toFloat)))
+    val vecs = spark.createDataset(spark.sparkContext.parallelize(rows, 2))
+      .toDF("vec_id", "embedding")
+    val idx = graft.functions.Ivf2Index.build(
+      vecs.where($"vec_id" % 20 === 0), vecs.where($"vec_id" % 8 === 0))
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def settle(atLeast: Int): Int = {
+      val deadline = System.nanoTime() + 5000000000L
+      while (counter.get() < atLeast && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200)
+      counter.get()
+    }
+    try {
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val base = settle(1)
+      for (_ <- 1 to 3) idx.assign(vecs)
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val after = settle(base + 1)
+      assert(after == base + 1,
+        s"assign planning launched ${after - base - 1} extra job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the one-shot convenience still matches the index path exactly
+    val a = idx.assign(vecs).collect().map(_.toSeq).toSet
+    val b = SimilarityFunctions.ivf2Assign(vecs,
+      vecs.where($"vec_id" % 20 === 0), vecs.where($"vec_id" % 8 === 0))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("pqTrain cuts reconstruction error by an order of magnitude") {
     // 8 well-separated anchor directions; the first 16 ids (the untrained
     // initialization) sit in only TWO clusters by construction, so the
