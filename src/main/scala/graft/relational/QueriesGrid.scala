@@ -591,6 +591,60 @@ object QueriesGrid {
               |LEFT JOIN m3 n5 ON n5.i = g.i AND n5.j = g.j AND n5.k = g.k - 1
               |LEFT JOIN m3 n6 ON n6.i = g.i AND n6.j = g.j AND n6.k = g.k + 1""".stripMargin)),
 
+    // the same halo-exchange path at BIG-VOLUME scale: 64³ (262,144
+    // cells — 1000× the 8³ gate above; 4×4×4 tiles of 16³), mask
+    // generated from pure integer coordinate arithmetic so the oracle
+    // rebuilds the identical volume from range() alone. This is the
+    // CORRECTNESS-gated big-volume morphology row (r7 verdict "What's
+    // missing" #3) — the spec layer pins bit-equality vs the single-node
+    // kernel, this pins the whole distributed plan against an
+    // independent relational erosion at a volume 3 orders bigger than
+    // any other gate grid.
+    Q("q_tiled_erosion3d_big",
+      (s, dir) => {
+        val ts = 16
+        val nt = 4
+        import s.implicits._
+        val mask = (p: org.apache.spark.sql.Column) => {
+          val li = (p / (ts * ts)).cast("long")
+          val lj = (p / ts % ts).cast("long")
+          val lk = (p % ts).cast("long")
+          val i = col("ti") * ts + li
+          val j = col("tj") * ts + lj
+          val k = col("tk") * ts + lk
+          (i * 31 + j * 7 + k * 13) % 5 =!= 0
+        }
+        val tiles = s.range(nt.toLong * nt * nt).select(
+            lit(0L).as("id"),
+            (col("id") / (nt * nt)).cast("int").as("ti"),
+            ((col("id") / nt) % nt).cast("int").as("tj"),
+            (col("id") % nt).cast("int").as("tk"))
+          .select(col("id"), col("ti"), col("tj"), col("tk"),
+            transform(sequence(lit(0), lit(ts * ts * ts - 1)), mask).as("data"))
+          .as[graft.operators.TiledStencil.Tile3]
+        graft.operators.TiledStencil.erode3(tiles, ts, Array(nt, nt, nt))(s)
+          .toDF()
+          .select(col("ti"), col("tj"), col("tk"), posexplode(col("data")).as(Seq("pos", "out")))
+          .select((col("ti") * ts + (col("pos") / (ts * ts)).cast("int")).cast("long").as("i"),
+                  (col("tj") * ts + (col("pos") / ts).cast("int") % ts).cast("long").as("j"),
+                  (col("tk") * ts + col("pos") % ts).cast("long").as("k"),
+                  when(col("out"), 1).otherwise(0).as("e"))
+      },
+      Some("""WITH g AS (SELECT r1.i AS i, r2.j AS j, r3.k AS k,
+              |  CASE WHEN (r1.i*31 + r2.j*7 + r3.k*13) % 5 != 0 THEN 1 ELSE 0 END AS v
+              |  FROM range(64) r1(i) CROSS JOIN range(64) r2(j) CROSS JOIN range(64) r3(k))
+              |SELECT g.i, g.j, g.k, CASE WHEN g.v = 1
+              |  AND coalesce(n1.v, 1) = 1 AND coalesce(n2.v, 1) = 1
+              |  AND coalesce(n3.v, 1) = 1 AND coalesce(n4.v, 1) = 1
+              |  AND coalesce(n5.v, 1) = 1 AND coalesce(n6.v, 1) = 1 THEN 1 ELSE 0 END AS e
+              |FROM g
+              |LEFT JOIN g n1 ON n1.i = g.i - 1 AND n1.j = g.j AND n1.k = g.k
+              |LEFT JOIN g n2 ON n2.i = g.i + 1 AND n2.j = g.j AND n2.k = g.k
+              |LEFT JOIN g n3 ON n3.i = g.i AND n3.j = g.j - 1 AND n3.k = g.k
+              |LEFT JOIN g n4 ON n4.i = g.i AND n4.j = g.j + 1 AND n4.k = g.k
+              |LEFT JOIN g n5 ON n5.i = g.i AND n5.j = g.j AND n5.k = g.k - 1
+              |LEFT JOIN g n6 ON n6.i = g.i AND n6.j = g.j AND n6.k = g.k + 1""".stripMargin)),
+
     // boxed morphology (crop-to-support pruning,
     // /root/reference/imops/morphology.py:117-151) against the SAME
     // relational oracle as the full-image erosion — one oracle, two
