@@ -591,6 +591,58 @@ object QueriesGrid {
               |LEFT JOIN m3 n5 ON n5.i = g.i AND n5.j = g.j AND n5.k = g.k - 1
               |LEFT JOIN m3 n6 ON n6.i = g.i AND n6.j = g.j AND n6.k = g.k + 1""".stripMargin)),
 
+    // the slice-distributed trilinear zoom at BIG-VOLUME scale: 32³ → 64³
+    // (262,144 output cells through operators.VolumeZoom — the headline
+    // 100 TB path at 3 orders more cells than the 8³→12³ gate above).
+    // The volume is pure integer coordinate arithmetic ((i·31+j·7+k·13)
+    // mod 97), so the oracle rebuilds it from range() and replays the
+    // full 8-corner lerp per output cell; both engines evaluate the same
+    // (x · (31/63)) source-coordinate tree, so round-4 equality is the
+    // same deterministic convention as q_zoom3d_linear.
+    Q("q_zoom3d_big_dist",
+      (s, dir) => {
+        import s.implicits._
+        val d = 32
+        // two selects: a lambda's outer col("id") in the SAME projection
+        // as a sibling `lit(0L).as("id")` alias resolves to the ALIAS
+        // (HOF outer-reference binding), silently zeroing the generator
+        val slices = s.range(d.toLong).select(
+            col("id").cast("int").as("sid"),
+            transform(sequence(lit(0), lit(d * d - 1)), p =>
+              ((col("id") * 31 + (p / d).cast("long") * 7 + (p % d).cast("long") * 13) % 97)
+                .cast("double")).as("data"))
+          .select(lit(0L).as("id"), col("sid"), col("data"))
+          .as[graft.operators.VolumeZoom.ZSlice]
+        graft.operators.VolumeZoom(slices, Array(d, d, d), Array(2.0, 2.0, 2.0), order = 1)(s)
+          .toDF()
+          .select(col("sid").cast("long").as("i"), posexplode(col("data")).as(Seq("pos", "raw")))
+          .select(col("i"), (col("pos") / 64).cast("long").as("j"),
+            (col("pos") % 64).cast("long").as("k"), round(col("raw"), 4).as("v"))
+      },
+      Some {
+        def c(x: String) = s"($x * (31.0 / 63.0))"
+        def f(x: String) = s"floor(${c(x)})"
+        def pix(ri: String, ci: String, ki: String) =
+          s"coalesce(d[CASE WHEN $ri BETWEEN 0 AND 31 AND $ci BETWEEN 0 AND 31 AND $ki BETWEEN 0 AND 31 " +
+            s"THEN cast(($ri * 32 + $ci) * 32 + $ki AS INT) + 1 ELSE NULL END], 0.0)"
+        val fs = Seq("ra.a", "rb.b", "rc.c").map(x => s"cast(${f(x)} AS INT)")
+        val ds = Seq("ra.a", "rb.b", "rc.c").map(x => s"(${c(x)} - ${f(x)})")
+        val terms = (0 until 8).map { corner =>
+          val up = (0 until 3).map(dd => ((corner >> dd) & 1) == 1)
+          val ws = (0 until 3).map(dd => if (up(dd)) ds(dd) else s"(1 - ${ds(dd)})")
+          val ix = (0 until 3).map(dd => if (up(dd)) s"(${fs(dd)} + 1)" else fs(dd))
+          s"(1.0 * ${ws(0)} * ${ws(1)} * ${ws(2)}) * ${pix(ix(0), ix(1), ix(2))}"
+        }
+        s"""WITH gg AS (SELECT r1.i AS i, r2.j AS j, r3.k AS k,
+           |  CAST((r1.i*31 + r2.j*7 + r3.k*13) % 97 AS DOUBLE) AS v
+           |  FROM range(32) r1(i) CROSS JOIN range(32) r2(j) CROSS JOIN range(32) r3(k)),
+           |g AS (SELECT list(v ORDER BY i, j, k) AS d FROM gg)
+           |SELECT ra.a AS i, rb.b AS j, rc.c AS k, round(
+           |  ${terms.mkString("\n+ ")}, 4) AS v
+           |FROM range(64) ra(a) CROSS JOIN range(64) rb(b) CROSS JOIN range(64) rc(c)
+           |CROSS JOIN g""".stripMargin
+      }),
+
     // the same halo-exchange path at BIG-VOLUME scale: 64³ (262,144
     // cells — 1000× the 8³ gate above; 4×4×4 tiles of 16³), mask
     // generated from pure integer coordinate arithmetic so the oracle
