@@ -127,6 +127,40 @@ object QueriesStreaming {
            |FROM q GROUP BY event_type""".stripMargin
       }),
 
+    // Stream-static AS-OF enrichment: clicks streaming in gain the value
+    // of the user's latest at-or-before purchase (the feature-serving
+    // composition — streaming × as-of). The purchase dimension is small
+    // by contract: collected once, time-sorted per key, broadcast; each
+    // stream row binary-searches row-locally, so the op is STATELESS (no
+    // state store, no watermark, append mode). Payloads are 1e-6-quantized
+    // integers; ties at equal time go to max payload (AsOfJoin's backward
+    // rule), replayed by the oracle's (t DESC, v DESC) window.
+    Q("q_stream_asof",
+      (s, dir) => {
+        val schema = T.rawSchema(s, dir, "events")
+        val src = T.normTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val clicks = src.where(col("event_type") === "click")
+        val dim = T(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            floor(col("value") * 1000000 + lit(0.5)).cast("long").as("v"))
+        val enriched = StreamingOps.asOfEnrich(clicks, dim,
+          "user_id", "ts", "user_id", "ts", "v", "last_purchase_q")
+        StreamingOps.runAvailableNow(
+            enriched.select(col("event_id"), col("user_id"), col("last_purchase_q")),
+            "q_stream_asof", outputMode = "append")
+          .where(col("last_purchase_q").isNotNull)
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+             |  WHERE event_type = 'click'),
+             |p AS (SELECT user_id, epoch_ns(ts) AS t,
+             |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT event_id, user_id, last_purchase_q FROM (
+             |  SELECT c.event_id, c.user_id, p.v AS last_purchase_q,
+             |    row_number() OVER (PARTITION BY c.event_id ORDER BY p.t DESC, p.v DESC) AS rn
+             |  FROM c JOIN p ON p.user_id = c.user_id AND p.t <= c.t) WHERE rn = 1""".stripMargin)),
+
     // Streaming exact dedup: group documents by content hash (the streaming
     // form of q_dedup_exact — state is the distinct-hash set).
     Q("q_stream_dedup",

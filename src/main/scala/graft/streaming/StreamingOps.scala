@@ -12,6 +12,53 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
+  /** Stream-static AS-OF enrichment: each stream row gains the payload of
+    * the LATEST dimension row for its key at-or-before its time — the
+    * streaming form of [[graft.operators.AsOfJoin]]'s backward direction
+    * (greatest dimTs <= ts, ties to max payload), and the composition a
+    * feature-serving ingest runs continuously (enrich events with the
+    * freshest preceding account state).
+    *
+    * Scale/streaming shape: the dimension is SMALL BY CONTRACT (the
+    * quantizer convention — it is collected once, time-sorted per key,
+    * and broadcast); each stream row then binary-searches row-locally, so
+    * the op is STATELESS — it composes onto any source in any output mode
+    * with no state store, no watermark coupling, and no stream-stream
+    * join restrictions. A growing dimension belongs in a stream-stream
+    * interval join instead. Key/time/payload are integral (times are the
+    * repo's ns-long convention; quantize FP payloads first). Rows with no
+    * at-or-before match get null. */
+  def asOfEnrich(stream: DataFrame, dim: DataFrame,
+                 keyCol: String, tsCol: String,
+                 dimKey: String, dimTs: String, dimPayload: String,
+                 outCol: String): DataFrame = {
+    val s = dim.sparkSession
+    import s.implicits._
+    val byKey: Map[Long, (Array[Long], Array[Long])] = dim
+      .select(col(dimKey).cast("long"), col(dimTs).cast("long"),
+        col(dimPayload).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        // sorted by (ts, payload): the rightmost index with ts <= t is the
+        // latest row, and among equal-ts rows the max payload — exactly
+        // AsOfJoin's backward tie rule
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        k -> (sorted.map(_._2).toArray, sorted.map(_._3).toArray)
+      }
+    val bc = s.sparkContext.broadcast(byKey)
+    val look = udf { (k: Long, t: Long) =>
+      bc.value.get(k).flatMap { case (ts, pay) =>
+        var lo = 0; var hi = ts.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (ts(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        if (ans >= 0) Some(pay(ans)) else None
+      }
+    }
+    stream.withColumn(outCol, look(col(keyCol).cast("long"), col(tsCol).cast("long")))
+  }
+
   /** Tumbling-window event counts with late-data handling. */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
                      window: String, watermark: String): DataFrame =

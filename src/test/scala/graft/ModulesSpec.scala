@@ -93,8 +93,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(fin(8L) == ((8L, 1L, 0L, 2.0, 50L)))
     } finally q.stop()
   }
+  test("asOfEnrich agrees with the batch AsOfJoin backward rule on random data") {
+    // the streaming op is a broadcast binary search; the batch operator is
+    // a union+window shuffle — same semantics, different machinery, so a
+    // brute differential over random keys/times/duplicate timestamps pins
+    // the (greatest ts <= t, ties to max payload) contract across both
+    val rng = new scala.util.Random(99)
+    val stream = (1 to 150).map(i =>
+      (i.toLong, 1L + rng.nextInt(6), rng.nextInt(80).toLong)).toDF("id", "k", "t")
+    val dim = (1 to 60).map(_ =>
+      (1L + rng.nextInt(6), rng.nextInt(80).toLong, rng.nextInt(30).toLong))
+      .toDF("k", "rt", "pay")
+    val viaEnrich = StreamingOps.asOfEnrich(stream, dim,
+        "k", "t", "k", "rt", "pay", "m")
+      .select($"id", $"m").as[(Long, Option[Long])].collect().toMap
+    val viaJoin = graft.operators.AsOfJoin(stream, dim, "k", "k", "t", "rt", "pay", "m")
+      .select($"id", $"m").as[(Long, Option[Long])].collect().toMap
+    assert(viaEnrich == viaJoin,
+      s"diff=${viaEnrich.collect { case (k, v) if viaJoin(k) != v => (k, v, viaJoin(k)) }.take(5)}")
+    assert(viaEnrich.values.exists(_.isDefined) && viaEnrich.values.exists(_.isEmpty))
+  }
 }
-
 class MultimodalSpec extends AnyFunSuite {
   private implicit val spark: org.apache.spark.sql.SparkSession = SharedSpark.spark
   import spark.implicits._
