@@ -335,6 +335,72 @@ object QueriesText {
               |SELECT id1, id2, round(cast(inter AS DOUBLE) / (la + lb - inter), 4) AS jacc
               |FROM j WHERE cast(inter AS DOUBLE) / (la + lb - inter) >= 0.5""".stripMargin)),
 
+    // Recall harness for the banded-MinHash candidate generator — the
+    // q_pq_recall philosophy applied to the dedup path: never trust a
+    // blocking scheme you have not measured. Ground truth = ALL
+    // distinct-content pairs whose EXACT 3-gram Jaccard reaches tau
+    // (all-pairs is the harness side, deliberate at gate scale; the
+    // production path stays banded + capped), measured = the same 4-band
+    // cap-64 candidate set every LSH gate here uses. The Jaccard
+    // threshold test is an integer cross-multiplication and recall is an
+    // e4 integer quotient, so the measured curve (recall falling as tau
+    // drops below the banding scheme's operating point) replays
+    // bit-exactly in the oracle — no FP anywhere.
+    Q("q_lsh_recall",
+      (s, dir) => {
+        import s.implicits._
+        val d = repSig(s, dir).select(col("doc_id"),
+          shinglesUdf(col("text"), lit(3)).as("sh"))
+        val pairs = d.select(col("doc_id").as("id1"), col("sh").as("sa"))
+          .join(d.select(col("doc_id").as("id2"), col("sh").as("sb")),
+            col("id1") < col("id2"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .where(col("inter") >= 1)
+          .select(col("id1"), col("id2"), col("inter"),
+            (size(col("sa")) + size(col("sb")) - col("inter")).cast("long").as("un"))
+        val bands = repSig(s, dir)
+          .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+        val cand = graft.operators.LshBlocking
+          .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
+          .distinct().withColumn("hit", lit(1L))
+        val taus = Seq(1000, 2000, 3000, 5000).toDF("tau_e4")
+        pairs.crossJoin(broadcast(taus))
+          .where(col("inter") * lit(10000L) >= col("tau_e4") * col("un"))
+          .join(cand, Seq("id1", "id2"), "left")
+          .groupBy("tau_e4")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall_e4", expr("n_hit * 10000 div n_truth"))
+      },
+      Some(s"""WITH rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+              |d AS (SELECT doc_id,
+              |  ${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")},
+              |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+              |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+              |         || ' ' || string_split(text, ' ')[i+2])) AS sh
+              |  FROM rep),
+              |p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+              |  (len(a.sh) + len(b.sh))::BIGINT AS lab
+              |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+              |pairs AS (SELECT id1, id2, inter, lab - inter AS un FROM p0 WHERE inter >= 1),
+              |bands AS (${(0 until 4).map(k =>
+                 s"SELECT doc_id, $k AS band, mh$k AS h FROM d").mkString(" UNION ALL ")}),
+              |keptb AS (SELECT band, h FROM bands GROUP BY band, h HAVING count(*) <= 64),
+              |kb AS (SELECT b.doc_id, b.band, b.h FROM bands b
+              |  JOIN keptb ON keptb.band = b.band AND keptb.h = b.h),
+              |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+              |  FROM kb x JOIN kb y
+              |  ON x.h = y.h AND x.band = y.band AND x.doc_id < y.doc_id),
+              |taus(tau_e4) AS (VALUES (1000), (2000), (3000), (5000))
+              |SELECT t.tau_e4, count(*)::BIGINT AS n_truth,
+              |  sum(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+              |  (sum(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT * 10000)
+              |    // count(*) AS recall_e4
+              |FROM taus t JOIN pairs p ON p.inter * 10000 >= t.tau_e4 * p.un
+              |LEFT JOIN cand c ON c.id1 = p.id1 AND c.id2 = p.id2
+              |GROUP BY t.tau_e4""".stripMargin)),
+
     // All-pairs SPARSE cosine over trigram tf vectors via an inverted-index
     // self-join blocked on RARE terms (df <= 8) — the similarity-join
     // complement of the dense-embedding cosine paths. Dot products are
@@ -455,6 +521,60 @@ object QueriesText {
               |  FROM bands x JOIN bands y
               |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
               |SELECT id1, id2, hamming FROM cand WHERE hamming <= 1""".stripMargin)),
+
+    // Recall harness for the SimHash band blocking (q_lsh_recall's twin on
+    // the hamming side): truth = ALL pairs at exact hamming <= r over the
+    // 16-bit signatures, measured = the two-8-bit-band candidate set of
+    // q_simhash_pairs. Pigeonhole makes r <= 1 lossless — the r=1 row is
+    // a PROVEN 10000 — while r = 2..4 measure the real decay a user
+    // accepts when stretching a banding scheme past its design distance.
+    // Everything is integer (xor popcounts, e4 integer quotient): the
+    // curve replays bit-exactly in the oracle.
+    Q("q_simhash_recall",
+      (s, dir) => {
+        import s.implicits._
+        val sh = T(s, dir, "documents")
+          .select(col("doc_id"), simhash16Udf(col("text")).as("sh"))
+        val pairs = sh.select(col("doc_id").as("id1"), col("sh").as("s1"))
+          .join(sh.select(col("doc_id").as("id2"), col("sh").as("s2")),
+            col("id1") < col("id2"))
+          .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int"))
+          .select(col("id1"), col("id2"), col("hamming"))
+        val bands = sh.select(col("doc_id"), explode(array(
+            struct(lit(0).as("band"), (col("sh") % 256).as("key")),
+            struct(lit(1).as("band"), expr("sh div 256").as("key")))).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+          .distinct().withColumn("hit", lit(1L))
+        val rs = Seq(1, 2, 3, 4).toDF("r")
+        pairs.crossJoin(broadcast(rs))
+          .where(col("hamming") <= col("r"))
+          .join(cand, Seq("id1", "id2"), "left")
+          .groupBy("r")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall_e4", expr("n_hit * 10000 div n_truth"))
+      },
+      Some(s"""WITH sig AS (SELECT doc_id, $simhashSql AS sh FROM documents),
+              |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  cast(bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS INT) AS hamming
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+              |bands AS (SELECT doc_id, 0 AS band, sh % 256 AS key FROM sig
+              |  UNION ALL SELECT doc_id, 1 AS band, sh // 256 AS key FROM sig),
+              |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+              |  FROM bands x JOIN bands y
+              |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+              |rs(r) AS (VALUES (1), (2), (3), (4))
+              |SELECT rs.r, count(*)::BIGINT AS n_truth,
+              |  sum(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+              |  (sum(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT * 10000)
+              |    // count(*) AS recall_e4
+              |FROM rs JOIN pairs p ON p.hamming <= rs.r
+              |LEFT JOIN cand c ON c.id1 = p.id1 AND c.id2 = p.id2
+              |GROUP BY rs.r""".stripMargin)),
 
     // composed training-data pipeline: exact-dedup (keep min doc_id) ->
     // quality gate (length + stopword ratio) -> language-ID rollup per
