@@ -252,6 +252,49 @@ object QueriesStreaming {
            |GROUP BY 1, 2""".stripMargin
       }),
 
+    // The IVFADC residual pass on a continuously-ingesting stream:
+    // ivfResiduals is stateless map work (the pqCells contract), so it
+    // composes onto readStream unchanged — per cell we roll up the count
+    // and the exact-integer sum of quantized residual norms (×1e6 BIGINT
+    // per vector, summed exactly), the running "how much does my coarse
+    // quantizer explain" health metric of a streaming index build.
+    Q("q_stream_residuals",
+      (s, dir) => {
+        val schema = T.rawSchema(s, dir, "embeddings")
+        val cen = T(s, dir, "embeddings").where(col("vec_id") % 100 === 0)
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val agg = graft.functions.SimilarityFunctions.ivfResiduals(src, cen)
+          .withColumn("rq", graft.functions.SimilarityFunctions.d2q(
+            col("re"), array_repeat(lit(0.0), 64)))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_id"),
+            sum(col("rq")).as("rnorm_e6"))
+        StreamingOps.runAvailableNow(agg, "q_stream_residuals")
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |cen AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |casn AS (SELECT v.vec_id, cen.cid, ${cos("v.embedding", "cen.cemb")} AS ccos
+           |  FROM v CROSS JOIN cen),
+           |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr FROM casn)
+           |  WHERE cr = 1),
+           |resid AS (SELECT c.vec_id, c.cid, list_transform(range(1, 65),
+           |  k -> CAST(v.embedding[k] AS DOUBLE) - CAST(n.cemb[k] AS DOUBLE)) AS re
+           |  FROM cells c JOIN v ON v.vec_id = c.vec_id JOIN cen n ON n.cid = c.cid),
+           |rn AS (SELECT cid, vec_id,
+           |  CAST(floor(list_sum(list_transform(range(1, 65), k -> re[k] * re[k]))
+           |    * 1e6 + 0.5) AS BIGINT) AS rq FROM resid)
+           |SELECT cid, count(*) AS n_vectors, min(vec_id) AS min_id,
+           |  sum(rq)::BIGINT AS rnorm_e6
+           |FROM rn GROUP BY 1""".stripMargin
+      }),
+
     // Gap-based session windows as a streaming merging-window aggregation.
     // Spark only supports append mode for session windows, so with a
     // 0-second watermark exactly the sessions whose end (last event +
