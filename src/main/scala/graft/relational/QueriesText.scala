@@ -345,11 +345,16 @@ object QueriesText {
     // threshold test is an integer cross-multiplication and recall is an
     // e4 integer quotient, so the measured curve (recall falling as tau
     // drops below the banding scheme's operating point) replays
-    // bit-exactly in the oracle — no FP anywhere.
+    // bit-exactly in the oracle — no FP anywhere. The whole harness is
+    // bounded to the doc_id < 600 slice (a no-op at the <= 500-doc gate
+    // scales) so the all-pairs truth side stays fixed-size at ANY corpus
+    // scale — the q_pq_recall rule: evaluation samples a slice,
+    // production never goes all-pairs.
     Q("q_lsh_recall",
       (s, dir) => {
         import s.implicits._
-        val d = repSig(s, dir).select(col("doc_id"),
+        val reps = repSig(s, dir).where(col("doc_id") < 600)
+        val d = reps.select(col("doc_id"),
           shinglesUdf(col("text"), lit(3)).as("sh"))
         val pairs = d.select(col("doc_id").as("id1"), col("sh").as("sa"))
           .join(d.select(col("doc_id").as("id2"), col("sh").as("sb")),
@@ -358,7 +363,7 @@ object QueriesText {
           .where(col("inter") >= 1)
           .select(col("id1"), col("id2"), col("inter"),
             (size(col("sa")) + size(col("sb")) - col("inter")).cast("long").as("un"))
-        val bands = repSig(s, dir)
+        val bands = reps
           .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
         val cand = graft.operators.LshBlocking
           .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
@@ -378,7 +383,7 @@ object QueriesText {
               |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
               |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
               |         || ' ' || string_split(text, ' ')[i+2])) AS sh
-              |  FROM rep),
+              |  FROM rep WHERE doc_id < 600),
               |p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
               |  len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
               |  (len(a.sh) + len(b.sh))::BIGINT AS lab
@@ -529,16 +534,19 @@ object QueriesText {
     // a PROVEN 10000 — while r = 2..4 measure the real decay a user
     // accepts when stretching a banding scheme past its design distance.
     // Everything is integer (xor popcounts, e4 integer quotient): the
-    // curve replays bit-exactly in the oracle.
+    // curve replays bit-exactly in the oracle. Bounded to the doc_id <
+    // 600 slice like q_lsh_recall (no-op at gate scales), and truth
+    // pre-filters hamming <= max(r) before the threshold fan-out.
     Q("q_simhash_recall",
       (s, dir) => {
         import s.implicits._
-        val sh = T(s, dir, "documents")
+        val sh = T(s, dir, "documents").where(col("doc_id") < 600)
           .select(col("doc_id"), simhash16Udf(col("text")).as("sh"))
         val pairs = sh.select(col("doc_id").as("id1"), col("sh").as("s1"))
           .join(sh.select(col("doc_id").as("id2"), col("sh").as("s2")),
             col("id1") < col("id2"))
           .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int"))
+          .where(col("hamming") <= 4)
           .select(col("id1"), col("id2"), col("hamming"))
         val bands = sh.select(col("doc_id"), explode(array(
             struct(lit(0).as("band"), (col("sh") % 256).as("key")),
@@ -558,7 +566,8 @@ object QueriesText {
             sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
           .withColumn("recall_e4", expr("n_hit * 10000 div n_truth"))
       },
-      Some(s"""WITH sig AS (SELECT doc_id, $simhashSql AS sh FROM documents),
+      Some(s"""WITH sig AS (SELECT doc_id, $simhashSql AS sh FROM documents
+              |  WHERE doc_id < 600),
               |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
               |  cast(bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS INT) AS hamming
               |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
