@@ -22,12 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     // optimizer surface: key-less |l.t - r.t| <= w joins re-plan from
-    // nested-loop to the bucketed hash join (see BandJoinRewrite), and
+    // nested-loop to the bucketed hash join (see BandJoinRewrite),
     // key-less levenshtein(l.s, r.s) <= d joins re-plan to the PassJoin
     // blocked equi-join with a canonical-witness exactly-once predicate
-    // (see FuzzyJoinRewrite)
+    // (see FuzzyJoinRewrite), and key-less bit_count(l.h ^ r.h) <= r
+    // joins re-plan to the pigeonhole (r+1)-band equi-join with a
+    // first-equal-band witness (see HammingJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.FuzzyJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
   }
 }
 

@@ -585,6 +585,41 @@ object QueriesText {
               |LEFT JOIN cand c ON c.id1 = p.id1 AND c.id2 = p.id2
               |GROUP BY rs.r""".stripMargin)),
 
+    // The HammingJoinRewrite optimizer rule under the driver gate: the
+    // NAIVE form of the SimHash near-dup join — a key-less
+    // bit_count(s1 ^ s2) <= r inner join, which Spark plans as a
+    // nested-loop product — re-planned to the pigeonhole (r+1)-band
+    // equi-join with a first-equal-band exactly-once witness, and
+    // compared against DuckDB's naive evaluation. The gate throws if the
+    // rewrite stops firing (no silent regression to the product plan);
+    // scoped-install + eager checkpoint (the q_fuzzy_rewrite pattern) so
+    // the rule never leaks into other gates' planning.
+    Q("q_hamming_rewrite",
+      (s, dir) => {
+        val saved = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = saved :+ graft.plans.HammingJoinRewrite
+        try {
+          val d = T(s, dir, "documents").where(col("doc_id") < 600)
+            .select(col("doc_id"), simhash16Udf(col("text")).as("sh"))
+          val l = d.select(col("doc_id").as("id1"), col("sh").as("s1"))
+          val r = d.select(col("doc_id").as("id2"), col("sh").as("s2"))
+          val joined = l.join(r, bit_count(col("s1").bitwiseXOR(col("s2"))) <= 2)
+            .where(col("id1") < col("id2"))
+            .select(col("id1"), col("id2"),
+              bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
+          val plan = joined.queryExecution.executedPlan.toString
+          require(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+            "HammingJoinRewrite did not fire; hamming join planned as a product")
+          joined.localCheckpoint(true)
+        } finally s.experimental.extraOptimizations = saved
+      },
+      Some(s"""WITH sig AS (SELECT doc_id, $simhashSql AS sh FROM documents
+              |  WHERE doc_id < 600)
+              |SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  cast(bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS INT) AS hamming
+              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 2""".stripMargin)),
+
     // composed training-data pipeline: exact-dedup (keep min doc_id) ->
     // quality gate (length + stopword ratio) -> language-ID rollup per
     // source — the end-to-end shape of a corpus-cleaning job, in one plan

@@ -580,6 +580,107 @@ class FuzzyJoinRewriteSpec extends AnyFunSuite {
   }
 }
 
+class HammingJoinRewriteSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def withRule[T](body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ graft.plans.HammingJoinRewrite
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
+  private def withoutRule[T](body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ eq graft.plans.HammingJoinRewrite)
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
+  // fingerprints at controlled hamming distances, including pairs that
+  // agree on SEVERAL bands (the multi-candidate case the witness must
+  // collapse to one) and a DUPLICATE row (duplicate inputs must yield
+  // duplicate output rows like the nested loop)
+  private val a = Seq((1L, 0x0F0FL), (2L, 0x0F0EL), (3L, 0xFFFFL),
+    (4L, 0L), (5L, 0x0F0FL)).toDF("ida", "ha")
+  private val b = Seq((10L, 0x0F0FL), (20L, 0x0F0DL), (30L, 0xFFFDL),
+    (40L, 2L), (50L, 0x00FFL)).toDF("idb", "hb")
+
+  private def ham = bit_count(col("ha").bitwiseXOR(col("hb")))
+
+  test("key-less hamming join re-plans from nested-loop to hash join, bit-equal") {
+    for (r <- Seq(1, 2, 3)) {
+      val expected = withoutRule {
+        val naive = a.join(b, ham <= r)
+        assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"),
+          "precondition: without the rule this is a nested-loop join")
+        naive.select("ida", "idb").as[(Long, Long)].collect().sorted
+      }
+      withRule {
+        val rewritten = a.join(b, ham <= r)
+        val plan = rewritten.queryExecution.executedPlan.toString
+        assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          s"r=$r not rewritten:\n${plan.take(2000)}")
+        val got = rewritten.select("ida", "idb").as[(Long, Long)].collect().sorted
+        assert(got.toSeq == expected.toSeq,
+          s"r=$r: got ${got.toSeq}, want ${expected.toSeq}")
+      }
+    }
+  }
+
+  test("brute-force differential over random 16-bit fingerprints, int and long") {
+    val rnd = new scala.util.Random(42)
+    val xs = (1 to 120).map(i => (i.toLong, rnd.nextInt(1 << 16).toLong))
+    val ys = (1 to 120).map(i => (i.toLong, rnd.nextInt(1 << 16).toLong))
+    val (da, db) = (xs.toDF("ida", "ha"), ys.toDF("idb", "hb"))
+    for (r <- Seq(2, 5)) {
+      val expected = (for {
+        (i, x) <- xs; (jj, y) <- ys
+        if java.lang.Long.bitCount(x ^ y) <= r
+      } yield (i, jj)).sorted
+      withRule {
+        val got = da.join(db, ham <= r)
+          .select("ida", "idb").as[(Long, Long)].collect().sorted
+        assert(got.toSeq == expected, s"r=$r mismatch (long)")
+        assert(expected.nonEmpty, "differential corpus too weak")
+      }
+      // int fingerprints take the 32-bit band split
+      val (ia, ib) = (xs.map { case (i, x) => (i, x.toInt) }.toDF("ida", "ha"),
+        ys.map { case (i, y) => (i, y.toInt) }.toDF("idb", "hb"))
+      withRule {
+        val got = ia.join(ib, ham <= r)
+          .select("ida", "idb").as[(Long, Long)].collect().sorted
+        assert(got.toSeq == expected, s"r=$r mismatch (int)")
+      }
+    }
+  }
+
+  test("strict < folds to <= r-1 with exclusive semantics kept") {
+    withRule {
+      val strict = a.join(b, ham < 2)
+      assert(!strict.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      val got = strict.select("ida", "idb").as[(Long, Long)].collect().sorted
+      val expected = withoutRule {
+        a.join(b, ham <= 1)
+          .select("ida", "idb").as[(Long, Long)].collect().sorted
+      }
+      assert(got.toSeq == expected.toSeq)
+    }
+  }
+
+  test("equi-joins and over-cap bounds are left alone") {
+    withRule {
+      val equi = a.join(b, col("ida") === col("idb") && ham <= 1)
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("_graft_hj_"),
+        "rule fired on an equi-join")
+      val wide = a.join(b, ham <= 40)
+      assert(!wide.queryExecution.optimizedPlan.toString.contains("_graft_hj_"),
+        "rule fired past the r <= 15 cap")
+    }
+  }
+}
+
 class TensorSourceSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
 
