@@ -311,6 +311,35 @@ object ScaleSoak {
         emb0.where(col("vec_id") % 100 === 0), k = 10, nprobe = 2, m = 8).count()
     }
 
+    /** Hamming join at scale through the OPTIMIZER RULE: 60-bit
+      * fingerprints in twin families (odd ids = even twin with two bits
+      * flipped), joined with the naive key-less bit_count(xor) <= 2 the
+      * HammingJoinRewrite re-plans to the 3-band equi-join. True pairs
+      * grow n×; random cross-family band collisions are C(n,2)/2^20-ish —
+      * quadratic in principle but second-order at these n (the fuzzy_join
+      * caveat), so the time tail stays the linearity measurement. */
+    def hammingRows(n: Int): DataFrame =
+      spark.range(50000L * n).select(col("id"),
+        conv(md5(concat(lit("hm"), floor(col("id") / 2).cast("string"))).substr(1, 15),
+          16, 10).cast("long").as("base"))
+        .select(col("id"),
+          when(pmod(col("id"), lit(2)) === 0, col("base"))
+            .otherwise(col("base").bitwiseXOR(lit(0x8001L))).as("h"))
+    def hammingRun(n: Int): Long = {
+      val d = hammingRows(n)
+      val saved = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations = saved :+ graft.plans.HammingJoinRewrite
+      try {
+        val l = d.select(col("id").as("id1"), col("h").as("h1"))
+        val r = d.select(col("id").as("id2"), col("h").as("h2"))
+        val j = l.join(r, bit_count(col("h1").bitwiseXOR(col("h2"))) <= 2)
+          .where(col("id1") < col("id2"))
+        require(!j.queryExecution.executedPlan.toString.contains("NestedLoop"),
+          "soak must exercise the rewritten plan, not the product")
+        j.count()
+      } finally spark.experimental.extraOptimizations = saved
+    }
+
     /** Gap fill at scale: users replicate ×n over the same time range, so
       * the (user, bucket) agg shuffle grows n× and the dense grid grows
       * n× (users × fixed bucket range) — linear end to end. */
@@ -338,7 +367,7 @@ object ScaleSoak {
       ("volume_zoom3d", zoomRun), ("semdedup", semdedupRun), ("kmeans_train", kmeansRun),
       ("remove_dup_spans", spanRun), ("gap_fill", gapRun),
       ("sparse_cosine", sparseRun), ("interval_join", intervalRun),
-      ("fuzzy_join", fuzzyRun), ("ivfpq", ivfpqRun))
+      ("fuzzy_join", fuzzyRun), ("ivfpq", ivfpqRun), ("hamming_join", hammingRun))
       .filter { case (name, _) => onlySoak.isEmpty || onlySoak(name) }
     // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
     pipelines.foreach { case (_, run) => run(1) }

@@ -354,8 +354,14 @@ object QueriesText {
       (s, dir) => {
         import s.implicits._
         val reps = repSig(s, dir).where(col("doc_id") < 600)
+        // shingles compare as 60-bit md5 BIGINTs, not strings: the
+        // all-pairs intersect is the harness's whole cost and primitive
+        // arrays cut the string-hash/allocation churn several-fold. The
+        // oracle hashes identically, so a (cosmically unlikely) collision
+        // shifts BOTH engines the same way — the sparse_cosine convention.
         val d = reps.select(col("doc_id"),
-          shinglesUdf(col("text"), lit(3)).as("sh"))
+          array_distinct(transform(shinglesUdf(col("text"), lit(3)),
+            g => graft.functions.SketchFunctions.hash60(g))).as("sh"))
         val pairs = d.select(col("doc_id").as("id1"), col("sh").as("sa"))
           .join(d.select(col("doc_id").as("id2"), col("sh").as("sb")),
             col("id1") < col("id2"))
@@ -380,9 +386,11 @@ object QueriesText {
       Some(s"""WITH rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
               |d AS (SELECT doc_id,
               |  ${(0 until 4).map(k => s"${mhSql(k)} AS mh$k").mkString(", ")},
-              |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-              |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-              |         || ' ' || string_split(text, ' ')[i+2])) AS sh
+              |  list_distinct(list_transform(
+              |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+              |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+              |           || ' ' || string_split(text, ' ')[i+2])),
+              |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS sh
               |  FROM rep WHERE doc_id < 600),
               |p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
               |  len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
