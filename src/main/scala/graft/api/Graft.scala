@@ -738,6 +738,17 @@ object Graft {
         ((log(col("n").cast("double")) - col("slc") / col("n").cast("double"))
           / log(lit(2.0))).as("char_entropy"))
 
+  /** Exact hamming-distance self-pairs over an integer fingerprint
+    * column (SimHash, pHash, any <= 64-bit signature): pigeonhole
+    * (r+1)-band blocking, one equi-join plus the popcount residual —
+    * complete for any r, never all-pairs. The optimizer-rule twin
+    * (plans.HammingJoinRewrite) catches the naive bit_count(xor) join a
+    * SQL user writes; this is the library-call form. Returns
+    * (id1, id2, hamming) with id1 < id2. */
+  def hammingPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   fpCol: String, maxHamming: Int): org.apache.spark.sql.DataFrame =
+    graft.operators.LshBlocking.hammingPairs(df, idCol, fpCol, maxHamming)
+
   /** Image near-dup pairs by 64-bit average hash (the q_image_phash
     * pipeline as API): decode -> aHash -> 4x16-bit pigeonhole band join
     * (finds every pair at hamming <= 3; `maxHamming` above 3 widens the

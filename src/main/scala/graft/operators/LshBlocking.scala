@@ -79,4 +79,47 @@ object LshBlocking {
       carry.flatMap(c => Seq(col(s"x.$c").as(s"${c}_1"), col(s"y.$c").as(s"${c}_2")))
     joined.select(cols: _*)
   }
+
+  /** EXACT hamming-distance self-pairs over an integer fingerprint column
+    * via pigeonhole band blocking — the hand-callable twin of
+    * [[graft.plans.HammingJoinRewrite]] (same r+1 disjoint-bit-range
+    * split; a pair at distance <= r is bit-identical on at least one
+    * band, so the plan is one equi-join on (band, value) plus the exact
+    * popcount residual — never all-pairs). Unlike the optimizer rule,
+    * a hand-built op HAS row identity, so exactly-once is a plain
+    * distinct over (id1, id2). Complete for any `r` in [1, bits-1]; ids
+    * must be unique. Returns (id1, id2, hamming) with id1 < id2.
+    *
+    * Scale shape: fan-out r+1 rows per fingerprint, one shuffled (or
+    * broadcast) equi-join; band-collision work is C(B,2) per bucket like
+    * every LSH join here — for adversarially hot fingerprint values,
+    * collapse exact dups first ([[collapseExact]] on the fingerprint). */
+  def hammingPairs(df: DataFrame, idCol: String, fpCol: String, r: Int): DataFrame = {
+    val isLong = df.schema(fpCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val bits = if (isLong) 64 else 32
+    require(r >= 1 && r < bits, s"hamming radius $r outside [1, ${bits - 1}]")
+    val p = r + 1
+    val base = bits / p
+    val rem = bits % p
+    val widths = Seq.tabulate(p)(i => base + (if (i >= p - rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val bandStructs = (0 until p).map { i =>
+      val mask =
+        if (isLong) lit(if (widths(i) >= 64) -1L else (1L << widths(i)) - 1L)
+        else lit(if (widths(i) >= 32) -1 else (1 << widths(i)) - 1)
+      struct(lit(i).as("bi"),
+        (shiftrightunsigned(col("h"), starts(i)) bitwiseAND mask).as("bv"))
+    }
+    val bands = df.select(col(idCol).as("hid"), col(fpCol).as("h"))
+      .select(col("hid"), col("h"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("hid"), col("h"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.hid") < col("y.hid"))
+      .select(col("x.hid").as("id1"), col("y.hid").as("id2"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).cast("int").as("hamming"))
+      .where(col("hamming") <= r)
+      .distinct()
+  }
 }

@@ -329,6 +329,29 @@ class LshBlockingSpec extends AnyFunSuite {
     assert(withCarry.columns.toSeq == Seq("id1", "id2", "p_1", "p_2"))
     assert(withCarry.count() == 3)
   }
+
+  test("hammingPairs is complete and exact vs brute force, int and long, any r") {
+    val rnd = new scala.util.Random(7)
+    val xs = (1 to 150).map(i => (i.toLong, rnd.nextInt(1 << 16).toLong))
+    for (r <- Seq(1, 3, 9)) { // r=9 is past the optimizer rule's everyday range
+      val expected = (for {
+        (i, x) <- xs; (jj, y) <- xs
+        if i < jj && java.lang.Long.bitCount(x ^ y) <= r
+      } yield (i, jj, java.lang.Long.bitCount(x ^ y))).sorted
+      val gotL = LshBlocking.hammingPairs(xs.toDF("id", "fp"), "id", "fp", r)
+        .as[(Long, Long, Int)].collect().sorted
+      assert(gotL.toSeq == expected, s"long fingerprints, r=$r")
+      val gotI = LshBlocking.hammingPairs(
+          xs.map { case (i, x) => (i, x.toInt) }.toDF("id", "fp"), "id", "fp", r)
+        .as[(Long, Long, Int)].collect().sorted
+      assert(gotI.toSeq == expected, s"int fingerprints, r=$r")
+      assert(expected.nonEmpty, s"differential corpus too weak at r=$r")
+    }
+    // the plan is a band equi-join, never a product
+    val plan = LshBlocking.hammingPairs(xs.toDF("id", "fp"), "id", "fp", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+  }
 }
 
 class TiledScatteredInterpSpec extends AnyFunSuite {
