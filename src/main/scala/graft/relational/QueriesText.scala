@@ -1145,6 +1145,92 @@ object QueriesText {
            |GROUP BY ek.qid""".stripMargin
       }),
 
+    // MULTI-PROBE LSH (Lv et al., VLDB 2007): each query probes its own
+    // bucket PLUS, per band, the `Extra` buckets reached by flipping the
+    // sign bits whose components sit closest to their hyperplane — the
+    // bits most likely misclassified. Candidates grow ~(1+Extra)× while
+    // tables/bands stay fixed, buying recall without more storage — the
+    // paper's trade, measured against q_ann_recall's single-probe figure
+    // on the same 4×8-bit scheme (0.065 → see CORRECTNESS). Probe
+    // selection is pure comparisons on exact float components (rank of
+    // (|margin|, k) tuples — no arithmetic, no rounding), so both engines
+    // pick identical probe sets.
+    Q("q_ann_multiprobe",
+      (s, dir) => {
+        val Extra = 2
+        val e = T(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        val exact = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+          .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"))
+        def margins(b: Int) = array((0 until Bits).map(k =>
+          struct(abs(get(col("qe"), lit(b * Bits + k))).as("m"), lit(k).as("k"))): _*)
+        val probeCols = (0 until Bands).flatMap { b =>
+          val bucket = signBucket(col("qe"), Bits, b)
+          val own = struct(lit(b).as("band"), bucket.as("bucket"))
+          val flips = (0 until Bits).map { k =>
+            val mk = struct(abs(get(col("qe"), lit(b * Bits + k))).as("m"),
+              lit(k).as("k"))
+            when(size(filter(margins(b), x => x < mk)) < Extra,
+              struct(lit(b).as("band"),
+                bucket.bitwiseXOR(lit(1L << k)).as("bucket")))
+          }
+          own +: flips
+        }
+        val qb = q.select(col("qid"), col("qe"),
+            explode(filter(array(probeCols: _*), x => x.isNotNull)).as("bb"))
+          .select(col("qid"), col("qe"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val cb = e.select(col("vec_id"), col("embedding").as("ce"),
+            explode(lshBands(col("embedding"), Bands, Bits)).as("bb"))
+          .select(col("vec_id"), col("ce"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val approx = cb.join(broadcast(qb), Seq("band", "bucket"))
+          .where(col("qid") =!= col("vec_id"))
+          .dropDuplicates("qid", "vec_id")
+          .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("qid"), col("n_hit"),
+            round(col("n_hit") / 10.0, 4).as("recall"))
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        def probeList(b: Int): String =
+          s"""list_transform(list_filter(range(0, $Bits), k -> len(list_filter(range(0, $Bits),
+             |    j -> (abs(embedding[${b * Bits} + j + 1]), j) < (abs(embedding[${b * Bits} + k + 1]), k))) < 2),
+             |    k -> xor(b$b::BIGINT, (1::BIGINT << k)))""".stripMargin
+        s"""WITH v AS (SELECT vec_id, embedding, ${bandCols("embedding")} FROM embeddings),
+           |q AS (SELECT vec_id, embedding, ${(0 until Bands).map(b => s"b$b").mkString(", ")},
+           |  ${(0 until Bands).map(b => probeList(b) + s" AS p$b").mkString(", ")}
+           |  FROM v WHERE vec_id < 20),
+           |ex AS (SELECT q.vec_id AS qid, c.vec_id AS vid, ${cos("q.embedding", "c.embedding")} AS cos
+           |  FROM q JOIN v c ON q.vec_id != c.vec_id),
+           |ek AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM ex)
+           |  WHERE rk <= 10),
+           |ax AS (SELECT q.vec_id AS qid, c.vec_id AS vid, ${cos("q.embedding", "c.embedding")} AS cos
+           |  FROM q JOIN v c ON q.vec_id != c.vec_id AND (${(0 until Bands).map(b =>
+                s"c.b$b = q.b$b OR list_contains(q.p$b, c.b$b::BIGINT)").mkString(" OR ")})),
+           |ak AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM ax)
+           |  WHERE rk <= 10)
+           |SELECT ek.qid, count(ak.vid)::BIGINT AS n_hit,
+           |  round(count(ak.vid) / 10.0, 4) AS recall
+           |FROM ek LEFT JOIN ak ON ak.qid = ek.qid AND ak.vid = ek.vid
+           |GROUP BY ek.qid""".stripMargin
+      }),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup scoped to IVF cells —
     // within each max-cosine centroid cell, pairs at cosine >= 0.3 form
     // groups (connected components) and each group keeps only the member
