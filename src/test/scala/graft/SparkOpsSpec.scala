@@ -752,6 +752,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq == Seq(3L, 1L, 4L, 2L),
       s"residual ADC order must match exact L2 order, got ${out.toSeq}")
   }
+
+  test("multiProbeBands: own buckets kept, flips are 1-bit, lowest margins first") {
+    val vecs = Seq((0L, Seq(0.9f, -0.01f, 0.5f, -0.4f, 0.03f, 0.8f, -0.7f, 0.02f)))
+      .toDF("vec_id", "embedding")
+    val probes = vecs.select(explode(SimilarityFunctions.multiProbeBands(
+        $"embedding", bands = 2, bits = 4, extra = 2)).as("p"))
+      .select($"p.band", $"p.bucket").as[(Int, Long)].collect()
+    assert(probes.length == 2 * 3, s"bands*(1+extra) probes, got ${probes.toSeq}")
+    // band 0 signs: (+,-,+,-) -> bucket 0b0101 = 5; band 1: (+,+,-,+) -> 0b1011 = 11
+    val own = Seq((0, 5L), (1, 11L))
+    assert(own.forall(probes.contains), s"own buckets missing: ${probes.toSeq}")
+    probes.filterNot(own.contains).foreach { case (b, v) =>
+      val o = own.find(_._1 == b).get._2
+      assert(java.lang.Long.bitCount(v ^ o) == 1, s"probe ($b,$v) not a 1-bit flip")
+    }
+    // band 0 lowest |margins| are components 1 (0.01) and... band-0 comps
+    // are (0.9, 0.01, 0.5, 0.4) -> flips at bits 1 and 3
+    val b0 = probes.filter(p => p._1 == 0 && p._2 != 5L).map(_._2).sorted.toSeq
+    assert(b0 == Seq(5L ^ 2L, 5L ^ 8L).sorted, s"band-0 flips: $b0")
+  }
+
+  test("multi-probe candidates are a superset of single-probe candidates") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val single = pairs(SimilarityFunctions.lshTopK(q, vecs, k = 200, bands = 2, bits = 8))
+    val multi = pairs(SimilarityFunctions.lshMultiProbeTopK(
+      q, vecs, k = 200, bands = 2, bits = 8, extra = 2))
+    assert(single.subsetOf(multi),
+      s"missing from multi-probe: ${(single -- multi).take(5)}")
+    assert(multi.size > single.size, "extra probes must add candidates on random data")
+  }
 }
 
 class PipelinePlanSpec extends AnyFunSuite {
