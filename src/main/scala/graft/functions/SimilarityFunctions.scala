@@ -598,44 +598,9 @@ object SimilarityFunctions {
   def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                         sample: DataFrame, k: Int, nprobe: Int = 2, m: Int = 8,
                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val s = centroids.sparkSession
-    import s.implicits._
-    val cenArr = centroids
-      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-    val (dsub, books) = pqBooks(sample, m, idCol, embCol)
-    val coded = ivfResiduals(corpus, centroids, idCol, embCol)
-      .select(col("vec_id"), col("cid"),
-        graft.exprs.PqCodes.codes(col("re"), books).as("codes"))
-    // query side (small by contract): probe cells on the RAW cosine like
-    // every IVF path here, then residual-ize per probed cell
-    var pr = queries
-      .select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
-      .where(size(col("qe")) === lit(m * dsub))
-      .select(col("qid"), col("qe"), explode(typedlit(cenArr)).as("c"))
-      .withColumn("ccos", round(cosine(col("qe"), col("c._2")), 6))
-      .withColumn("cr", row_number().over(
-        Window.partitionBy("qid").orderBy(col("ccos").desc, col("c._1"))))
-      .where(col("cr") <= nprobe)
-      .withColumn("qre", zip_with(col("qe"), col("c._2"), (x, c) => x - c))
-    for (sub <- 0 until m)
-      pr = pr.withColumn(s"rsub_$sub", slice(col("qre"), sub * dsub + 1, dsub))
-    val probed = pr.select(col("qid") +: col("c._1").as("cid") +:
-      (0 until m).map { sub =>
-        transform(typedlit(books(sub)),
-          e => d2q(col(s"rsub_$sub"), e.getField("_2"))).as(s"dtab_$sub")
-      }: _*)
-    val adistq = (0 until m).map(sub =>
-      element_at(col(s"dtab_$sub"), element_at(col("codes"), sub + 1).cast("int") + 1))
-      .reduce(_ + _)
-    val scored = coded.where(col("codes").isNotNull)
-      .join(broadcast(probed), Seq("cid"))
-      .where(col("qid") =!= col("vec_id"))
-      .withColumn("adistq", adistq)
-    val w = Window.partitionBy("qid").orderBy(col("adistq").asc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("vec_id"),
-        (col("adistq") / 1e6).as("adist"), col("rank"))
+    val idx = PqIndex.build(centroids, sample, m, idCol, embCol)
+    idx.searchResidual(queries,
+      idx.encodeResidual(corpus, idCol, embCol), k, nprobe, idCol, embCol)
   }
 }
 
@@ -692,6 +657,59 @@ final class PqIndex private (val cenArr: Seq[(Long, Seq[Double])],
           transform(typedlit(books(sub)),
             e => d2q(col(s"qsub_$sub"), e.getField("_2"))).as(s"dtab_$sub")
         }: _*)
+    val adistq = (0 until m).map(sub =>
+      element_at(col(s"dtab_$sub"), element_at(col("codes"), sub + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val scored = coded.where(col("codes").isNotNull)
+      .join(broadcast(probed), Seq("cid"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("adistq", adistq)
+    val w = Window.partitionBy("qid").orderBy(col("adistq").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"),
+        (col("adistq") / 1e6).as("adist"), col("rank"))
+  }
+
+  /** Residual-IVFADC encode against THIS index's quantizer: codes
+    * quantize x − c(cell). Only meaningful when the index was built with
+    * RESIDUAL-space codebooks (an id-sample of
+    * [[SimilarityFunctions.ivfResiduals]] rows or pqTrain over them) —
+    * the raw-vector twin is [[encode]]. Map-only like encode. */
+  def encodeResidual(corpus: DataFrame, idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+    val cenMap = typedlit(cenArr.toMap)
+    corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("ce"))
+      .withColumn("cid",
+        graft.exprs.NearestCentroid.best(col("ce"), cenArr).getField("cid"))
+      .select(col("vec_id"), col("cid"),
+        graft.exprs.PqCodes.codes(
+          zip_with(col("ce"), element_at(cenMap, col("cid")), (x, c) => x - c),
+          books).as("codes"))
+  }
+
+  /** Residual ADC top-k over a previously [[encodeResidual]]-coded table:
+    * per-probed-cell integer distance tables from each query's own
+    * residual (the [[SimilarityFunctions.ivfPqResidualTopK]] semantics,
+    * planned from cached driver state — zero additional collect jobs, the
+    * build-once contract). */
+  def searchResidual(queries: DataFrame, coded: DataFrame, k: Int, nprobe: Int = 2,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    var pr = queries
+      .select(col(idCol).as("qid"), col(embCol).cast("array<double>").as("qe"))
+      .where(size(col("qe")) === lit(m * dsub))
+      .select(col("qid"), col("qe"), explode(typedlit(cenArr)).as("c"))
+      .withColumn("ccos", round(cosine(col("qe"), col("c._2")), 6))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ccos").desc, col("c._1"))))
+      .where(col("cr") <= nprobe)
+      .withColumn("qre", zip_with(col("qe"), col("c._2"), (x, c) => x - c))
+    for (sub <- 0 until m)
+      pr = pr.withColumn(s"rsub_$sub", slice(col("qre"), sub * dsub + 1, dsub))
+    val probed = pr.select(col("qid") +: col("c._1").as("cid") +:
+      (0 until m).map { sub =>
+        transform(typedlit(books(sub)),
+          e => d2q(col(s"rsub_$sub"), e.getField("_2"))).as(s"dtab_$sub")
+      }: _*)
     val adistq = (0 until m).map(sub =>
       element_at(col(s"dtab_$sub"), element_at(col("codes"), sub + 1).cast("int") + 1))
       .reduce(_ + _)

@@ -552,6 +552,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("PqIndex residual path: persisted residual codes search like the one-shot") {
+    // residual-IVFADC deployment shape: build once (residual-space
+    // books), encodeResidual -> parquet -> read back -> searchResidual;
+    // must equal ivfPqResidualTopK (which routes through the same
+    // machinery) — and planning repeated residual searches launches no
+    // additional collect jobs (asserted implicitly: the index holds the
+    // only driver state the plan needs)
+    val rng = new scala.util.Random(13)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(8)((rng.nextGaussian() * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cen = vecs.where($"vec_id" % 10 === 0)
+    val resSample = graft.functions.SimilarityFunctions.ivfResiduals(vecs, cen)
+      .where($"vec_id" % 4 === 0).select($"vec_id", $"re".as("embedding"))
+    val idx = graft.functions.PqIndex.build(cen, resSample, m = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpq").toString
+    idx.encodeResidual(vecs).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = vecs.where($"vec_id" < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"vec_id", $"adist", $"rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val viaStore = key(idx.searchResidual(q, stored, k = 4, nprobe = 2))
+    val direct = key(SimilarityFunctions.ivfPqResidualTopK(
+      q, vecs, cen, resSample, k = 4, nprobe = 2, m = 4))
+    assert(viaStore.toSeq == direct.toSeq,
+      s"stored residual codes diverged: ${viaStore.take(3).toSeq} vs ${direct.take(3).toSeq}")
+    assert(direct.nonEmpty)
+  }
+
   test("PqIndex is build-once: repeated search planning launches zero jobs") {
     // the quantizer + codebooks are collected exactly once, at build();
     // every subsequent encode/search must assemble its plan from the
