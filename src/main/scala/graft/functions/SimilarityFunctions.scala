@@ -568,7 +568,12 @@ object SimilarityFunctions {
     * over raw-vector codes. Map-only: the centroid table rides in as two
     * literals (the argmax array + a cid-keyed map for the subtraction);
     * zero shuffle, and like [[pqCells]] it composes onto a streaming
-    * source unchanged. Returns (vec_id, cid, re: array<double>). */
+    * source unchanged. Returns (vec_id, cid, re: array<double>).
+    *
+    * Dimension-mismatched vectors are EXCLUDED deterministically (the
+    * PqCodes quarantine convention): zip_with would null-pad a short
+    * embedding to centroid length, silently defeating the downstream
+    * short-vector null-codes guard and corrupting ADC ranks. */
   def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val s = centroids.sparkSession
@@ -576,8 +581,10 @@ object SimilarityFunctions {
     val cenArr = centroids
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    require(cenArr.nonEmpty, "centroid set is empty")
     val cenMap = typedlit(cenArr.toMap)
     corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("ce"))
+      .where(size(col("ce")) === lit(cenArr.head._2.length))
       .withColumn("cid", graft.exprs.NearestCentroid.best(col("ce"), cenArr).getField("cid"))
       .select(col("vec_id"), col("cid"),
         zip_with(col("ce"), element_at(cenMap, col("cid")), (x, c) => x - c).as("re"))
@@ -674,11 +681,15 @@ final class PqIndex private (val cenArr: Seq[(Long, Seq[Double])],
     * quantize x − c(cell). Only meaningful when the index was built with
     * RESIDUAL-space codebooks (an id-sample of
     * [[SimilarityFunctions.ivfResiduals]] rows or pqTrain over them) —
-    * the raw-vector twin is [[encode]]. Map-only like encode. */
+    * the raw-vector twin is [[encode]]. Map-only like encode.
+    * Dimension-mismatched vectors are excluded like [[SimilarityFunctions
+    * .ivfResiduals]] — zip_with null-padding would defeat the PqCodes
+    * short-vector quarantine. */
   def encodeResidual(corpus: DataFrame, idCol: String = "vec_id",
                      embCol: String = "embedding"): DataFrame = {
     val cenMap = typedlit(cenArr.toMap)
     corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("ce"))
+      .where(size(col("ce")) === lit(cenArr.headOption.map(_._2.length).getOrElse(m * dsub)))
       .withColumn("cid",
         graft.exprs.NearestCentroid.best(col("ce"), cenArr).getField("cid"))
       .select(col("vec_id"), col("cid"),

@@ -100,16 +100,13 @@ object LshBlocking {
     val bits = if (isLong) 64 else 32
     require(r >= 1 && r < bits, s"hamming radius $r outside [1, ${bits - 1}]")
     val p = r + 1
-    val base = bits / p
-    val rem = bits % p
-    val widths = Seq.tabulate(p)(i => base + (if (i >= p - rem) 1 else 0))
-    val starts = widths.scanLeft(0)(_ + _)
-    val bandStructs = (0 until p).map { i =>
+    val ranges = graft.plans.HammingBands.ranges(bits, p)
+    val bandStructs = ranges.zipWithIndex.map { case ((start, w), i) =>
       val mask =
-        if (isLong) lit(if (widths(i) >= 64) -1L else (1L << widths(i)) - 1L)
-        else lit(if (widths(i) >= 32) -1 else (1 << widths(i)) - 1)
+        if (isLong) lit(if (w >= 64) -1L else (1L << w) - 1L)
+        else lit(if (w >= 32) -1 else (1 << w) - 1)
       struct(lit(i).as("bi"),
-        (shiftrightunsigned(col("h"), starts(i)) bitwiseAND mask).as("bv"))
+        (shiftrightunsigned(col("h"), start) bitwiseAND mask).as("bv"))
     }
     val bands = df.select(col(idCol).as("hid"), col(fpCol).as("h"))
       .select(col("hid"), col("h"), explode(array(bandStructs: _*)).as("bk"))

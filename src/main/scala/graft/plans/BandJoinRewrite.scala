@@ -34,7 +34,7 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * Registered by [[graft.GraftExtensions]]; also usable directly via
   * `spark.experimental.extraOptimizations`.
   */
-object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+object BandJoinRewrite extends Rule[LogicalPlan] with JoinRewriteSupport {
 
   private def integral(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType => true
@@ -42,12 +42,6 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** true -> refs entirely from l; false -> entirely from r */
-  private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[Boolean] =
-    if (e.references.isEmpty) None
-    else if (e.references.subsetOf(l.outputSet)) Some(true)
-    else if (e.references.subsetOf(r.outputSet)) Some(false)
-    else None
-
   private def legacySub(a: Expression, b: Expression) = Subtract(a, b, EvalMode.LEGACY)
   private def legacyAdd(a: Expression, b: Expression) = Add(a, b, EvalMode.LEGACY)
 
@@ -61,13 +55,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), hint) =>
       val preds = splitConjunctivePredicates(cond)
-      val hasCrossEquality = preds.exists {
-        case EqualTo(a, b) => (sideOf(a, l, r), sideOf(b, l, r)) match {
-          case (Some(x), Some(y)) => x != y
-          case _ => false
-        }
-        case _ => false
-      }
+      val hasCrossEquality = hasCrossSideEquality(preds, l, r)
       def bandOf(abs: Expression, w: Expression): Option[(Expression, Expression, Literal)] =
         (abs, w) match {
           case (Abs(Subtract(a, b, _), _), lw: Literal)

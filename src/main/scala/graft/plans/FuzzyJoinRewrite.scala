@@ -31,15 +31,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * cross-side equalities, so the rule cannot re-fire on its own output.
   * Registered by [[graft.GraftExtensions]].
   */
-object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+object FuzzyJoinRewrite extends Rule[LogicalPlan] with JoinRewriteSupport {
 
   private val MaxD = 3
-
-  private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[Boolean] =
-    if (e.references.isEmpty) None
-    else if (e.references.subsetOf(l.outputSet)) Some(true)
-    else if (e.references.subsetOf(r.outputSet)) Some(false)
-    else None
 
   private def addI(a: Expression, b: Expression) = Add(a, b, EvalMode.LEGACY)
   private def subI(a: Expression, b: Expression) = Subtract(a, b, EvalMode.LEGACY)
@@ -60,13 +54,7 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), hint) =>
       val preds = splitConjunctivePredicates(cond)
-      val hasCrossEquality = preds.exists {
-        case EqualTo(a, b) => (sideOf(a, l, r), sideOf(b, l, r)) match {
-          case (Some(x), Some(y)) => x != y
-          case _ => false
-        }
-        case _ => false
-      }
+      val hasCrossEquality = hasCrossSideEquality(preds, l, r)
       // levenshtein(a, b) <= d in any orientation; strict < folds into
       // <= (d-1). Only the 2-arg form (the 3-arg threshold form already
       // caps its own work).

@@ -35,25 +35,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * rule cannot re-fire on its own output. Registered by
   * [[graft.GraftExtensions]].
   */
-object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+object HammingJoinRewrite extends Rule[LogicalPlan] with JoinRewriteSupport {
 
   private val MaxR = 15
-
-  private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[Boolean] =
-    if (e.references.isEmpty) None
-    else if (e.references.subsetOf(l.outputSet)) Some(true)
-    else if (e.references.subsetOf(r.outputSet)) Some(false)
-    else None
-
-  /** (start, width) bit ranges of a `p`-way split of `bits` — base-width
-    * bands first, the `bits % p` one-bit-wider bands last (any fixed
-    * convention works; both sides must share it). */
-  private def bandRanges(bits: Int, p: Int): Seq[(Int, Int)] = {
-    val base = bits / p
-    val rem = bits % p
-    val widths = Seq.tabulate(p)(i => base + (if (i >= p - rem) 1 else 0))
-    widths.scanLeft(0)(_ + _).zip(widths)
-  }
 
   /** Band `i`'s value of fingerprint expression `x`: unsigned-shift then
     * mask, in `x`'s own integral type. */
@@ -68,13 +52,7 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), hint) =>
       val preds = splitConjunctivePredicates(cond)
-      val hasCrossEquality = preds.exists {
-        case EqualTo(a, b) => (sideOf(a, l, r), sideOf(b, l, r)) match {
-          case (Some(x), Some(y)) => x != y
-          case _ => false
-        }
-        case _ => false
-      }
+      val hasCrossEquality = hasCrossSideEquality(preds, l, r)
       // bit_count(a ^ b) <= r in any orientation; strict < folds into
       // <= (r-1). Operands must be same-typed INT/BIGINT fingerprints.
       def hamOf(bc: Expression, bound: Expression, strict: Boolean): Option[(Expression, Expression, Int)] =
@@ -105,7 +83,7 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val p = d + 1
           val bits = if (lh.dataType == LongType) 64 else 32
           val t = lh.dataType
-          val ranges = bandRanges(bits, p)
+          val ranges = HammingBands.ranges(bits, p)
           def explodeSide(child: LogicalPlan, h: Expression, prefix: String) = {
             val biAttr = AttributeReference(s"${prefix}bi", IntegerType, nullable = true)()
             val bvAttr = AttributeReference(s"${prefix}bv", t, nullable = true)()

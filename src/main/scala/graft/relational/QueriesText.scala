@@ -1167,22 +1167,11 @@ object QueriesText {
           .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
           .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
           .select(col("qid"), col("vec_id"))
-        def margins(b: Int) = array((0 until Bits).map(k =>
-          struct(abs(get(col("qe"), lit(b * Bits + k))).as("m"), lit(k).as("k"))): _*)
-        val probeCols = (0 until Bands).flatMap { b =>
-          val bucket = signBucket(col("qe"), Bits, b)
-          val own = struct(lit(b).as("band"), bucket.as("bucket"))
-          val flips = (0 until Bits).map { k =>
-            val mk = struct(abs(get(col("qe"), lit(b * Bits + k))).as("m"),
-              lit(k).as("k"))
-            when(size(filter(margins(b), x => x < mk)) < Extra,
-              struct(lit(b).as("band"),
-                bucket.bitwiseXOR(lit(1L << k)).as("bucket")))
-          }
-          own +: flips
-        }
+        // the measured probe generator IS the library call — the gate and
+        // multiProbeBands cannot drift apart
         val qb = q.select(col("qid"), col("qe"),
-            explode(filter(array(probeCols: _*), x => x.isNotNull)).as("bb"))
+            explode(graft.functions.SimilarityFunctions.multiProbeBands(
+              col("qe"), Bands, Bits, Extra)).as("bb"))
           .select(col("qid"), col("qe"),
             col("bb.band").as("band"), col("bb.bucket").as("bucket"))
         val cb = e.select(col("vec_id"), col("embedding").as("ce"),

@@ -674,6 +674,11 @@ class HammingJoinRewriteSpec extends AnyFunSuite {
       val equi = a.join(b, col("ida") === col("idb") && ham <= 1)
       assert(!equi.queryExecution.optimizedPlan.toString.contains("_graft_hj_"),
         "rule fired on an equi-join")
+      // <=> is ALSO a hash-join key (ExtractEquiJoinKeys): rewriting
+      // would trade the selective hash join for the fanned-out band join
+      val nullSafe = a.join(b, col("ida") <=> col("idb") && ham <= 1)
+      assert(!nullSafe.queryExecution.optimizedPlan.toString.contains("_graft_hj_"),
+        "rule fired on a null-safe equi-join")
       val wide = a.join(b, ham <= 40)
       assert(!wide.queryExecution.optimizedPlan.toString.contains("_graft_hj_"),
         "rule fired past the r <= 15 cap")
