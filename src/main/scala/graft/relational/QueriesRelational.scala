@@ -439,6 +439,52 @@ object QueriesRelational {
              |    (a, b) -> (a + b) // 2) AS ewma_fp
              |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin)),
 
+    // Holt linear-trend smoothing (double exponential, alpha = beta = 1/2)
+    // per key, entirely in the exact-integer convention: values quantize
+    // to 1e-6 BIGINTs, the (level, trend) state folds through
+    //   l' = (l + b + x) div 2 ;  b' = (b + l' - l) div 2
+    // in event-time order, init l = x2, b = x2 - x1, and the one-step
+    // forecast is l + b. Trends go NEGATIVE, so the integer division must
+    // truncate toward zero on both engines — Spark `div` and DuckDB `//`
+    // both do (the q_acf lesson, re-verified for this gate); a shift
+    // (>>1) would FLOOR and diverge on negative trends. The oracle
+    // replays the fold with a recursive CTE (DuckDB's list_reduce takes
+    // no initial accumulator, and the state is a 2-field struct).
+    Q("q_holt",
+      (s, dir) => {
+        val e = T(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            floor(col("value") * 1000000 + 0.5).cast("long").as("x"))
+        e.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(struct(col("ts"), col("x")))).as("arr"))
+          .where(col("n") >= 2)
+          .select(col("user_id"), col("n"),
+            expr("""aggregate(
+              slice(arr, 3, size(arr) - 2),
+              named_struct('l', arr[1].x, 'b', arr[1].x - arr[0].x),
+              (acc, r) -> named_struct(
+                'l', (acc.l + acc.b + r.x) div 2,
+                'b', (acc.b + ((acc.l + acc.b + r.x) div 2) - acc.l) div 2))""").as("st"))
+          .select(col("user_id"), col("n"), col("st.l").as("level_fp"),
+            col("st.b").as("trend_fp"),
+            (col("st.l") + col("st.b")).as("forecast_fp"))
+      },
+      Some("""WITH RECURSIVE s AS (SELECT user_id,
+             |  list(floor(value * 1000000 + 0.5)::BIGINT ORDER BY ts) AS xs
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |rec AS (
+             |  SELECT user_id, xs, 2 AS i, xs[2] AS l, xs[2] - xs[1] AS b
+             |  FROM s WHERE len(xs) >= 2
+             |  UNION ALL
+             |  SELECT user_id, xs, i + 1,
+             |    (l + b + xs[i + 1]) // 2,
+             |    (b + ((l + b + xs[i + 1]) // 2) - l) // 2
+             |  FROM rec WHERE i < len(xs))
+             |SELECT user_id, len(xs)::BIGINT AS n, l AS level_fp, b AS trend_fp,
+             |  l + b AS forecast_fp
+             |FROM rec WHERE i = len(xs)""".stripMargin)),
+
     // Per-vertex triangle counts on the SAME bounded co-activity graph as
     // q_pagerank, via degree-ordered orientation (operators.TriangleCount):
     // each triangle is found exactly once at its minimum-(deg,id) corner,
