@@ -228,6 +228,83 @@ object QueriesRelational {
              |cast(1 + sum(CASE WHEN gap > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
              |FROM g GROUP BY user_id""".stripMargin)),
 
+    // Ordered funnel analysis: view -> click -> purchase, each later stage
+    // at-or-after the user's FIRST completion of the previous one and
+    // inside a 7-day window from the first view — the product-analytics
+    // query shape (sequential min-ts chaining, one narrow per-user agg per
+    // stage, broadcast-sized intermediate). All ns-integer comparisons and
+    // e4 integer-quotient conversions: nothing FP anywhere.
+    Q("q_funnel",
+      (s, dir) => {
+        val W = 7L * 24 * 3600 * 1000000000L
+        val e = T(s, dir, "events")
+        val v = e.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val c = e.where(col("event_type") === "click").join(v, Seq("user_id"))
+          .where(col("ts") >= col("t1") && col("ts") <= col("t1") + W)
+          .groupBy("user_id").agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+        val p = e.where(col("event_type") === "purchase").join(c, Seq("user_id"))
+          .where(col("ts") >= col("t2") && col("ts") <= col("t1") + W)
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        val n1 = v.agg(count(lit(1)).as("n")).select(lit(1).as("stage"), col("n"))
+        val n2 = c.agg(count(lit(1)).as("n")).select(lit(2).as("stage"), col("n"))
+        val n3 = p.agg(count(lit(1)).as("n")).select(lit(3).as("stage"), col("n"))
+        n1.unionByName(n2).unionByName(n3)
+          .join(v.agg(count(lit(1)).as("n_first")), expr("true"))
+          .select(col("stage"), col("n").as("n_users"),
+            expr("n * 10000 div n_first").as("conv_e4"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2, min(v.t1) AS t1
+             |  FROM events e JOIN v ON v.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= v.t1
+             |    AND epoch_ns(e.ts) <= v.t1 + 604800000000000 GROUP BY 1),
+             |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+             |  FROM events e JOIN c ON c.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= c.t2
+             |    AND epoch_ns(e.ts) <= c.t1 + 604800000000000 GROUP BY 1),
+             |n AS (SELECT 1 AS stage, count(*)::BIGINT AS n_users FROM v
+             |  UNION ALL SELECT 2, count(*)::BIGINT FROM c
+             |  UNION ALL SELECT 3, count(*)::BIGINT FROM p)
+             |SELECT stage, n_users,
+             |  (n_users * 10000) // (SELECT count(*) FROM v) AS conv_e4
+             |FROM n""".stripMargin)),
+
+    // Weekly retention cohorts: users cohorted by the ISO week bucket of
+    // their FIRST event (exact integer division of the ns epoch), then a
+    // (cohort, offset) matrix of distinct active users for offsets 0..3 —
+    // the classic retention triangle, as two narrow aggs + one distinct
+    // (user, week) projection. All integer; retention is an e4 quotient.
+    Q("q_retention",
+      (s, dir) => {
+        val WK = 7L * 24 * 3600 * 1000000000L
+        val e = T(s, dir, "events")
+          .select(col("user_id"), expr(s"ts div ${WK}L").as("wk"))
+        val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+        val act = e.distinct()
+        val coh = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+        act.join(first, Seq("user_id"))
+          .select(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+          .where(col("offset") <= 3)
+          .groupBy("cohort", "offset")
+          .agg(count(lit(1)).as("n_active"))
+          .join(coh, Seq("cohort"))
+          .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+            expr("n_active * 10000 div n_cohort").as("retention_e4"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+             |  epoch_ns(ts) // 604800000000000 AS wk FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+             |coh AS (SELECT cohort, count(*)::BIGINT AS n_cohort FROM f GROUP BY 1),
+             |a AS (SELECT f.cohort, e.wk - f.cohort AS "offset",
+             |  count(*)::BIGINT AS n_active
+             |  FROM e JOIN f ON f.user_id = e.user_id
+             |  WHERE e.wk - f.cohort <= 3 GROUP BY 1, 2)
+             |SELECT a.cohort, a."offset", a.n_active, coh.n_cohort,
+             |  (a.n_active * 10000) // coh.n_cohort AS retention_e4
+             |FROM a JOIN coh ON coh.cohort = a.cohort""".stripMargin)),
+
     // Time-series resample + gap fill: per-user 1-hour buckets from the
     // user's first to last event, missing buckets materialized with
     // n_events=0 and the value forward-filled from the last observed

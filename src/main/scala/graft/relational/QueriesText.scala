@@ -1980,6 +1980,51 @@ object QueriesText {
              |  round(0.673::DOUBLE * 256 / (ssum + (16 - nb)::DOUBLE), 4) AS hll_est
              |FROM a""".stripMargin)),
 
+    // Sketch MERGEABILITY under the gate: per-source HLL register sets
+    // max-merge to the global sketch — the property that makes sketches
+    // the 100 TB distinct-count currency (build per shard/day/source,
+    // merge at read time, never recount). The gate emits every per-source
+    // estimate, the register-MERGED global, and an independently-built
+    // DIRECT global: merged == direct is enforced by the hash compare
+    // itself (max over (source,bucket) then bucket ≡ max over bucket),
+    // and the oracle replays both constructions separately.
+    Q("q_hll_merge",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val regs = graft.functions.SketchFunctions.hllRegisters(
+          d, col("text"), Seq(col("source")))
+        val perSource = graft.functions.SketchFunctions.hllFinalize(
+          regs, Seq(col("source")))
+        val merged = graft.functions.SketchFunctions.hllFinalize(
+            regs.groupBy(col("bucket")).agg(max(col("reg")).as("reg")), Seq())
+          .select(lit("zz_merged").as("source"), col("hll_est"))
+        val direct = graft.functions.SketchFunctions.hllEstimate(
+            d, col("text"), Seq())
+          .select(lit("zz_direct").as("source"), col("hll_est"))
+        perSource.unionByName(merged).unionByName(direct)
+      },
+      Some {
+        val fin = (src: String, from: String) =>
+          s"""SELECT $src AS source,
+             |  round(0.673::DOUBLE * 256 / (
+             |    list_reduce(list_prepend(0.0, list_sort(list(pow(2.0, -reg::DOUBLE)))),
+             |      (x, y) -> x + y) + (16 - count(*))::DOUBLE), 4) AS hll_est
+             |FROM $from""".stripMargin
+        s"""WITH h AS (SELECT source, md5(text) AS d FROM documents),
+           |b AS (SELECT source, ('0x'||substr(d,1,1))::BIGINT AS bucket,
+           |  ('0x'||substr(d,2,13))::BIGINT AS w FROM h),
+           |r AS (SELECT source, bucket,
+           |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+           |  FROM b GROUP BY 1, 2),
+           |mr AS (SELECT bucket, max(reg) AS reg FROM r GROUP BY 1),
+           |dr AS (SELECT bucket,
+           |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+           |  FROM b GROUP BY 1)
+           |${fin("source", "r GROUP BY source")}
+           |UNION ALL ${fin("'zz_merged'", "mr")}
+           |UNION ALL ${fin("'zz_direct'", "dr")}""".stripMargin
+      }),
+
     // Bloom-filter decontamination: the broadcast-bitset variant of
     // q_decontaminate. The eval side builds a fixed-size bitset
     // (treeAggregate bitwise-or — mergeable, no driver row loop) that ships
