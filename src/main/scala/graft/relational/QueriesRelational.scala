@@ -786,6 +786,101 @@ object QueriesRelational {
              |  UNION ALL SELECT event_type, 2, ((n2 * 1000000000) // den)::DOUBLE / 1e9 FROM a
              |  UNION ALL SELECT event_type, 3, ((n3 * 1000000000) // den)::DOUBLE / 1e9 FROM a)""".stripMargin)),
 
+    // Per-group rank/quantile normalization — the feature-preprocessing
+    // transform (map each value to its within-group percent rank): rank by
+    // (quantized value, event_id) for total determinism, pr_e4 =
+    // (r-1)*10000 div (n-1) in exact integers. Partitioned by user, so
+    // the window never needs a global sort — the 100 TB shape.
+    Q("q_rank_norm",
+      (s, dir) => {
+        val e = T(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
+        val w = Window.partitionBy("user_id").orderBy(col("vq"), col("event_id"))
+        e.withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+          .select(col("event_id"), col("user_id"),
+            when(col("n") > 1, expr("(r - 1) * 10000 div (n - 1)"))
+              .otherwise(lit(0L)).as("pr_e4"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+             |  FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT event_id, user_id,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY vq, event_id) AS r,
+             |  count(*) OVER (PARTITION BY user_id) AS n FROM e)
+             |SELECT event_id, user_id,
+             |  CASE WHEN n > 1 THEN ((r - 1) * 10000) // (n - 1) ELSE 0 END AS pr_e4
+             |FROM r""".stripMargin)),
+
+    // Cross-correlation between two event-type series (the ACF's
+    // cross-series sibling): hourly click counts vs purchase counts on the
+    // DENSE global hour grid (missing hours are real zeros — skipping them
+    // would bias every deviation), integer-rounded means via the ACF's
+    // (2s+n) div (2n) trick, and lags 0..2 of y against x. Numerators and
+    // both denominators are emitted as EXACT integers — the sqrt(den_x *
+    // den_y) normalization is the caller's one FP step, kept out of the
+    // hashed value entirely (more conservative than q_acf's 1e-9
+    // truncated quotient). The lag window is a SINGLE-partition sort by
+    // design and bounded by design: the dense grid has one row per hour
+    // of the time range — O(span), independent of corpus row count.
+    Q("q_ccf",
+      (s, dir) => {
+        val HR = 3600L * 1000000000L
+        val ev = T(s, dir, "events")
+          .select(col("event_type"), expr(s"ts div ${HR}L").as("h"))
+        def series(t: String) = ev.where(col("event_type") === t)
+          .groupBy("h").agg(count(lit(1)).as("c"))
+        val span = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val grid = span.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        val xy = grid
+          .join(series("click").withColumnRenamed("c", "x"), Seq("h"), "left")
+          .join(series("purchase").withColumnRenamed("c", "y"), Seq("h"), "left")
+          .select(col("h"), coalesce(col("x"), lit(0L)).as("x"),
+            coalesce(col("y"), lit(0L)).as("y"))
+        val st = xy.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+        val w = Window.orderBy(col("h"))
+        val dev = xy.join(broadcast(st), expr("true"))
+          .withColumn("dx", col("x") - expr("(2 * sx + n) div (2 * n)"))
+          .withColumn("dy", col("y") - expr("(2 * sy + n) div (2 * n)"))
+          .withColumn("y1", lead("dy", 1).over(w))
+          .withColumn("y2", lead("dy", 2).over(w))
+        def p(a: String, b: String) =
+          sum(col(a).cast("decimal(19,0)") * col(b).cast("decimal(19,0)")).cast("long")
+        val agg = dev.agg(
+          p("dx", "dx").as("den_x"), p("dy", "dy").as("den_y"),
+          p("dx", "dy").as("n0"), p("dx", "y1").as("n1"), p("dx", "y2").as("n2"))
+        agg.select(explode(array((0 to 2).map(k =>
+            struct(lit(k).as("lag"), col(s"n$k").as("num"),
+              col("den_x"), col("den_y"))): _*)).as("s"))
+          .select(col("s.lag"), col("s.num"), col("s.den_x"), col("s.den_y"))
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS h FROM events),
+             |grid AS (SELECT unnest(range((SELECT min(h) FROM ev),
+             |  (SELECT max(h) FROM ev) + 1)) AS h),
+             |cs AS (SELECT h, count(*)::BIGINT AS c FROM ev WHERE event_type = 'click' GROUP BY 1),
+             |ps AS (SELECT h, count(*)::BIGINT AS c FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+             |xy AS (SELECT g.h, coalesce(cs.c, 0) AS x, coalesce(ps.c, 0) AS y
+             |  FROM grid g LEFT JOIN cs ON cs.h = g.h LEFT JOIN ps ON ps.h = g.h),
+             |st AS (SELECT count(*) AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy FROM xy),
+             |d AS (SELECT xy.h,
+             |  xy.x - ((2 * st.sx + st.n) // (2 * st.n)) AS dx,
+             |  xy.y - ((2 * st.sy + st.n) // (2 * st.n)) AS dy
+             |  FROM xy, st),
+             |l AS (SELECT h, dx, dy,
+             |  lead(dy, 1) OVER (ORDER BY h) AS y1,
+             |  lead(dy, 2) OVER (ORDER BY h) AS y2 FROM d),
+             |a AS (SELECT sum(dx::HUGEINT * dx)::BIGINT AS den_x,
+             |  sum(dy::HUGEINT * dy)::BIGINT AS den_y,
+             |  sum(dx::HUGEINT * dy)::BIGINT AS n0,
+             |  sum(dx::HUGEINT * y1)::BIGINT AS n1,
+             |  sum(dx::HUGEINT * y2)::BIGINT AS n2 FROM l)
+             |SELECT lag, num, den_x, den_y FROM (
+             |  SELECT 0 AS lag, n0 AS num, den_x, den_y FROM a
+             |  UNION ALL SELECT 1, n1, den_x, den_y FROM a
+             |  UNION ALL SELECT 2, n2, den_x, den_y FROM a)""".stripMargin)),
+
     // Banded range join (time-proximity self-join): pairs of events by the
     // same user within 5 minutes, via RangeJoin's bucketed equi-join (the
     // naive inequality join is a nested loop — see RangeJoin scaladoc).
