@@ -684,6 +684,41 @@ class HammingJoinRewriteSpec extends AnyFunSuite {
         "rule fired past the r <= 15 cap")
     }
   }
+
+  test("all three rewrite rules coexist: two rewritable joins in ONE plan both fire") {
+    // GraftExtensions registers Band+Fuzzy+Hamming together; a plan
+    // containing a hamming self-join stacked on a levenshtein join must
+    // see BOTH rewritten (rules transformUp independently) and keep
+    // nested-loop-free results identical to the unrewritten plan
+    val rules = Seq(graft.plans.BandJoinRewrite,
+      graft.plans.FuzzyJoinRewrite, graft.plans.HammingJoinRewrite)
+    val saved = spark.experimental.extraOptimizations
+    val strs = Seq((100L, "kitten", 0x0F0FL), (200L, "sitten", 0x0F0EL),
+      (300L, "abc", 0xFFFFL), (400L, "abd", 0x0F0DL)).toDF("id", "s", "h")
+    def composed = {
+      val fuzzy = strs.select($"id".as("fid"), $"s".as("fs"), $"h".as("fh"))
+        .join(strs.select($"id".as("gid"), $"s".as("gs")),
+          org.apache.spark.sql.functions.levenshtein($"fs", $"gs") <= 1)
+        .where($"fid" < $"gid")
+      fuzzy.join(strs.select($"id".as("hid"), $"h".as("hh")),
+          bit_count($"fh".bitwiseXOR($"hh")) <= 2)
+        .select($"fid", $"gid", $"hid")
+    }
+    val expected =
+      try { spark.experimental.extraOptimizations = saved.filterNot(rules.contains)
+        composed.as[(Long, Long, Long)].collect().sorted.toSeq
+      } finally spark.experimental.extraOptimizations = saved
+    try {
+      spark.experimental.extraOptimizations = saved ++ rules
+      val df = composed
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("_graft_fj_"), "fuzzy rewrite did not fire in the composed plan")
+      assert(plan.contains("_graft_hj_"), "hamming rewrite did not fire in the composed plan")
+      val got = df.as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got == expected, s"composed rewrites changed results: $got vs $expected")
+      assert(expected.nonEmpty)
+    } finally spark.experimental.extraOptimizations = saved
+  }
 }
 
 class TensorSourceSpec extends AnyFunSuite {
