@@ -228,6 +228,72 @@ object QueriesRelational {
              |cast(1 + sum(CASE WHEN gap > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
              |FROM g GROUP BY user_id""".stripMargin)),
 
+    // Winsorized mean per group — the robust-mean preprocessing transform:
+    // clamp each quantized value to its group's exact [p10, p90] ORDER
+    // STATISTICS (k-th smallest at k = (n-1) div 10 + 1 and n - that + 1 —
+    // pure rank arithmetic, no interpolation), then an exact integer sum
+    // and an e4 integer mean. Everything rank- or integer-valued: no FP.
+    Q("q_winsorized",
+      (s, dir) => {
+        val e = T(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
+        val w = Window.partitionBy("event_type").orderBy(col("vq"), col("event_id"))
+        val ranked = e.withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .withColumn("klo", expr("(n - 1) div 10 + 1"))
+        val bounds = ranked
+          .withColumn("lo", when(col("r") === col("klo"), col("vq")))
+          .withColumn("hi", when(col("r") === col("n") - col("klo") + 1, col("vq")))
+          .groupBy("event_type")
+          .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+            count(lit(1)).as("n"))
+        e.join(bounds, Seq("event_type"))
+          .select(col("event_type"), col("n"), col("lo"), col("hi"),
+            greatest(col("lo"), least(col("hi"), col("vq"))).as("wv"))
+          .groupBy("event_type")
+          .agg(min(col("n")).as("n"), min(col("lo")).as("lo_e6"),
+            min(col("hi")).as("hi_e6"), sum(col("wv")).as("wsum_e6"))
+          .withColumn("wmean_e4", expr("(wsum_e6 div 100) div n"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+             |  FROM events),
+             |r AS (SELECT event_type, vq,
+             |  row_number() OVER (PARTITION BY event_type ORDER BY vq, event_id) AS r,
+             |  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+             |b AS (SELECT event_type,
+             |  max(CASE WHEN r = (n - 1) // 10 + 1 THEN vq END) AS lo,
+             |  max(CASE WHEN r = n - ((n - 1) // 10 + 1) + 1 THEN vq END) AS hi,
+             |  count(*) AS n FROM r GROUP BY 1)
+             |SELECT e.event_type, min(b.n)::BIGINT AS n,
+             |  min(b.lo)::BIGINT AS lo_e6, min(b.hi)::BIGINT AS hi_e6,
+             |  sum(greatest(b.lo, least(b.hi, e.vq)))::BIGINT AS wsum_e6,
+             |  ((sum(greatest(b.lo, least(b.hi, e.vq)))::BIGINT // 100) // min(b.n))
+             |    AS wmean_e4
+             |FROM e JOIN b ON b.event_type = e.event_type
+             |GROUP BY 1""".stripMargin)),
+
+    // Deterministic per-group mode — most frequent quantized value per
+    // user with (count DESC, value ASC) tie-break: two narrow aggs + one
+    // rank window, all integer.
+    Q("q_mode",
+      (s, dir) => {
+        val e = T(s, dir, "events")
+          .select(col("user_id"), col("event_type"))
+        val cnt = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("user_id").orderBy(col("c").desc, col("event_type"))
+        cnt.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("c").as("n_mode"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT user_id, event_type, c,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rk
+             |  FROM c)
+             |SELECT user_id, event_type AS mode_type, c::BIGINT AS n_mode
+             |FROM r WHERE rk = 1""".stripMargin)),
+
     // Ordered funnel analysis: view -> click -> purchase, each later stage
     // at-or-after the user's FIRST completion of the previous one and
     // inside a 7-day window from the first view — the product-analytics
