@@ -228,6 +228,47 @@ object QueriesRelational {
              |cast(1 + sum(CASE WHEN gap > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
              |FROM g GROUP BY user_id""".stripMargin)),
 
+    // Poisson bootstrap — the at-scale uncertainty-quantification trick
+    // (resampling a distributed dataset multinomially is impossible
+    // without global coordination; giving each row an independent
+    // Poisson(1) weight per replica is free): 32 replicas, each row's
+    // weight drawn DETERMINISTICALLY by inverting the Poisson(1) CDF at a
+    // md5-uniform e4 value of (event_id, replica) — re-run-stable, engine
+    // -exact, and the replica means are exact integer quotients. The
+    // spread of mean_e4 across replicas IS the standard error estimate.
+    Q("q_bootstrap",
+      (s, dir) => {
+        val e = T(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("event_id"),
+            floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
+        val reps = e.select(col("event_id"), col("vq"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+          .withColumn("u", expr(
+            "conv(substring(md5(concat(cast(event_id AS string), '|', cast(b AS string))), 1, 4), 16, 10) % 10000"))
+          .withColumn("w", // inverse Poisson(1) CDF at u/1e4
+            when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
+              .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
+              .when(col("u") < 9963, 4L).otherwise(5L))
+        reps.groupBy("b")
+          .agg(sum(col("w")).as("n_eff"),
+            sum(col("w") * col("vq")).as("wsum_e6"))
+          .where(col("n_eff") > 0)
+          .select(col("b"), col("n_eff"),
+            expr("(wsum_e6 div 100) div n_eff").as("mean_e4"))
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+             |  FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT event_id, vq, b.b,
+             |  ('0x' || substring(md5(event_id || '|' || b.b), 1, 4))::BIGINT % 10000 AS u
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b),
+             |w AS (SELECT b, vq, CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+             |  WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3 WHEN u < 9963 THEN 4
+             |  ELSE 5 END AS w FROM r),
+             |a AS (SELECT b, sum(w)::BIGINT AS n_eff,
+             |  sum(w * vq)::BIGINT AS wsum_e6 FROM w GROUP BY 1)
+             |SELECT b, n_eff, (wsum_e6 // 100) // n_eff AS mean_e4
+             |FROM a WHERE n_eff > 0""".stripMargin)),
+
     // Winsorized mean per group — the robust-mean preprocessing transform:
     // clamp each quantized value to its group's exact [p10, p90] ORDER
     // STATISTICS (k-th smallest at k = (n-1) div 10 + 1 and n - that + 1 —
