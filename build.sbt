@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // VolumeZoom's 512-class output slices are 8 MB rows — HUMONGOUS at
+  // G1's default region size, and a suite-polluted old gen intermittently
+  // drove the vz512 bench into a full-GC spiral (measured 1.5 s vs 18.5 s
+  // on identical code). 32 MB regions make the slice rows ordinary
+  // allocations; a real deployment running volume ops would set the same.
+  "-XX:G1HeapRegionSize=32m",
 )

@@ -368,6 +368,14 @@ object Bench {
     // (SPARK_DRIVER_MEM=24g+ enables it).
     val heapG = Runtime.getRuntime.maxMemory >> 30
     if (heapG >= 16) {
+      // this op allocates 8 MB humongous slices; after ~200 queries the
+      // old gen is fragmented by their predecessors and G1 intermittently
+      // enters a full-GC death spiral mid-op (measured 1.5 s → 18.5 s on
+      // identical code, bimodal). One explicit full GC + settle before
+      // the timed region compacts the humongous regions away — bench
+      // hygiene for a heap-mode-sensitive measurement, same rationale as
+      // the between-section cache clear.
+      System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
       val volSlices512 = spark.range(512).select(
           lit(0L).as("id"), col("id").cast("int").as("sid"),
           sliceGen(col("id"), lit(262144)).as("data"))
