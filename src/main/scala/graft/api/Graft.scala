@@ -654,6 +654,81 @@ object Graft {
         (size(col("toks")) - size(col("kept"))).as("n_removed"))
   }
 
+    /** Ordered funnel: per-stage user counts where each stage's first
+    * completion is at-or-after the previous stage's and inside `windowNs`
+    * of the first stage. Returns (stage, n_users, conv_e4) — e4 integer
+    * conversion from stage 1. Stage frames are per-user minima: broadcast
+    * -sized next to the event stream at any scale. */
+  def funnel(events: org.apache.spark.sql.DataFrame, userCol: String,
+             tsCol: String, typeCol: String, stages: Seq[String],
+             windowNs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.where(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t0"))
+      .withColumn("tp", col("t0"))
+    val frames = stages.tail.scanLeft(first) { (prev, st) =>
+      events.where(col(typeCol) === st)
+        .select(col(userCol).as("u"), col(tsCol).as("t"))
+        .join(prev.select(col("u"), col("t0"), col("tp")), Seq("u"))
+        .where(col("t") >= col("tp") && col("t") <= col("t0") + windowNs)
+        .groupBy("u").agg(min(col("t")).as("tp"), min(col("t0")).as("t0"))
+        .select(col("u"), col("t0"), col("tp"))
+    }
+    val counts = frames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n")).select(lit(i + 1).as("stage"), col("n"))
+    }.reduce(_ unionByName _)
+    counts.join(first.agg(count(lit(1)).as("n_first")), expr("true"))
+      .select(col("stage"), col("n").as("n_users"),
+        expr("n * 10000 div n_first").as("conv_e4"))
+  }
+
+  /** Weekly-style retention cohorts: users cohorted by the `bucketNs`
+    * bucket of their first event; (cohort, offset) distinct-active counts
+    * for offsets 0..maxOffset with e4 retention quotients. All integer. */
+  def retentionCohorts(events: org.apache.spark.sql.DataFrame, userCol: String,
+                       tsCol: String, bucketNs: Long,
+                       maxOffset: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = events.select(col(userCol).as("u"),
+      expr(s"$tsCol div ${bucketNs}L").as("wk")).distinct()
+    val first = e.groupBy("u").agg(min(col("wk")).as("cohort"))
+    val coh = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    e.join(first, Seq("u"))
+      .select(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+      .where(col("offset") <= maxOffset)
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(coh, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+        expr("n_active * 10000 div n_cohort").as("retention_e4"))
+  }
+
+  /** Deterministic Poisson bootstrap of a mean: `replicas` hash-derived
+    * Poisson(1) weights per (row, replica) — the at-scale resampling
+    * trick (no global coordination) — with exact integer replica means
+    * over the 1e6-quantized value. Returns (b, n_eff, mean_e4); the
+    * spread of mean_e4 IS the standard-error estimate. */
+  def poissonBootstrap(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       valueCol: String, replicas: Int = 32): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col(idCol).as("rid"),
+        floor(col(valueCol) * 1e6 + lit(0.5)).cast("long").as("vq"))
+      .select(col("rid"), col("vq"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("b"))
+      .withColumn("u", expr(
+        "conv(substring(md5(concat(cast(rid AS string), '|', cast(b AS string))), 1, 4), 16, 10) % 10000"))
+      .withColumn("w",
+        when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
+          .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
+          .when(col("u") < 9963, 4L).otherwise(5L))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("vq")).as("wsum_e6"))
+      .where(col("n_eff") > 0)
+      .select(col("b"), col("n_eff"),
+        expr("(wsum_e6 div 100) div n_eff").as("mean_e4"))
+  }
+
   /** Per-key time-series resample + forward fill (the q_gap_fill pipeline
     * as API; QuestDB/Timescale `SAMPLE BY ... FILL(PREV)`): bucket `tsCol`
     * (ns-epoch long) into `bucketNs`-wide buckets per key, materialize the

@@ -237,25 +237,9 @@ object QueriesRelational {
     // -exact, and the replica means are exact integer quotients. The
     // spread of mean_e4 across replicas IS the standard error estimate.
     Q("q_bootstrap",
-      (s, dir) => {
-        val e = T(s, dir, "events").where(col("event_type") === "purchase")
-          .select(col("event_id"),
-            floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vq"))
-        val reps = e.select(col("event_id"), col("vq"),
-          explode(sequence(lit(0), lit(31))).as("b"))
-          .withColumn("u", expr(
-            "conv(substring(md5(concat(cast(event_id AS string), '|', cast(b AS string))), 1, 4), 16, 10) % 10000"))
-          .withColumn("w", // inverse Poisson(1) CDF at u/1e4
-            when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
-              .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
-              .when(col("u") < 9963, 4L).otherwise(5L))
-        reps.groupBy("b")
-          .agg(sum(col("w")).as("n_eff"),
-            sum(col("w") * col("vq")).as("wsum_e6"))
-          .where(col("n_eff") > 0)
-          .select(col("b"), col("n_eff"),
-            expr("(wsum_e6 div 100) div n_eff").as("mean_e4"))
-      },
+      (s, dir) => graft.api.Graft.poissonBootstrap(
+        T(s, dir, "events").where(col("event_type") === "purchase"),
+        "event_id", "value", replicas = 32),
       Some("""WITH e AS (SELECT event_id, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
              |  FROM events WHERE event_type = 'purchase'),
              |r AS (SELECT event_id, vq, b.b,
@@ -342,25 +326,9 @@ object QueriesRelational {
     // stage, broadcast-sized intermediate). All ns-integer comparisons and
     // e4 integer-quotient conversions: nothing FP anywhere.
     Q("q_funnel",
-      (s, dir) => {
-        val W = 7L * 24 * 3600 * 1000000000L
-        val e = T(s, dir, "events")
-        val v = e.where(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val c = e.where(col("event_type") === "click").join(v, Seq("user_id"))
-          .where(col("ts") >= col("t1") && col("ts") <= col("t1") + W)
-          .groupBy("user_id").agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
-        val p = e.where(col("event_type") === "purchase").join(c, Seq("user_id"))
-          .where(col("ts") >= col("t2") && col("ts") <= col("t1") + W)
-          .groupBy("user_id").agg(min(col("ts")).as("t3"))
-        val n1 = v.agg(count(lit(1)).as("n")).select(lit(1).as("stage"), col("n"))
-        val n2 = c.agg(count(lit(1)).as("n")).select(lit(2).as("stage"), col("n"))
-        val n3 = p.agg(count(lit(1)).as("n")).select(lit(3).as("stage"), col("n"))
-        n1.unionByName(n2).unionByName(n3)
-          .join(v.agg(count(lit(1)).as("n_first")), expr("true"))
-          .select(col("stage"), col("n").as("n_users"),
-            expr("n * 10000 div n_first").as("conv_e4"))
-      },
+      (s, dir) => graft.api.Graft.funnel(T(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowNs = 7L * 24 * 3600 * 1000000000L),
       Some("""WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
              |  WHERE event_type = 'view' GROUP BY 1),
              |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2, min(v.t1) AS t1
@@ -384,22 +352,8 @@ object QueriesRelational {
     // the classic retention triangle, as two narrow aggs + one distinct
     // (user, week) projection. All integer; retention is an e4 quotient.
     Q("q_retention",
-      (s, dir) => {
-        val WK = 7L * 24 * 3600 * 1000000000L
-        val e = T(s, dir, "events")
-          .select(col("user_id"), expr(s"ts div ${WK}L").as("wk"))
-        val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort"))
-        val act = e.distinct()
-        val coh = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
-        act.join(first, Seq("user_id"))
-          .select(col("cohort"), (col("wk") - col("cohort")).as("offset"))
-          .where(col("offset") <= 3)
-          .groupBy("cohort", "offset")
-          .agg(count(lit(1)).as("n_active"))
-          .join(coh, Seq("cohort"))
-          .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
-            expr("n_active * 10000 div n_cohort").as("retention_e4"))
-      },
+      (s, dir) => graft.api.Graft.retentionCohorts(T(s, dir, "events"),
+        "user_id", "ts", bucketNs = 7L * 24 * 3600 * 1000000000L, maxOffset = 3),
       Some("""WITH e AS (SELECT DISTINCT user_id,
              |  epoch_ns(ts) // 604800000000000 AS wk FROM events),
              |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
