@@ -12,6 +12,39 @@ class CorpusOpsSpec extends AnyFunSuite {
   private val spark = SharedSpark.spark
   import spark.implicits._
 
+  test("funnel counts only in-order in-window completions") {
+    // u1 completes all three in order; u2 clicks BEFORE viewing (must not
+    // count past stage 1); u3 views then clicks outside the window; u4
+    // only views. Window = 100 ns.
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 50L), (2L, "purchase", 60L),
+      (3L, "view", 10L), (3L, "click", 500L),
+      (4L, "view", 40L)).toDF("user_id", "event_type", "ts")
+    val r = Graft.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowNs = 100L)
+      .orderBy("stage").as[(Int, Long, Long)].collect().toSeq
+    // stage 1: u1,u2,u3,u4; stage 2: u1 (+u2? u2 has no click at/after
+    // its first view) -> u1 only; stage 3: u1
+    assert(r == Seq((1, 4L, 10000L), (2, 1L, 2500L), (3, 1L, 2500L)), s"got $r")
+  }
+
+  test("retentionCohorts counts distinct active users per offset") {
+    // bucket = 10 ns; u1 first at bucket 1, active 1,2,2(dup); u2 first at
+    // bucket 1, active 1 only; u3 first at bucket 2, active 2,5 (offset 3)
+    val ev = Seq(
+      (1L, 10L), (1L, 20L), (1L, 25L),
+      (2L, 15L),
+      (3L, 20L), (3L, 50L)).toDF("user_id", "ts")
+    val r = Graft.retentionCohorts(ev, "user_id", "ts", bucketNs = 10L, maxOffset = 3)
+      .orderBy("cohort", "offset").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 0L, 2L, 2L, 10000L), // cohort 1: both active at offset 0
+      (1L, 1L, 1L, 2L, 5000L),  // only u1 at offset 1
+      (2L, 0L, 1L, 1L, 10000L), // cohort 2: u3
+      (2L, 3L, 1L, 1L, 10000L)), s"got $r")
+  }
+
   test("removeDuplicatedSpans drops exactly the covered tokens, both copies") {
     val docs = Seq(
       (1L, "a b c d e x1 y1 z1"), // shares "a b c d e" with doc 2

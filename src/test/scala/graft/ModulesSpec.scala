@@ -685,6 +685,37 @@ class HammingJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("hammingPairs and the optimizer rule agree pair-for-pair on random data") {
+    // the hand-callable operator and the rewrite are documented twins
+    // sharing HammingBands.ranges — assert they cannot drift: same
+    // random corpus, same r, identical (id1, id2, hamming) sets
+    // twin families (odd id = even twin with 1-3 bits flipped) on top of
+    // random 32-bit noise, so every r has true pairs to disagree on
+    val rnd = new scala.util.Random(23)
+    val bases = (0 until 70).map(_ => rnd.nextLong() & 0xFFFFFFFFL)
+    val rows = (0 until 140).map { i =>
+      val b = bases(i / 2)
+      val fp = if (i % 2 == 0) b else b ^ (1L << (i % 31)) ^ (if (i % 3 == 0) 1L << ((i + 7) % 31) else 0L)
+      (i.toLong, fp)
+    }
+    val df = rows.toDF("id", "fp")
+    for (r <- Seq(1, 2, 3)) {
+      val viaOp = graft.operators.LshBlocking.hammingPairs(df, "id", "fp", r)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      val viaRule = withRule {
+        val l = df.select($"id".as("id1"), $"fp".as("f1"))
+        val rr = df.select($"id".as("id2"), $"fp".as("f2"))
+        l.join(rr, bit_count($"f1".bitwiseXOR($"f2")) <= r)
+          .where($"id1" < $"id2")
+          .select($"id1", $"id2",
+            bit_count($"f1".bitwiseXOR($"f2")).cast("int").as("h"))
+          .as[(Long, Long, Int)].collect().sorted.toSeq
+      }
+      assert(viaOp == viaRule, s"twins diverged at r=$r")
+      assert(viaOp.nonEmpty, s"agreement corpus too weak at r=$r")
+    }
+  }
+
   test("all three rewrite rules coexist: two rewritable joins in ONE plan both fire") {
     // GraftExtensions registers Band+Fuzzy+Hamming together; a plan
     // containing a hamming self-join stacked on a levenshtein join must
