@@ -100,10 +100,20 @@ object Bench {
     def masks(rows: Int, cells: Int): DataFrame =
       spark.range(rows).select(col("id"), maskGen(col("id"), lit(cells)).as("mask"))
 
-    val ops = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    final case class OpRec(sec: Double, thr: Double, reps: Array[Double], gcReps: Array[Long])
+    val ops = scala.collection.mutable.LinkedHashMap[String, OpRec]()
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
     // inputs are cached and forced before timing; one untimed warmup run
-    // absorbs JIT/codegen compilation, then the best of two timed runs is
-    // reported (the reference's asv harness also reports repeat-best)
+    // absorbs JIT/codegen compilation, then the best of five timed runs is
+    // reported (the reference's asv harness also reports repeat-best).
+    // Bench honesty (r8 verdict item 3): ALL rep times plus per-rep GC ms
+    // ride in the artifact so a bimodal op (slow MODE) is distinguishable
+    // from a slow OP — r8's artifact recorded dilation at 7.5 s best-of-5
+    // while other sessions measured 0.07 s, and the min alone hid which.
     def bench(name: String, work: Double, input: Option[DataFrame] = None)(f: => Unit): Unit = {
       if (onlyOps.exists(!_.contains(name))) return
       input.foreach { df => df.persist(); df.count() }
@@ -111,9 +121,18 @@ object Bench {
       // best-of-5: the box runs other load and per-run swings of 3-4x were
       // observed between identical builds; min over 5 reps is the steadiest
       // estimator of the op's actual cost
-      val sec = Seq.fill(5)(time(f)).min
+      val reps = new Array[Double](5)
+      val gcReps = new Array[Long](5)
+      var r = 0
+      while (r < 5) {
+        val g0 = gcMillis()
+        reps(r) = time(f)
+        gcReps(r) = gcMillis() - g0
+        r += 1
+      }
+      val sec = reps.min
       input.foreach(_.unpersist())
-      ops(name) = (sec, work / sec)
+      ops(name) = OpRec(sec, work / sec, reps, gcReps)
     }
 
     // effective-core probe (ROUND_NOTES r4: host weather once cut 32
@@ -186,6 +205,24 @@ object Bench {
     }
     val v512 = 512L * 512 * 512 // BASELINE morphology/center-of-mass: 512^3
     val masks512 = masks(512, 262144) // 512 slices of 512x512
+    // warm BOTH monomorphic morphology kernels (and thereby the closing /
+    // opening compositions, which are dilate∘erode) to steady JIT state
+    // before ANY timed morphology section — r8 verdict item 1: the driver
+    // artifact recorded dilation/closing 25-30x over budget while erosion
+    // through the same bridge ran 0.1 s; the kernels are now split into
+    // monomorphic erode/dilate methods (StencilKernel.scala) and this loop
+    // pushes both past the C2 compile threshold in-driver (local mode: the
+    // executor threads share this JVM's code cache)
+    locally {
+      val wShape = Array(64, 64)
+      val wMask = Array.tabulate(64 * 64)(i => (i % 5) != 0)
+      var w = 0
+      while (w < 64) {
+        graft.kernels.StencilKernel.erodeDefault(wMask, wShape)
+        graft.kernels.StencilKernel.dilateDefault(wMask, wShape)
+        w += 1
+      }
+    }
     bench("binary_erosion", v512.toDouble, Some(masks512)) {
       masks512
         .select(graft.exprs.MorphExpr.erode(col("mask"), array(lit(512), lit(512))).as("e"))
@@ -368,20 +405,22 @@ object Bench {
     // (SPARK_DRIVER_MEM=24g+ enables it).
     val heapG = Runtime.getRuntime.maxMemory >> 30
     if (heapG >= 16) {
-      // this op allocates 8 MB humongous slices; after ~200 queries the
-      // old gen is fragmented by their predecessors and G1 intermittently
-      // enters a full-GC death spiral mid-op (measured 1.5 s → 18.5 s on
-      // identical code, bimodal). One explicit full GC + settle before
-      // the timed region compacts the humongous regions away — bench
-      // hygiene for a heap-mode-sensitive measurement, same rationale as
-      // the between-section cache clear.
-      System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
+      // r8 fix, moved INTO the operator: the full-slice path emits 8 MB
+      // output rows — humongous at G1's default region size — and after
+      // ~200 queries fragment the old gen into an intermittent full-GC
+      // death spiral (measured 1.5 s → 18.5 s on identical code, bimodal;
+      // the build.sbt G1HeapRegionSize flag does not reach the driver's
+      // invocation). VolumeZoom.strips emits ≤1 MiB row strips — never
+      // humongous at any heap ≥ 4 GiB — same shuffle plan, same per-cell
+      // math (VolumeZoomSpec pins stitched bit-equality). One settle GC
+      // stays as inter-section hygiene.
+      System.gc(); Thread.sleep(300)
       val volSlices512 = spark.range(512).select(
           lit(0L).as("id"), col("id").cast("int").as("sid"),
           sliceGen(col("id"), lit(262144)).as("data"))
       bench("volume_zoom_o1_512", 512.0 * 512 * 512, Some(volSlices512)) {
         import spark.implicits._
-        graft.operators.VolumeZoom(
+        graft.operators.VolumeZoom.strips(
             volSlices512.as[graft.operators.VolumeZoom.ZSlice],
             Array(512, 512, 512), Array(2.0, 2.0, 2.0), order = 1)(spark)
           .toDF().agg(sum(get(col("data"), lit(0)))).collect()
@@ -414,13 +453,35 @@ object Bench {
     def j(d: Iterable[(String, Double)]) =
       d.map { case (k, v) => "\"" + k + "\":" + fmt4(v) }.mkString("{", ",", "}")
     val qs = j(results)
-    val opsJson = ops.map { case (k, (sec, thr)) =>
-      "\"" + k + "\":{\"sec\":" + fmt4(sec) + ",\"cells_per_s\":" + fmt0(thr) + "}"
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // compact per-op record WITH the rep array (r8 verdict item 3: the
+    // artifact of record must distinguish a slow op from a slow mode);
+    // per-rep GC ms goes to bench_full.json only, keeping the final stdout
+    // line inside the driver's 2000-char tail window
+    val opsJson = ops.map { case (k, rec) =>
+      "\"" + k + "\":{\"sec\":" + fmt4(rec.sec) + ",\"cells_per_s\":" + fmt0(rec.thr) +
+        ",\"reps\":" + rec.reps.map(fmt3).mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
+    val opsJsonFull = ops.map { case (k, rec) =>
+      "\"" + k + "\":{\"sec\":" + fmt4(rec.sec) + ",\"cells_per_s\":" + fmt0(rec.thr) +
+        ",\"reps\":" + rec.reps.map(fmt4).mkString("[", ",", "]") +
+        ",\"gc_ms_reps\":" + rec.gcReps.mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    // G1 region size honesty (r8 verdict item 2): the build.sbt fork flag
+    // demonstrably does not reach the driver's own bench invocation, so the
+    // effective region size rides in the artifact — an 8 MB output slice is
+    // humongous below 16m and that mode is now visible, not inferred
+    val g1Region = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .find(_.startsWith("-XX:G1HeapRegionSize="))
+        .map(_.stripPrefix("-XX:G1HeapRegionSize=")).getOrElse("default")
+    }
     val total = fmt4(results.map(_._2).sum)
     // agg_rate in iters/µs: the frequency-honest all-core throughput probe
     val eff = s""""eff_cores":${fmt4(effCores)},"eff_cores_post":${fmt4(effCoresPost)},""" +
-      s""""conf_cores":$cpus,"quiet_waits":$waits,""" +
+      s""""conf_cores":$cpus,"quiet_waits":$waits,"g1_region":"$g1Region",""" +
       s""""agg_rate":${fmt4(aggRate * 1000)},"single_rate":${fmt4(singleRate * 1000)}"""
     // the scale-soak record (graft.ScaleSoak: 1×/10×/30× wall + shuffle
     // bytes for the LSH/pack/halo pipelines) rides along in the full
@@ -432,7 +493,7 @@ object Bench {
         new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim).getOrElse("")
     }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$opsJson,$eff,"sf":"$sfDir"$soak}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$opsJsonFull,$eff,"sf":"$sfDir"$soak}"""
     // The driver keeps only the last 2000 chars of stdout and parses the
     // LAST line as JSON. The full record (74+ per-query entries, ~3KB) goes
     // to an earlier stdout line and a file; the final line stays compact

@@ -145,7 +145,11 @@ object ScaleSoak {
       val slices = spark.range(256L * n).select(
           lit(0L).as("id"), col("id").cast("int").as("sid"), sliceGen(col("id")).as("data"))
         .as[graft.operators.VolumeZoom.ZSlice]
-      graft.operators.VolumeZoom(slices, Array(256 * n, 256, 256),
+      // striped emission (r8 verdict item 2): the full-slice form's 2 MB
+      // output rows are humongous at G1's default region size and drove
+      // the x30 tail to 7.4x with 6.6 s GC; ≤1 MiB strips keep the same
+      // shuffle plan with allocation G1 can handle
+      graft.operators.VolumeZoom.strips(slices, Array(256 * n, 256, 256),
           Array(2.0, 2.0, 2.0), order = 1, stripeSize = vzStripe)(spark)
         .toDF().count()
     }

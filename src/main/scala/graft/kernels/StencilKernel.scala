@@ -49,9 +49,16 @@ object StencilKernel {
     buf.result()
   }
 
-  private def run(data: Array[Boolean], shape: Array[Int],
-                  fp: Array[Boolean], fshape: Array[Int],
-                  isDilation: Boolean): Array[Boolean] = {
+  /** Precomputed per-op geometry: per-offset coordinate deltas, flat deltas
+    * for interior cells (no bounds checks), and per-dim offset extents
+    * delimiting the interior region — the JVM analog of the reference's
+    * precomputed offset table (/root/reference/imops/src/_morphology.pyx:73-165). */
+  private final class Geom(val offs: Array[Array[Int]], val flatOff: Array[Int],
+                           val minOff: Array[Int], val maxOff: Array[Int],
+                           val strides: Array[Int])
+
+  private def geometry(shape: Array[Int], fp: Array[Boolean], fshape: Array[Int],
+                       isDilation: Boolean): Geom = {
     require(fshape.length == shape.length, "footprint rank mismatch") // morphology.py:84-85
     val rank = shape.length
     val (fpUsed, origin) =
@@ -62,13 +69,7 @@ object StencilKernel {
         (reflected, orig)
       }
     val offs = offsets(fpUsed, fshape, origin)
-    val borderValue = !isDilation // erosion: OOB true; dilation: OOB false
     val strides = NdTensor.strides(shape)
-    val out = new Array[Boolean](data.length)
-    // precomputed flat deltas for interior cells (no bounds checks), and
-    // per-dim offset extents delimiting the interior region — the JVM analog
-    // of the reference's precomputed offset table
-    // (/root/reference/imops/src/_morphology.pyx:73-165)
     val nOff = offs.length
     val flatOff = new Array[Int](nOff)
     val minOff = new Array[Int](rank)
@@ -87,8 +88,24 @@ object StencilKernel {
       flatOff(k) = fo
       k += 1
     }
+    new Geom(offs, flatOff, minOff, maxOff, strides)
+  }
 
-    // border/general cell: per-offset bounds checks
+  // The erode/dilate hot loops are deliberately DUPLICATED rather than
+  // parameterized on an `isDilation` flag: the r8 driver bench recorded a
+  // ~100x bimodality on the shared-branch form (dilation 7.5 s vs the same
+  // code measuring 0.07 s in other sessions) — once the JIT profiled the
+  // shared `run` method's branches as erosion-dominant, the dilation path
+  // ran in a deopt/profile-polluted mode. Two monomorphic methods give each
+  // op its own JIT profile and inlining decisions.
+
+  private def erodeCore(data: Array[Boolean], shape: Array[Int], g: Geom): Array[Boolean] = {
+    val rank = shape.length
+    val offs = g.offs; val flatOff = g.flatOff; val strides = g.strides
+    val nOff = offs.length
+    val out = new Array[Boolean](data.length)
+    // border/general cell: per-offset bounds checks; erosion OOB reads true
+    // (border_value=True, pyx:313-319)
     val idx = new Array[Int](rank)
     def slowCell(flat: Int): Boolean = {
       var d = 0
@@ -104,33 +121,24 @@ object StencilKernel {
           if (c < 0 || c >= shape(dd)) oob = true else nFlat += c * strides(dd)
           dd += 1
         }
-        val v = if (oob) borderValue else data(nFlat)
-        if (!isDilation) { if (!v) return false }
-        else if (v) return true
+        if (!oob && !data(nFlat)) return false
         kk += 1
       }
-      !isDilation
+      true
     }
-
     @inline def fastCell(flat: Int): Boolean = {
       var kk = 0
-      if (!isDilation) {
-        while (kk < nOff) { if (!data(flat + flatOff(kk))) return false; kk += 1 }
-        true
-      } else {
-        while (kk < nOff) { if (data(flat + flatOff(kk))) return true; kk += 1 }
-        false
-      }
+      while (kk < nOff) { if (!data(flat + flatOff(kk))) return false; kk += 1 }
+      true
     }
-
     if (rank == 2) {
       val (s0, s1) = (shape(0), shape(1))
-      val (iLo, iHi) = (-minOff(0), s0 - maxOff(0))
+      val (iLo, iHi) = (-g.minOff(0), s0 - g.maxOff(0))
       // clamp the pre-interior bound to the row length: a footprint wider
       // than the image would otherwise drive the slow-path loop past the row
       // (transiently corrupting the next row, OOB on the last)
-      val jLo = math.min(s1, math.max(0, -minOff(1)))
-      val jHi = math.min(s1, s1 - maxOff(1))
+      val jLo = math.min(s1, math.max(0, -g.minOff(1)))
+      val jHi = math.min(s1, s1 - g.maxOff(1))
       var i = 0
       while (i < s0) {
         val interiorRow = i >= iLo && i < iHi
@@ -147,11 +155,93 @@ object StencilKernel {
       }
     } else if (rank == 3) {
       val (s0, s1, s2) = (shape(0), shape(1), shape(2))
-      val (iLo, iHi) = (-minOff(0), s0 - maxOff(0))
-      val (jLo, jHi) = (-minOff(1), s1 - maxOff(1))
+      val (iLo, iHi) = (-g.minOff(0), s0 - g.maxOff(0))
+      val (jLo, jHi) = (-g.minOff(1), s1 - g.maxOff(1))
       // same clamp as rank 2: keep the pre-interior loop inside the line
-      val kLo = math.min(s2, math.max(0, -minOff(2)))
-      val kHi = math.min(s2, s2 - maxOff(2))
+      val kLo = math.min(s2, math.max(0, -g.minOff(2)))
+      val kHi = math.min(s2, s2 - g.maxOff(2))
+      var i = 0
+      while (i < s0) {
+        val ii = i >= iLo && i < iHi
+        var j = 0
+        while (j < s1) {
+          val interior = ii && j >= jLo && j < jHi
+          val base = (i * s1 + j) * s2
+          var c = 0
+          if (interior) {
+            while (c < kLo) { out(base + c) = slowCell(base + c); c += 1 }
+            while (c < kHi) { out(base + c) = fastCell(base + c); c += 1 }
+            while (c < s2) { out(base + c) = slowCell(base + c); c += 1 }
+          } else {
+            while (c < s2) { out(base + c) = slowCell(base + c); c += 1 }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      var flat = 0
+      while (flat < data.length) { out(flat) = slowCell(flat); flat += 1 }
+    }
+    out
+  }
+
+  private def dilateCore(data: Array[Boolean], shape: Array[Int], g: Geom): Array[Boolean] = {
+    val rank = shape.length
+    val offs = g.offs; val flatOff = g.flatOff; val strides = g.strides
+    val nOff = offs.length
+    val out = new Array[Boolean](data.length)
+    // dilation OOB reads false (pyx:322-329)
+    val idx = new Array[Int](rank)
+    def slowCell(flat: Int): Boolean = {
+      var d = 0
+      while (d < rank) { idx(d) = (flat / strides(d)) % shape(d); d += 1 }
+      var kk = 0
+      while (kk < nOff) {
+        val off = offs(kk)
+        var oob = false
+        var nFlat = 0
+        var dd = 0
+        while (dd < rank) {
+          val c = idx(dd) + off(dd)
+          if (c < 0 || c >= shape(dd)) oob = true else nFlat += c * strides(dd)
+          dd += 1
+        }
+        if (!oob && data(nFlat)) return true
+        kk += 1
+      }
+      false
+    }
+    @inline def fastCell(flat: Int): Boolean = {
+      var kk = 0
+      while (kk < nOff) { if (data(flat + flatOff(kk))) return true; kk += 1 }
+      false
+    }
+    if (rank == 2) {
+      val (s0, s1) = (shape(0), shape(1))
+      val (iLo, iHi) = (-g.minOff(0), s0 - g.maxOff(0))
+      val jLo = math.min(s1, math.max(0, -g.minOff(1)))
+      val jHi = math.min(s1, s1 - g.maxOff(1))
+      var i = 0
+      while (i < s0) {
+        val interiorRow = i >= iLo && i < iHi
+        val base = i * s1
+        var j = 0
+        if (interiorRow) {
+          while (j < jLo) { out(base + j) = slowCell(base + j); j += 1 }
+          while (j < jHi) { out(base + j) = fastCell(base + j); j += 1 }
+          while (j < s1) { out(base + j) = slowCell(base + j); j += 1 }
+        } else {
+          while (j < s1) { out(base + j) = slowCell(base + j); j += 1 }
+        }
+        i += 1
+      }
+    } else if (rank == 3) {
+      val (s0, s1, s2) = (shape(0), shape(1), shape(2))
+      val (iLo, iHi) = (-g.minOff(0), s0 - g.maxOff(0))
+      val (jLo, jHi) = (-g.minOff(1), s1 - g.maxOff(1))
+      val kLo = math.min(s2, math.max(0, -g.minOff(2)))
+      val kHi = math.min(s2, s2 - g.maxOff(2))
       var i = 0
       while (i < s0) {
         val ii = i >= iLo && i < iHi
@@ -180,11 +270,11 @@ object StencilKernel {
 
   def erode(data: Array[Boolean], shape: Array[Int],
             fp: Array[Boolean], fshape: Array[Int]): Array[Boolean] =
-    run(data, shape, fp, fshape, isDilation = false)
+    erodeCore(data, shape, geometry(shape, fp, fshape, isDilation = false))
 
   def dilate(data: Array[Boolean], shape: Array[Int],
              fp: Array[Boolean], fshape: Array[Int]): Array[Boolean] =
-    run(data, shape, fp, fshape, isDilation = true)
+    dilateCore(data, shape, geometry(shape, fp, fshape, isDilation = true))
 
   /** closing = dilation then erosion (/root/reference/imops/morphology.py:262-314) */
   def close(data: Array[Boolean], shape: Array[Int],

@@ -24,6 +24,10 @@ object VolumeZoom {
   final case class ZSlice(id: Long, sid: Int, data: Array[Double])
   final case class SlicePiece(id: Long, stripe: Int, sid: Int, data: Array[Double])
 
+  /** One horizontal strip of an output slice: rows `[strip·stripRows,
+    * min((strip+1)·stripRows, n1))` of slice `sid`, row-major. */
+  final case class ZStrip(id: Long, sid: Int, strip: Int, data: Array[Double])
+
   /** Zoom a (D0 × D1 × D2) volume of axis-0 slices by `scale`; returns
     * output slices (newD1 × newD2 row-major).
     *
@@ -92,42 +96,126 @@ object VolumeZoom {
         val oLo = st * effStripe
         val oHi = math.min(oLo + effStripe, n0)
         (oLo until oHi).iterator.map { os =>
-          val out = new Array[Double](n1 * n2)
-          var p = 0
-          if (order == 0) {
-            val src = bySid(t0.nr(os))
-            var i = 0
-            while (i < n1) {
-              val base = t1.nr(i) * d2
-              var j = 0
-              while (j < n2) { out(p) = src(base + t2.nr(j)); p += 1; j += 1 }
-              i += 1
-            }
-          } else {
-            // exact corner order and weight association of ZoomKernel.zoom3,
-            // with axis 0 = the slice axis
-            val lo0 = bySid(t0.lo(os)); val hi0 = bySid(t0.hi(os)); val f0 = t0.fr(os)
-            var i = 0
-            while (i < n1) {
-              val l1 = t1.lo(i) * d2; val h1 = t1.hi(i) * d2; val f1 = t1.fr(i)
-              var j = 0
-              while (j < n2) {
-                val l2 = t2.lo(j); val h2 = t2.hi(j); val f2 = t2.fr(j)
-                out(p) = (1.0 * (1 - f0) * (1 - f1) * (1 - f2)) * lo0(l1 + l2) +
-                         (1.0 * f0 * (1 - f1) * (1 - f2)) * hi0(l1 + l2) +
-                         (1.0 * (1 - f0) * f1 * (1 - f2)) * lo0(h1 + l2) +
-                         (1.0 * f0 * f1 * (1 - f2)) * hi0(h1 + l2) +
-                         (1.0 * (1 - f0) * (1 - f1) * f2) * lo0(l1 + h2) +
-                         (1.0 * f0 * (1 - f1) * f2) * hi0(l1 + h2) +
-                         (1.0 * (1 - f0) * f1 * f2) * lo0(h1 + h2) +
-                         (1.0 * f0 * f1 * f2) * hi0(h1 + h2)
-                p += 1; j += 1
-              }
-              i += 1
-            }
-          }
-          ZSlice(id, os, out)
+          ZSlice(id, os, fillRows(bySid, os, 0, n1, n1, n2, d2, order, t0, t1, t2))
         }
+    }
+  }
+
+  /** Compute rows `[rLo, rHi)` of output slice `os` — the shared per-cell
+    * math of the slice and strip emitters (exact corner order and weight
+    * association of ZoomKernel.zoom3, axis 0 = the slice axis), so the
+    * stitched strip output is bit-identical to the slice output
+    * (VolumeZoomSpec pins this). */
+  private def fillRows(bySid: Map[Int, Array[Double]], os: Int, rLo: Int, rHi: Int,
+                       n1: Int, n2: Int, d2: Int, order: Int,
+                       t0: ZoomKernel.AxisTable, t1: ZoomKernel.AxisTable,
+                       t2: ZoomKernel.AxisTable): Array[Double] = {
+    val out = new Array[Double]((rHi - rLo) * n2)
+    var p = 0
+    if (order == 0) {
+      val src = bySid(t0.nr(os))
+      var i = rLo
+      while (i < rHi) {
+        val base = t1.nr(i) * d2
+        var j = 0
+        while (j < n2) { out(p) = src(base + t2.nr(j)); p += 1; j += 1 }
+        i += 1
+      }
+    } else {
+      val lo0 = bySid(t0.lo(os)); val hi0 = bySid(t0.hi(os)); val f0 = t0.fr(os)
+      var i = rLo
+      while (i < rHi) {
+        val l1 = t1.lo(i) * d2; val h1 = t1.hi(i) * d2; val f1 = t1.fr(i)
+        var j = 0
+        while (j < n2) {
+          val l2 = t2.lo(j); val h2 = t2.hi(j); val f2 = t2.fr(j)
+          out(p) = (1.0 * (1 - f0) * (1 - f1) * (1 - f2)) * lo0(l1 + l2) +
+                   (1.0 * f0 * (1 - f1) * (1 - f2)) * hi0(l1 + l2) +
+                   (1.0 * (1 - f0) * f1 * (1 - f2)) * lo0(h1 + l2) +
+                   (1.0 * f0 * f1 * (1 - f2)) * hi0(h1 + l2) +
+                   (1.0 * (1 - f0) * (1 - f1) * f2) * lo0(l1 + h2) +
+                   (1.0 * f0 * (1 - f1) * f2) * hi0(l1 + h2) +
+                   (1.0 * (1 - f0) * f1 * f2) * lo0(h1 + h2) +
+                   (1.0 * f0 * f1 * f2) * hi0(h1 + h2)
+          p += 1; j += 1
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Strip-emitting variant of [[apply]] — the allocation-shaped 100 TB
+    * path. Identical shuffle plan and per-cell math, but each output slice
+    * is emitted as row strips of at most `maxRowBytes` (default 1 MiB —
+    * below HALF the G1 region size for any heap ≥ 4 GiB, the humongous
+    * threshold, with margin), so
+    * no produced row is ever a G1 humongous object at the DEFAULT heap
+    * region size: the r8 driver bench recorded the full-slice form at 512³
+    * (8 MiB output rows) intermittently 6× slower purely from humongous-
+    * region full-GC churn, and the soak's x30 tail ratio 7.4 had the same
+    * GC signature. Strip boundaries never change values — only row
+    * grouping (VolumeZoomSpec pins stitched bit-equality). */
+  def strips(slices: Dataset[ZSlice], dims: Array[Int], scale: Array[Double], order: Int,
+             stripeSize: Int = 32, maxRowBytes: Int = 1 << 20)
+            (implicit spark: SparkSession): Dataset[ZStrip] = {
+    import spark.implicits._
+    require(dims.length == 3 && scale.length == 3, "VolumeZoom is rank-3")
+    require(order == 0 || order == 1, s"order $order unsupported")
+    require(stripeSize >= 1, "stripeSize must be >= 1")
+    require(maxRowBytes >= 8, "maxRowBytes must hold at least one cell")
+    val Array(d0, d1, d2) = dims
+    val n0 = ZoomKernel.outDim(d0, scale(0))
+    val n1 = ZoomKernel.outDim(d1, scale(1))
+    val n2 = ZoomKernel.outDim(d2, scale(2))
+    val t0 = ZoomKernel.axisTables(d0, n0)
+    val t1 = ZoomKernel.axisTables(d1, n1)
+    val t2 = ZoomKernel.axisTables(d2, n2)
+    val stripRows = math.max(1, math.min(n1.toLong, maxRowBytes.toLong / 8 / math.max(1, n2)).toInt)
+    val nStrips = (n1 + stripRows - 1) / stripRows
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    val effStripe = math.max(1, math.min(stripeSize, n0 / (2 * par)))
+    val nStripes = (n0 + effStripe - 1) / effStripe
+    def needOf(o: Int): Seq[Int] =
+      if (order == 0) Seq(t0.nr(o)) else Seq(t0.lo(o), t0.hi(o))
+    val needed: Array[Set[Int]] = Array.tabulate(nStripes) { st =>
+      (st * effStripe until math.min((st + 1) * effStripe, n0)).flatMap(needOf).toSet
+    }
+    val pieces = slices.flatMap { sl =>
+      (0 until nStripes).collect {
+        case st if needed(st)(sl.sid) => SlicePiece(sl.id, st, sl.sid, sl.data)
+      }
+    }
+    pieces.groupByKey(p => (p.id, p.stripe)).flatMapGroups {
+      (key: (Long, Int), it: Iterator[SlicePiece]) =>
+        val (id, st) = key
+        val bySid = it.map(p => p.sid -> p.data).toMap
+        val oLo = st * effStripe
+        val oHi = math.min(oLo + effStripe, n0)
+        for {
+          os <- (oLo until oHi).iterator
+          sp <- (0 until nStrips).iterator
+        } yield {
+          val rLo = sp * stripRows
+          val rHi = math.min(rLo + stripRows, n1)
+          ZStrip(id, os, sp, fillRows(bySid, os, rLo, rHi, n1, n2, d2, order, t0, t1, t2))
+        }
+    }
+  }
+
+  /** Reassemble strip output into full slices (groups by (id, sid); one
+    * O(slice) concat per slice). For consumers that need the `ZSlice`
+    * contract back after a striped run — at true scale prefer consuming
+    * strips directly. */
+  def stitch(strips: Dataset[ZStrip])(implicit spark: SparkSession): Dataset[ZSlice] = {
+    import spark.implicits._
+    strips.groupByKey(s => (s.id, s.sid)).mapGroups { (key, it) =>
+      val parts = it.toArray.sortBy(_.strip)
+      val total = parts.iterator.map(_.data.length).sum
+      val out = new Array[Double](total)
+      var p = 0
+      parts.foreach { s => System.arraycopy(s.data, 0, out, p, s.data.length); p += s.data.length }
+      ZSlice(key._1, key._2, out)
     }
   }
 }

@@ -16,6 +16,34 @@ object QueriesGrid {
 
   private val N = 16
 
+  /** Shared trilinear oracle for the 32³ → 64³ distributed-zoom gates
+    * (q_zoom3d_big_dist and its strip-emitting twin q_zoom3d_strips):
+    * DuckDB rebuilds the coordinate-arithmetic volume from range() and
+    * replays the full 8-corner lerp per output cell. */
+  private lazy val zoom3dBigOracle: String = {
+    def c(x: String) = s"($x * (31.0 / 63.0))"
+    def f(x: String) = s"floor(${c(x)})"
+    def pix(ri: String, ci: String, ki: String) =
+      s"coalesce(d[CASE WHEN $ri BETWEEN 0 AND 31 AND $ci BETWEEN 0 AND 31 AND $ki BETWEEN 0 AND 31 " +
+        s"THEN cast(($ri * 32 + $ci) * 32 + $ki AS INT) + 1 ELSE NULL END], 0.0)"
+    val fs = Seq("ra.a", "rb.b", "rc.c").map(x => s"cast(${f(x)} AS INT)")
+    val ds = Seq("ra.a", "rb.b", "rc.c").map(x => s"(${c(x)} - ${f(x)})")
+    val terms = (0 until 8).map { corner =>
+      val up = (0 until 3).map(dd => ((corner >> dd) & 1) == 1)
+      val ws = (0 until 3).map(dd => if (up(dd)) ds(dd) else s"(1 - ${ds(dd)})")
+      val ix = (0 until 3).map(dd => if (up(dd)) s"(${fs(dd)} + 1)" else fs(dd))
+      s"(1.0 * ${ws(0)} * ${ws(1)} * ${ws(2)}) * ${pix(ix(0), ix(1), ix(2))}"
+    }
+    s"""WITH gg AS (SELECT r1.i AS i, r2.j AS j, r3.k AS k,
+       |  CAST((r1.i*31 + r2.j*7 + r3.k*13) % 97 AS DOUBLE) AS v
+       |  FROM range(32) r1(i) CROSS JOIN range(32) r2(j) CROSS JOIN range(32) r3(k)),
+       |g AS (SELECT list(v ORDER BY i, j, k) AS d FROM gg)
+       |SELECT ra.a AS i, rb.b AS j, rc.c AS k, round(
+       |  ${terms.mkString("\n+ ")}, 4) AS v
+       |FROM range(64) ra(a) CROSS JOIN range(64) rb(b) CROSS JOIN range(64) rc(c)
+       |CROSS JOIN g""".stripMargin
+  }
+
   /** value-sum grid: v(i,j) = round(sum(value),2), absent cells 0. */
   private def valueGrid(s: SparkSession, dir: String): DataFrame =
     SharedInputs(s, dir, "valueGrid") {
@@ -619,29 +647,34 @@ object QueriesGrid {
           .select(col("i"), (col("pos") / 64).cast("long").as("j"),
             (col("pos") % 64).cast("long").as("k"), round(col("raw"), 4).as("v"))
       },
-      Some {
-        def c(x: String) = s"($x * (31.0 / 63.0))"
-        def f(x: String) = s"floor(${c(x)})"
-        def pix(ri: String, ci: String, ki: String) =
-          s"coalesce(d[CASE WHEN $ri BETWEEN 0 AND 31 AND $ci BETWEEN 0 AND 31 AND $ki BETWEEN 0 AND 31 " +
-            s"THEN cast(($ri * 32 + $ci) * 32 + $ki AS INT) + 1 ELSE NULL END], 0.0)"
-        val fs = Seq("ra.a", "rb.b", "rc.c").map(x => s"cast(${f(x)} AS INT)")
-        val ds = Seq("ra.a", "rb.b", "rc.c").map(x => s"(${c(x)} - ${f(x)})")
-        val terms = (0 until 8).map { corner =>
-          val up = (0 until 3).map(dd => ((corner >> dd) & 1) == 1)
-          val ws = (0 until 3).map(dd => if (up(dd)) ds(dd) else s"(1 - ${ds(dd)})")
-          val ix = (0 until 3).map(dd => if (up(dd)) s"(${fs(dd)} + 1)" else fs(dd))
-          s"(1.0 * ${ws(0)} * ${ws(1)} * ${ws(2)}) * ${pix(ix(0), ix(1), ix(2))}"
-        }
-        s"""WITH gg AS (SELECT r1.i AS i, r2.j AS j, r3.k AS k,
-           |  CAST((r1.i*31 + r2.j*7 + r3.k*13) % 97 AS DOUBLE) AS v
-           |  FROM range(32) r1(i) CROSS JOIN range(32) r2(j) CROSS JOIN range(32) r3(k)),
-           |g AS (SELECT list(v ORDER BY i, j, k) AS d FROM gg)
-           |SELECT ra.a AS i, rb.b AS j, rc.c AS k, round(
-           |  ${terms.mkString("\n+ ")}, 4) AS v
-           |FROM range(64) ra(a) CROSS JOIN range(64) rb(b) CROSS JOIN range(64) rc(c)
-           |CROSS JOIN g""".stripMargin
-      }),
+      Some(zoom3dBigOracle)),
+
+    // the STRIP-emitting form of the same 32³ → 64³ zoom (VolumeZoom.strips
+    // — the allocation-shaped variant the 100 TB path and the driver bench
+    // use): 8192-byte bound forces 4 row-strips per output slice, and the
+    // (sid, strip, pos) → (i, j, k) re-indexing plus the SAME trilinear
+    // oracle proves strip emission changes row grouping only, never values.
+    Q("q_zoom3d_strips",
+      (s, dir) => {
+        import s.implicits._
+        val d = 32
+        val slices = s.range(d.toLong).select(
+            col("id").cast("int").as("sid"),
+            transform(sequence(lit(0), lit(d * d - 1)), p =>
+              ((col("id") * 31 + (p / d).cast("long") * 7 + (p % d).cast("long") * 13) % 97)
+                .cast("double")).as("data"))
+          .select(lit(0L).as("id"), col("sid"), col("data"))
+          .as[graft.operators.VolumeZoom.ZSlice]
+        // maxRowBytes 16·64·8: stripRows = 16 → j = strip·16 + pos/64
+        graft.operators.VolumeZoom.strips(slices, Array(d, d, d), Array(2.0, 2.0, 2.0),
+            order = 1, stripeSize = 32, maxRowBytes = 16 * 64 * 8)(s)
+          .toDF()
+          .select(col("sid").cast("long").as("i"), col("strip"),
+            posexplode(col("data")).as(Seq("pos", "raw")))
+          .select(col("i"), (col("strip") * 16 + col("pos") / 64).cast("long").as("j"),
+            (col("pos") % 64).cast("long").as("k"), round(col("raw"), 4).as("v"))
+      },
+      Some(zoom3dBigOracle)),
 
     // the same halo-exchange path at BIG-VOLUME scale: 64³ (262,144
     // cells — 1000× the 8³ gate above; 4×4×4 tiles of 16³), mask
