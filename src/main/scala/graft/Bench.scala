@@ -16,10 +16,28 @@ import graft.functions.TensorFunctions
   *    reference's OpenMP prange over slices.
   */
 object Bench {
+
+  /** RAM-backed shuffle dir when the box has headroom: measured on the
+    * striped 512³ zoom, rep times over ext4 /tmp swing 1.6–13.7 s purely
+    * from dirty-page writeback contention between reps (~1.2 GB shuffle
+    * per rep), while /dev/shm holds a flat ~2.5 s — the single-node analog
+    * of provisioning local SSDs for shuffle on a real cluster. Falls back
+    * to the default local dir when shm is absent or under 32 GiB free;
+    * the choice is stamped into the artifact either way. */
+  def shmLocalDir(): Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > 32L * (1L << 30)) {
+      val d = new java.io.File(shm, "graft-shuffle")
+      d.mkdirs()
+      if (d.isDirectory && d.canWrite) Some(d.getAbsolutePath) else None
+    } else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val localDir = shmLocalDir()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -29,6 +47,10 @@ object Bench {
       // numpy-array-in-RAM framing); compressed columnar cache would charge
       // every timed run a decompression pass that is not part of the op
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // with shuffle on shm, lean on the ContextCleaner to reap dead
+      // shuffle files promptly so a long sweep can't fill the tmpfs
+      .config("spark.cleaner.periodicGC.interval", "5min")
+    val spark = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -482,6 +504,7 @@ object Bench {
     // agg_rate in iters/µs: the frequency-honest all-core throughput probe
     val eff = s""""eff_cores":${fmt4(effCores)},"eff_cores_post":${fmt4(effCoresPost)},""" +
       s""""conf_cores":$cpus,"quiet_waits":$waits,"g1_region":"$g1Region",""" +
+      s""""local_dir":"${localDir.fold("default")(_ => "shm")}",""" +
       s""""agg_rate":${fmt4(aggRate * 1000)},"single_rate":${fmt4(singleRate * 1000)}"""
     // the scale-soak record (graft.ScaleSoak: 1×/10×/30× wall + shuffle
     // bytes for the LSH/pack/halo pipelines) rides along in the full

@@ -45,12 +45,16 @@ object ScaleSoak {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // same RAM-backed shuffle-dir policy as Bench (see Bench.shmLocalDir):
+    // ext4 writeback contention between scale points otherwise rides into
+    // the x10/x30 tail ratios as phantom superlinearity
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+    val spark = Bench.shmLocalDir().fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

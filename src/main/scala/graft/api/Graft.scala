@@ -680,7 +680,9 @@ object Graft {
     }.reduce(_ unionByName _)
     counts.join(first.agg(count(lit(1)).as("n_first")), expr("true"))
       .select(col("stage"), col("n").as("n_users"),
-        expr("n * 10000 div n_first").as("conv_e4"))
+        // empty stage 1: integer div-by-zero would null conv_e4 for every
+        // stage (ADVICE r8); an empty funnel converts 0, not null
+        expr("CASE WHEN n_first > 0 THEN n * 10000 div n_first ELSE 0L END").as("conv_e4"))
   }
 
   /** Weekly-style retention cohorts: users cohorted by the `bucketNs`
@@ -716,8 +718,12 @@ object Graft {
         floor(col(valueCol) * 1e6 + lit(0.5)).cast("long").as("vq"))
       .select(col("rid"), col("vq"),
         explode(sequence(lit(0), lit(replicas - 1))).as("b"))
+      // 8 hex chars = 32 uniform bits before the mod: a 16-bit slice mod
+      // 1e4 is visibly non-uniform (low residues occur 7/65536 vs 6/65536,
+      // biasing P(w=0) to ~0.393 vs Poisson(1)'s 0.368 and shrinking the
+      // mean replica weight ~6%); 32 bits cut the bias to ~2e-6 (ADVICE r8)
       .withColumn("u", expr(
-        "conv(substring(md5(concat(cast(rid AS string), '|', cast(b AS string))), 1, 4), 16, 10) % 10000"))
+        "conv(substring(md5(concat(cast(rid AS string), '|', cast(b AS string))), 1, 8), 16, 10) % 10000"))
       .withColumn("w",
         when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
           .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)

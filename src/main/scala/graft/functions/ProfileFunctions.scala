@@ -65,12 +65,17 @@ object ProfileFunctions {
     // pc/pr = ((ccnt+1)(nr+B)) / ((rcnt+1)(nc+B)) and the portable
     // polynomial ln (TextFunctions.lnPoly — bit-exact cross-engine, no
     // libm; the quantized-libm form this replaces is the q_dsir_weights
-    // failure class). Each bucket term is ≥ 0 ((x−y)·ln(x/y) ≥ 0), so
-    // floor(x + 0.5) is plain half-up; the per-group sum is exact BIGINT
-    // and the reported psi derives from it by one deterministic division.
+    // failure class). Expanded to the SUM form ln(a·b) = ln a + ln b so no
+    // count is ever MULTIPLIED: the product form wraps BIGINT silently at
+    // per-group counts ~3e9 (garbage psi, no error) and leaves lnPoly's
+    // exact-integer domain past 2^53 (ADVICE r8); each factor here stays
+    // well inside both for any realistic corpus. Each bucket term is ≥ 0
+    // ((x−y)·ln(x/y) ≥ 0), so floor(x + 0.5) is plain half-up; the
+    // per-group sum is exact BIGINT and the reported psi derives from it
+    // by one deterministic division.
     val lnr =
-      TextFunctions.lnPoly((col("ccnt") + 1) * (col("nr") + buckets)) -
-      TextFunctions.lnPoly((col("rcnt") + 1) * (col("nc") + buckets))
+      TextFunctions.lnPoly(col("ccnt") + 1) + TextFunctions.lnPoly(col("nr") + buckets) -
+      TextFunctions.lnPoly(col("rcnt") + 1) - TextFunctions.lnPoly(col("nc") + buckets)
     withTot
       .withColumn("q8", floor((pc - pr) * lnr * lit(100000000.0) + lit(0.5)).cast("long"))
       .groupBy(gcols: _*)

@@ -95,9 +95,22 @@ object LshBlocking {
     * every LSH join here — for adversarially hot fingerprint values,
     * collapse exact dups first ([[collapseExact]] on the fingerprint). */
   def hammingPairs(df: DataFrame, idCol: String, fpCol: String, r: Int): DataFrame = {
-    val isLong = df.schema(fpCol).dataType ==
-      org.apache.spark.sql.types.LongType
-    val bits = if (isLong) 64 else 32
+    import org.apache.spark.sql.types._
+    // band width must match the fingerprint's ACTUAL bit width: treating a
+    // Short/Byte fingerprint as 32-bit would make every band above the
+    // type's width constant zero — those bands collide for ALL rows and
+    // the banded join silently degrades to a near-cross-join (ADVICE r8);
+    // non-integral types must fail here, not inside the expression tree
+    val bits = df.schema(fpCol).dataType match {
+      case LongType => 64
+      case IntegerType => 32
+      case ShortType => 16
+      case ByteType => 8
+      case other => throw new IllegalArgumentException(
+        s"hammingPairs fingerprint column '$fpCol' must be an integral type " +
+          s"(TINYINT/SMALLINT/INT/BIGINT), got ${other.sql}")
+    }
+    val isLong = bits == 64
     require(r >= 1 && r < bits, s"hamming radius $r outside [1, ${bits - 1}]")
     val p = r + 1
     val ranges = graft.plans.HammingBands.ranges(bits, p)
@@ -108,6 +121,14 @@ object LshBlocking {
       struct(lit(i).as("bi"),
         (shiftrightunsigned(col("h"), start) bitwiseAND mask).as("bv"))
     }
+    // sub-int fingerprints sign-extend when coerced for the bit ops; band
+    // values stay below the type width so bands are safe, but the XOR
+    // popcount would count the 16/24 phantom sign bits of a mixed-sign
+    // pair — mask the XOR back to the type's width
+    val xorBits = {
+      val raw = col("x.h").bitwiseXOR(col("y.h"))
+      if (bits < 32) raw.cast("int") bitwiseAND lit((1 << bits) - 1) else raw
+    }
     val bands = df.select(col(idCol).as("hid"), col(fpCol).as("h"))
       .select(col("hid"), col("h"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("hid"), col("h"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
@@ -115,7 +136,7 @@ object LshBlocking {
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col("x.hid") < col("y.hid"))
       .select(col("x.hid").as("id1"), col("y.hid").as("id2"),
-        bit_count(col("x.h").bitwiseXOR(col("y.h"))).cast("int").as("hamming"))
+        bit_count(xorBits).cast("int").as("hamming"))
       .where(col("hamming") <= r)
       .distinct()
   }

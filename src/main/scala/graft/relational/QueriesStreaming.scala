@@ -100,8 +100,13 @@ object QueriesStreaming {
           refCounts, drained, Seq("event_type"), 10)
       },
       Some {
-        val lnC = graft.functions.TextFunctions.lnPolySql("(ccnt+1) * (nr+10)")
-        val lnR = graft.functions.TextFunctions.lnPolySql("(rcnt+1) * (nc+10)")
+        // sum form ln(a)+ln(b)-ln(c)-ln(d), mirroring psiFromCounts: no
+        // count product that could wrap BIGINT or leave lnPoly's exact
+        // integer domain (ADVICE r8)
+        val lnA = graft.functions.TextFunctions.lnPolySql("ccnt+1")
+        val lnB = graft.functions.TextFunctions.lnPolySql("nr+10")
+        val lnC = graft.functions.TextFunctions.lnPolySql("rcnt+1")
+        val lnD = graft.functions.TextFunctions.lnPolySql("nc+10")
         s"""WITH r AS (SELECT event_type,
            |  CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS b,
            |  count(*) AS cnt FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
@@ -119,7 +124,7 @@ object QueriesStreaming {
            |  sum(ccnt) OVER (PARTITION BY event_type) AS nc FROM j),
            |q AS (SELECT event_type, nr, nc,
            |  CAST(floor((((ccnt+1.0)/(nc+10)) - ((rcnt+1.0)/(nr+10)))
-           |    * ($lnC - $lnR) * 100000000.0 + 0.5) AS BIGINT) AS q8
+           |    * ($lnA + $lnB - $lnC - $lnD) * 100000000.0 + 0.5) AS BIGINT) AS q8
            |  FROM t)
            |SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
            |  CAST(max(nc) AS BIGINT) AS n_cur,

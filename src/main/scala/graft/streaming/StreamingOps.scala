@@ -28,16 +28,28 @@ object StreamingOps {
     * interval join instead. Key/time/payload are integral (times are the
     * repo's ns-long convention; quantize FP payloads first). Rows with no
     * at-or-before match get null. */
+  /** Hard cap on dimension rows collected to the driver — the
+    * [[graft.operators.ScatteredInterp.MaxDriverPoints]] house pattern:
+    * the broadcast-sized contract is ENFORCED, not assumed, so an
+    * unexpectedly large dimension fails loudly instead of OOMing the
+    * driver (r8 verdict item 4). */
+  val MaxDimRows: Int = 2000000
+
   def asOfEnrich(stream: DataFrame, dim: DataFrame,
                  keyCol: String, tsCol: String,
                  dimKey: String, dimTs: String, dimPayload: String,
                  outCol: String): DataFrame = {
     val s = dim.sparkSession
     import s.implicits._
-    val byKey: Map[Long, (Array[Long], Array[Long])] = dim
+    val dimRows = dim
       .select(col(dimKey).cast("long"), col(dimTs).cast("long"),
         col(dimPayload).cast("long"))
-      .as[(Long, Long, Long)].collect()
+      .as[(Long, Long, Long)].limit(MaxDimRows + 1).collect()
+    require(dimRows.length <= MaxDimRows,
+      s"asOfEnrich dimension exceeds $MaxDimRows rows — it is collected and " +
+        "broadcast by contract; use a stream-stream interval join for a " +
+        "dimension this size")
+    val byKey: Map[Long, (Array[Long], Array[Long])] = dimRows
       .groupBy(_._1).map { case (k, rs) =>
         // sorted by (ts, payload): the rightmost index with ts <= t is the
         // latest row, and among equal-ts rows the max payload — exactly

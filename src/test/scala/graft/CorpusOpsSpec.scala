@@ -29,6 +29,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r == Seq((1, 4L, 10000L), (2, 1L, 2500L), (3, 1L, 2500L)), s"got $r")
   }
 
+  test("funnel with an empty first stage reports conv 0, not null") {
+    // ADVICE r8: integer div-by-zero on n_first would null conv_e4
+    val ev = Seq((1L, "click", 20L), (2L, "purchase", 30L))
+      .toDF("user_id", "event_type", "ts")
+    val r = Graft.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowNs = 100L)
+      .orderBy("stage").as[(Int, Long, Long)].collect().toSeq
+    assert(r == Seq((1, 0L, 0L), (2, 0L, 0L), (3, 0L, 0L)), s"got $r")
+  }
+
   test("retentionCohorts counts distinct active users per offset") {
     // bucket = 10 ns; u1 first at bucket 1, active 1,2,2(dup); u2 first at
     // bucket 1, active 1 only; u3 first at bucket 2, active 2,5 (offset 3)

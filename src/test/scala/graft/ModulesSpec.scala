@@ -113,6 +113,19 @@ class StreamingSpec extends AnyFunSuite {
       s"diff=${viaEnrich.collect { case (k, v) if viaJoin(k) != v => (k, v, viaJoin(k)) }.take(5)}")
     assert(viaEnrich.values.exists(_.isDefined) && viaEnrich.values.exists(_.isEmpty))
   }
+
+  test("asOfEnrich rejects a dimension over the broadcast cap") {
+    // broadcast-sized is a CONTRACT: over MaxDimRows the collect must fail
+    // loudly (the ScatteredInterp.MaxDriverPoints house pattern), not OOM
+    // the driver
+    val stream = Seq((1L, 1L, 1L)).toDF("id", "k", "t")
+    val big = spark.range(StreamingOps.MaxDimRows + 1L)
+      .selectExpr("id AS k", "id AS rt", "id AS pay")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.asOfEnrich(stream, big, "k", "t", "k", "rt", "pay", "m")
+    }
+    assert(e.getMessage.contains("interval join"))
+  }
 }
 class MultimodalSpec extends AnyFunSuite {
   private implicit val spark: org.apache.spark.sql.SparkSession = SharedSpark.spark

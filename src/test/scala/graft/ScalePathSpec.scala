@@ -352,6 +352,39 @@ class LshBlockingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
   }
+
+  test("hammingPairs sizes bands to short/byte widths and rejects non-integral types") {
+    // ADVICE r8: a 16-bit fingerprint typed SMALLINT must band over 16
+    // bits (a 32-bit banding would make the upper bands constant-zero,
+    // colliding ALL rows) and the popcount must ignore sign-extension
+    // phantom bits for mixed-sign pairs
+    val rnd = new scala.util.Random(13)
+    val sx = (1 to 120).map(i => (i.toLong, rnd.nextInt(1 << 16).toShort))
+    for (r <- Seq(1, 3)) {
+      val expected = (for {
+        (i, x) <- sx; (jj, y) <- sx
+        if i < jj && java.lang.Integer.bitCount((x ^ y) & 0xffff) <= r
+      } yield (i, jj, java.lang.Integer.bitCount((x ^ y) & 0xffff))).sorted
+      val got = LshBlocking.hammingPairs(sx.toDF("id", "fp"), "id", "fp", r)
+        .as[(Long, Long, Int)].collect().sorted
+      assert(got.toSeq == expected, s"short fingerprints, r=$r")
+      assert(expected.nonEmpty)
+    }
+    assert(sx.exists(_._2 < 0) && sx.exists(_._2 >= 0), "need mixed-sign shorts")
+    val bx = (1 to 80).map(i => (i.toLong, rnd.nextInt(256).toByte))
+    val expectedB = (for {
+      (i, x) <- bx; (jj, y) <- bx
+      if i < jj && java.lang.Integer.bitCount((x ^ y) & 0xff) <= 2
+    } yield (i, jj, java.lang.Integer.bitCount((x ^ y) & 0xff))).sorted
+    val gotB = LshBlocking.hammingPairs(bx.toDF("id", "fp"), "id", "fp", 2)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(gotB.toSeq == expectedB, "byte fingerprints, r=2")
+    val e = intercept[IllegalArgumentException] {
+      LshBlocking.hammingPairs(
+        Seq((1L, "ab")).toDF("id", "fp"), "id", "fp", 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
 
 class TiledScatteredInterpSpec extends AnyFunSuite {
