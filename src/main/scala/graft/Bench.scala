@@ -74,7 +74,10 @@ object Bench {
       case Some(sel) => SparkEntry.all.filter(q => sel(q.name))
       case None => SparkEntry.all
     }
-    val results = if (onlyOps.isDefined) Seq.empty[(String, Double)] else queryList.map { q =>
+    // explicit BENCH_QUERIES wins over BENCH_ONLY's query-sweep skip, so
+    // "just these queries, no ops" is expressible for local iteration
+    val results = if (onlyOps.isDefined && onlyQueries.isEmpty) Seq.empty[(String, Double)]
+      else queryList.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }

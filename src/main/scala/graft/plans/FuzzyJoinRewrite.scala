@@ -131,12 +131,39 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with JoinRewriteSupport {
           val projL = Project(l.output ++ Seq(lrAttr, liAttr, lpAttr, lSubAlias), filtL)
           // ---- blocked join: equi keys + canonical witness + residual ----
           val witness = graft.exprs.PassJoinWitness(ls, rs, liAttr, lpAttr, d)
+          // swap the residual to the THRESHOLD levenshtein (early-exit at
+          // d, O(d·len) per candidate instead of O(len²)): on low-entropy
+          // corpora one segment bucket can collide a large slice of both
+          // sides, and the residual dominates the join's candidate loop
+          val preds2 = preds.map { pr =>
+            val m = pr match {
+              case LessThanOrEqual(lv, bound)    => levOf(lv, bound, strict = false)
+              case GreaterThanOrEqual(bound, lv) => levOf(lv, bound, strict = false)
+              case LessThan(lv, bound)           => levOf(lv, bound, strict = true)
+              case GreaterThan(bound, lv)        => levOf(lv, bound, strict = true)
+              case _                             => None
+            }
+            m match {
+              case Some((a, b, dd)) =>
+                GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(dd))), Literal(0))
+              case None => pr
+            }
+          }
           val newCond = (Seq(
             EqualTo(lrAttr, rLenAlias.toAttribute),
             EqualTo(liAttr, riAttr),
             EqualTo(lSubAlias.toAttribute, rSegAlias.toAttribute),
-            witness) ++ preds).reduce(And)
-          Project(j.output, Join(projL, projR, Inner, Some(newCond), hint))
+            witness) ++ preds2).reduce(And)
+          // round-robin both sides to the configured parallelism: either
+          // side can end up as the streamed side of a broadcast join, and
+          // a single-file source (or an AQE-coalesced tiny frame) would
+          // run the whole candidate loop — which on low-entropy corpora is
+          // far larger than the frame's bytes suggest — on one task (the
+          // FuzzyJoin operator applies the same guard)
+          val par = org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions
+          val parL = Repartition(math.max(8, par), shuffle = true, projL)
+          val parR = Repartition(math.max(8, par), shuffle = true, projR)
+          Project(j.output, Join(parL, parR, Inner, Some(newCond), hint))
         case _ => j
       }
   }
