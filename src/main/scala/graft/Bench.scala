@@ -24,14 +24,7 @@ object Bench {
     * of provisioning local SSDs for shuffle on a real cluster. Falls back
     * to the default local dir when shm is absent or under 32 GiB free;
     * the choice is stamped into the artifact either way. */
-  def shmLocalDir(): Option[String] = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > 32L * (1L << 30)) {
-      val d = new java.io.File(shm, "graft-shuffle")
-      d.mkdirs()
-      if (d.isDirectory && d.canWrite) Some(d.getAbsolutePath) else None
-    } else None
-  }
+  def shmLocalDir(): Option[String] = graft.core.ScratchDir.shm("graft-shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -159,6 +159,7 @@ object StreamingOps {
         max("max_value").as("max_value"), max("last_ts").as("last_ts"))
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val jvmToken = java.util.UUID.randomUUID().toString.take(8)
 
   /** Drains a streaming DataFrame with `Trigger.AvailableNow` into a memory
     * sink and returns the result as a batch DataFrame. This is the
@@ -185,18 +186,47 @@ object StreamingOps {
     // override applies only while the drain runs (the partition count is
     // pinned into the query's checkpoint at first batch).
     val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // complete/update drains emit their full/touched result in the data
+    // batch itself; the trailing no-data micro-batch exists to advance the
+    // watermark so APPEND-mode aggregations can finalize — skip it for the
+    // modes that don't need it (one full state round saved per drain)
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    if (outputMode != "append")
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
-      val q = stream.writeStream
+      val w0 = stream.writeStream
         .format("memory")
         .queryName(table)
         .outputMode(outputMode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // memory-sink drains are a verification harness: their checkpoint is
+      // throwaway, so keep the per-batch offset/commit/state-delta writes
+      // on RAM-backed scratch when available (each micro-batch fsyncs
+      // several small files; on ext4 that is the drain's floor). The path
+      // carries a per-JVM token — a stale checkpoint from a previous run
+      // would otherwise be RESUMED (offsets committed, nothing processed,
+      // silently empty results) — and is deleted after the drain. A real
+      // sink passes its own durable checkpointLocation and never hits this.
+      val ckpt = graft.core.ScratchDir.shm("graft-ckpt").map(d => s"$d/$jvmToken/$table")
+      val q = ckpt.fold(w0)(c => w0.option("checkpointLocation", c)).start()
       q.awaitTermination()
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
-      case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      ckpt.foreach { c =>
+        try {
+          val root = java.nio.file.Paths.get(c)
+          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
     }
     spark.table(table)
   }
