@@ -175,8 +175,8 @@ object QueriesGrid {
   // broadcast path) and q_interp2d_tiled (per-tile executor
   // triangulation): brute-force O(n^3) circumcircle-empty Delaunay in
   // SQL + barycentric lerp, fill -1 outside the hull
-  private val interp2dOracleSql: String =
-    """WITH pts0 AS (SELECT user_id % 5 AS gi, event_id % 5 AS gj,
+  private def interp2dOracle(nq: Int, step: String): String =
+    s"""WITH pts0 AS (SELECT user_id % 5 AS gi, event_id % 5 AS gj,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
              |  FROM events GROUP BY user_id % 5, event_id % 5),
              |pts AS (SELECT row_number() OVER (ORDER BY gi, gj) AS id,
@@ -199,8 +199,8 @@ object QueriesGrid {
              |  WHERE NOT EXISTS (SELECT 1 FROM pts p WHERE p.id NOT IN (t.ia, t.ib, t.ic)
              |    AND (p.x - t.ux)*(p.x - t.ux) + (p.y - t.uy)*(p.y - t.uy) < t.rr)),
              |q AS (SELECT r1.qi AS qi, r2.qj AS qj,
-             |  r1.qi * 1.1 + 0.05 AS qx, r2.qj * 1.1 + 0.05 AS qy
-             |  FROM range(12) r1(qi) CROSS JOIN range(12) r2(qj)),
+             |  r1.qi * $step + 0.05 AS qx, r2.qj * $step + 0.05 AS qy
+             |  FROM range($nq) r1(qi) CROSS JOIN range($nq) r2(qj)),
              |qa AS (SELECT q.qi, q.qj, t.va, t.vb, t.vc,
              |  ((t.b_y - t.cy) * (q.qx - t.cx) + (t.cx - t.bx) * (q.qy - t.cy)) / t.det AS w0,
              |  ((t.cy - t.ay) * (q.qx - t.cx) + (t.ax - t.cx) * (q.qy - t.cy)) / t.det AS w1
@@ -1021,7 +1021,7 @@ object QueriesGrid {
         graft.operators.ScatteredInterp(pts, "px", "py", "v", q, "qx", "qy", "val", fill = -1.0)
           .select(col("qi"), col("qj"), round(col("val"), 4).as("val"))
       },
-      Some(interp2dOracleSql)),
+      Some(interp2dOracle(12, "1.1"))),
 
     // same surface + queries through the TILED path (per-tile executor
     // triangulation with halo replication — the no-driver-cap plan for
@@ -1046,7 +1046,34 @@ object QueriesGrid {
             q, "qid", "qx", "qy", "val", fill = -1.0, tileSize = 4.0, halo = 16.0)
           .select(col("qi"), col("qj"), round(col("val"), 4).as("val"))
       },
-      Some(interp2dOracleSql)),
+      Some(interp2dOracle(12, "1.1"))),
+
+    // the tiled scattered-interp path at 10x the query count (38x38 =
+    // 1,444 queries over the same 25-point Delaunay — the big-volume
+    // precedent of q_tiled_erosion3d_big / q_zoom3d_big_dist applied to
+    // the interpolation family, r8 verdict item 8): finer query step so
+    // queries land across MANY 4.0-wide tiles, each tile triangulating
+    // from its haloed point neighborhood on the executor.
+    Q("q_interp2d_tiled_big",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val pts = T(s, dir, "events")
+          .groupBy((col("user_id") % 5).as("gi"), (col("event_id") % 5).as("gj"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+          .select((col("gi") * lit(3.0) + (col("v") - floor(col("v")))).as("px"),
+                  (col("gj") * lit(3.0) + (col("v") * lit(7.0) - floor(col("v") * lit(7.0)))).as("py"),
+                  col("v"))
+        val nq = 38
+        val q = s.range(nq.toLong).select(col("id").as("qi"))
+          .crossJoin(s.range(nq.toLong).select(col("id").as("qj")))
+          .select(col("qi"), col("qj"), (col("qi") * lit(nq) + col("qj")).as("qid"),
+            (col("qi") * lit(0.35) + lit(0.05)).as("qx"),
+            (col("qj") * lit(0.35) + lit(0.05)).as("qy"))
+        graft.operators.TiledScatteredInterp(pts, "px", "py", "v",
+            q, "qid", "qx", "qy", "val", fill = -1.0, tileSize = 4.0, halo = 16.0)
+          .select(col("qi"), col("qj"), round(col("val"), 4).as("val"))
+      },
+      Some(interp2dOracle(38, "0.35"))),
 
     // connectivity-2 (8-neighbor) components via a recursive-CTE transitive
     // closure: each true cell reaches every cell of its component, the
