@@ -167,24 +167,8 @@ object Bench {
     // idle ceiling, not to `cpus`; `agg_rate` (iters/µs, frequency-honest)
     // is recorded alongside so rounds can normalize per-op numbers
     // without the turbo-biased ratio.
-    def effectiveCores(threads: Int): (Double, Double, Double) = {
-      def burn(iters: Long): Double = {
-        var x = 1.0; var i = 0L
-        while (i < iters) { x = (x * 1.0000001 + 1e-9) % 10.0; i += 1 }
-        x
-      }
-      val iters = 30000000L
-      burn(iters / 3) // JIT warmup
-      val t1 = System.nanoTime(); burn(iters)
-      val singleRate = iters.toDouble / (System.nanoTime() - t1)
-      val ts = Array.tabulate(threads)(_ => new Thread(new Runnable {
-        def run(): Unit = { burn(iters) }
-      }))
-      val t2 = System.nanoTime()
-      ts.foreach(_.start()); ts.foreach(_.join())
-      val aggRate = threads * iters.toDouble / (System.nanoTime() - t2)
-      (aggRate / singleRate, singleRate, aggRate)
-    }
+    def effectiveCores(threads: Int): (Double, Double, Double) =
+      graft.core.HostProbe.effectiveCores(threads)
     // quiet-host gate (r5 verdict: kernel dips were host-load artifacts,
     // eff_cores 19.5/32): probe before the op benches and, when the host is
     // visibly loaded, wait-and-reprobe a bounded number of times so the
@@ -430,9 +414,10 @@ object Bench {
       // the build.sbt G1HeapRegionSize flag does not reach the driver's
       // invocation). VolumeZoom.strips emits ≤1 MiB row strips — never
       // humongous at any heap ≥ 4 GiB — same shuffle plan, same per-cell
-      // math (VolumeZoomSpec pins stitched bit-equality). One settle GC
-      // stays as inter-section hygiene.
-      System.gc(); Thread.sleep(300)
+      // math (VolumeZoomSpec pins stitched bit-equality). Two settle GCs
+      // stay as inter-section hygiene; the reps array records any
+      // remaining slow mode instead of hiding it.
+      System.gc(); Thread.sleep(400); System.gc(); Thread.sleep(400)
       val volSlices512 = spark.range(512).select(
           lit(0L).as("id"), col("id").cast("int").as("sid"),
           sliceGen(col("id"), lit(262144)).as("data"))

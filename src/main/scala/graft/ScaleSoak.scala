@@ -379,15 +379,43 @@ object ScaleSoak {
       .filter { case (name, _) => onlySoak.isEmpty || onlySoak(name) }
     // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
     pipelines.foreach { case (_, run) => run(1) }
+    // host-weather honesty (the Bench eff_cores convention, extended to
+    // the soak after an r9 session recorded the SAME zoom x30 at 16 s /
+    // 27 s / 160 s across three runs — loadavg 13+ from outside the
+    // container, zero local processes): probe effective cores BEFORE each
+    // pipeline's sweep and stamp it next to the tail ratios, so a
+    // superlinear tail can be read against the load it actually ran
+    // under. quiet-wait like Bench, bounded.
+    val quietTarget = cpus.toInt * 0.62
+    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAITS", "4").toInt
     val parts = pipelines.map { case (name, run) =>
-      val pts = scales.map { n => n -> timed(run(n)) }
-      val ptJson = pts.map { case (n, (sec, r, w, rows, gc, spill)) =>
-        s""""x$n":{"sec":${fmt(sec)},"shuffle_read":$r,"shuffle_write":$w,"rows":$rows,"gc_ms":$gc,"spill_bytes":$spill}"""
+      var eff = graft.core.HostProbe.effectiveCores(cpus.toInt)._1
+      var waits = 0
+      while (eff < quietTarget && waits < maxWaits) {
+        Thread.sleep(20000)
+        eff = graft.core.HostProbe.effectiveCores(cpus.toInt)._1
+        waits += 1
       }
-      val (_, (sA, rA, wA, _, _, _)) = pts(1)
-      val (_, (sB, rB, wB, _, _, _)) = pts(2)
+      // best-of-2 per scale point, BOTH reps recorded: an r9 session
+      // measured the SAME x30 zoom at 68 / 18.6 / 15.8 / 4.5 s on
+      // consecutive in-session reps (codegen/JIT/heap-growth warm-up
+      // cliff, GC 6.6 s -> 0.1 s) — a single sample conflates the warm-up
+      // mode with the scaling behavior the tail ratio is supposed to
+      // measure. Min-of-2 is the same repeat-best convention the op bench
+      // uses; the rep pair makes any residual slow mode visible.
+      val pts = scales.map { n =>
+        val a = timed(run(n)); val b = timed(run(n))
+        n -> (if (b._1 < a._1) (b, a._1) else (a, b._1))
+      }
+      val effPost = graft.core.HostProbe.effectiveCores(cpus.toInt)._1
+      val ptJson = pts.map { case (n, ((sec, r, w, rows, gc, spill), other)) =>
+        s""""x$n":{"sec":${fmt(sec)},"sec_other_rep":${fmt(other)},"shuffle_read":$r,"shuffle_write":$w,"rows":$rows,"gc_ms":$gc,"spill_bytes":$spill}"""
+      }
+      val (_, ((sA, rA, wA, _, _, _), _)) = pts(1)
+      val (_, ((sB, rB, wB, _, _, _), _)) = pts(2)
       val tail =
-        s""""tail_time_ratio":${fmt(sB / sA)},"tail_shuffle_ratio":${fmt((rB + wB).toDouble / math.max(1L, rA + wA))}"""
+        s""""tail_time_ratio":${fmt(sB / sA)},"tail_shuffle_ratio":${fmt((rB + wB).toDouble / math.max(1L, rA + wA))},""" +
+        s""""eff_pre":${fmt(eff)},"eff_post":${fmt(effPost)},"quiet_waits":$waits"""
       s""""$name":{${(ptJson :+ tail).mkString(",")}}"""
     }
     out ++= s"""{"sf":"$sfDir","scales":[1,10,30],"cores":$cpus,${parts.mkString(",")}}"""
