@@ -4,15 +4,16 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale soak: runs the three 100 TB-path pipelines whose scaling story was
-  * design-verified but (through round 5) only ever executed at sf0.1 —
-  * LSH near-dup candidates, 3-D halo-exchange erosion, and the two-phase
-  * prefix-scan sequence packing — at 1× and 10× the sf input, recording
-  * wall time and total shuffle read/write bytes per run. The claim under
-  * test is SUB-QUADRATIC growth: a banded/capped candidate join, an
-  * O(surface) halo exchange, and an O(partials) scan should all scale
-  * ~linearly in input size; an all-pairs or O(volume) regression would show
-  * up as a ≥100× blow-up at 10×.
+/** Scale soak: runs the 100 TB-path pipelines (15 as of r9 — LSH near-dup,
+  * prefix-scan packing, halo-exchange erosion, striped volume zoom,
+  * SemDeDup, k-means, span dedup, gap fill, sparse cosine, interval join,
+  * PassJoin, IVF-PQ, hamming join, distributed 3-D EDT, distributed
+  * label-CC) at 1×/10×/30× the sf input, recording wall time and total
+  * shuffle read/write bytes per run. The claim under test is SUB-QUADRATIC
+  * growth: banded/capped candidate joins, O(surface) halo exchanges, and
+  * O(partials) scans should all scale ~linearly in input size; an
+  * all-pairs or O(volume²) regression would show up as a blown-out
+  * x30/x10 tail ratio (linear = 3.0).
   *
   * The 10× corpus is the sf documents table replicated with re-keyed ids
   * and a per-copy text suffix (so minhash/banding work is genuinely 10×
@@ -129,6 +130,40 @@ object ScaleSoak {
         .as[graft.operators.TiledStencil.Tile3]
       graft.operators.TiledStencil.erode3(tiles, 64, Array(4 * n, 4, 4))(spark)
         .toDF().count()
+    }
+
+    /** Distributed 3-D EDT at slab scale: per-voxel rows, axis 0 is the
+      * scale axis (lines grow n×, the (j,k) group count stays 64² — the
+      * reference's 100 TB slab shape). ~1/19 of voxels are background
+      * seeds, so every separable line still runs a full envelope scan.
+      * Three O(volume) shuffles (one per axis) — linear by design. */
+    def edtRun(n: Int): Long = {
+      val d = 64
+      val vox = spark.range(d.toLong * n * d * d).select(
+        (col("id") / (d * d)).as("i"),
+        ((col("id") / d) % d).as("j"),
+        (col("id") % d).as("k"),
+        (((col("id") * 2654435761L) % 19) =!= 0).as("mask"))
+      graft.operators.DistributedEdt.apply3(vox).count()
+    }
+
+    /** Distributed connected-components labeling over 64³ tiles, scale
+      * axis 0. The 80%-density tileGen mask makes one volume-spanning
+      * giant component — worst case for cross-tile merging: border-graph
+      * diameter grows with n, so pointer doubling pays its log(n) rounds
+      * while the per-pixel work stays O(volume). Shuffle should stay
+      * ~linear (localize + densify joins dominate; the face exchange is
+      * O(surface)). */
+    def labelRun(n: Int): Long = {
+      import spark.implicits._
+      val tiles = spark.range(8L * n).select(
+          lit(0L).as("id"),
+          (col("id") / 4).cast("int").as("ti"),
+          ((col("id") / 2) % 2).cast("int").as("tj"),
+          (col("id") % 2).cast("int").as("tk"),
+          tileGen(col("id")).as("data"))
+        .as[graft.operators.TiledStencil.Tile3]
+      graft.operators.DistributedLabel.apply3(tiles, 64, Array(2 * n, 2, 2))(spark).count()
     }
 
     val sliceGen = udf { (id: Long) =>
@@ -375,7 +410,8 @@ object ScaleSoak {
       ("volume_zoom3d", zoomRun), ("semdedup", semdedupRun), ("kmeans_train", kmeansRun),
       ("remove_dup_spans", spanRun), ("gap_fill", gapRun),
       ("sparse_cosine", sparseRun), ("interval_join", intervalRun),
-      ("fuzzy_join", fuzzyRun), ("ivfpq", ivfpqRun), ("hamming_join", hammingRun))
+      ("fuzzy_join", fuzzyRun), ("ivfpq", ivfpqRun), ("hamming_join", hammingRun),
+      ("edt3d", edtRun), ("label3d_cc", labelRun))
       .filter { case (name, _) => onlySoak.isEmpty || onlySoak(name) }
     // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
     pipelines.foreach { case (_, run) => run(1) }
