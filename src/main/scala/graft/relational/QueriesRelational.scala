@@ -46,7 +46,13 @@ object QueriesRelational {
     Q("q_bucketed_join",
       (s, dir) => {
         val joined = SharedInputs(s, dir, "bucketedJoin") {
-          val tag = "b" + math.abs(dir.hashCode).toString
+          // tag carries the JVM name too: the table CATALOG is per-session,
+          // but the tmpdir PATH is host-shared — two concurrent harness JVMs
+          // (Verify + test suite) racing one path corrupts both scans, the
+          // same failure class fixed for q_source_roundtrip above
+          val jvmTag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+            .replaceAll("[^A-Za-z0-9]", "_")
+          val tag = "b" + math.abs(dir.hashCode).toString + "_" + jvmTag
           val (to, tl) = (s"g_orders_$tag", s"g_lineitem_$tag")
           T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
             .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -1549,7 +1555,12 @@ object QueriesRelational {
     // verified property.
     Q("q_source_roundtrip",
       (s, dir) => {
-        val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_roundtrip").getPath
+        // per-JVM scratch: a fixed path raced when two harnesses (e.g. a
+        // Verify run and the test suite) exercised this gate concurrently —
+        // one JVM's overwrite deleted files the other's scan had listed
+        val jvmTag = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_roundtrip_$jvmTag").getPath
         val nation = T(s, dir, "nation")
         nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$base/csv")
         nation.coalesce(1).write.mode("overwrite").json(s"$base/json")
