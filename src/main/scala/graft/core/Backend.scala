@@ -47,8 +47,14 @@ object Backend {
   /** The `normalize_num_threads` analog (/root/reference/imops/utils.py:40-92):
     * clamp a requested parallelism to the session's capability; negative n
     * means "all cores + n + 1" like the reference's negative num_threads. */
-  def normalizeParallelism(requested: Int, spark: SparkSession): Int = {
-    val avail = spark.sparkContext.defaultParallelism
+  def normalizeParallelism(requested: Int, spark: SparkSession): Int =
+    clampParallelism(requested, spark.sparkContext.defaultParallelism)
+
+  /** The pure clamp rule behind [[normalizeParallelism]], exposed so the
+    * mapping itself is driver-gateable over a fixed (requested, avail)
+    * grid (`q_num_threads`) — the live-session form depends on the host's
+    * core count and cannot be replayed by an engine-independent oracle. */
+  def clampParallelism(requested: Int, avail: Int): Int = {
     val n = if (requested < 0) avail + requested + 1 else requested
     math.max(1, math.min(n, avail))
   }

@@ -1894,6 +1894,30 @@ object QueriesText {
               |${(0 until 2).map(k => s"${mhSql(k)} AS kernel_mh$k").mkString(", ")}
               |FROM documents""".stripMargin)),
 
+    // ---- normalize_num_threads (/root/reference/imops/utils.py:40-92) ----
+    // The clamp rule behind Backend.normalizeParallelism, gated over a
+    // fixed (requested, avail) grid: negative n means "all cores + n + 1"
+    // (the reference's negative num_threads convention), then clamp to
+    // [1, avail]. The Spark side evaluates the ACTUAL JVM function per grid
+    // cell; the oracle re-derives the rule independently in SQL — a
+    // cross-engine differential of the mapping itself. The live-session
+    // form (defaultParallelism feed) is pinned by ModulesSpec; it can't be
+    // driver-gated because the oracle can't observe the host's core count.
+    Q("q_num_threads",
+      (s, _) => {
+        import s.implicits._
+        val reqs = Seq(-64, -33, -32, -31, -8, -1, 0, 1, 2, 7, 8, 31, 32, 33, 64, 1000)
+        val avails = Seq(1, 2, 4, 8, 16, 32, 64, 96)
+        (for (r <- reqs; a <- avails)
+          yield (r, a, graft.core.Backend.clampParallelism(r, a)))
+          .toDF("req", "avail", "n_threads")
+      },
+      Some("""WITH r(req) AS (VALUES (-64),(-33),(-32),(-31),(-8),(-1),(0),(1),(2),(7),(8),(31),(32),(33),(64),(1000)),
+             |a(avail) AS (VALUES (1),(2),(4),(8),(16),(32),(64),(96))
+             |SELECT req, avail,
+             |GREATEST(1, LEAST(CASE WHEN req < 0 THEN avail + req + 1 ELSE req END, avail)) AS n_threads
+             |FROM r CROSS JOIN a""".stripMargin)),
+
     // ---- sketches & deterministic sampling (beyond-reference) ----
 
     // KMV distinct-count sketch per order status: k smallest distinct
