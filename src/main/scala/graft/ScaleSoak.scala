@@ -400,7 +400,15 @@ object ScaleSoak {
     // Quadratic behavior would show tail ratios near 9, linear near 3.
     val out = new StringBuilder
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val scales = Seq(1, 10, 30)
+    // SPARK_GRAFT_SOAK_SCALES=1,10,100 overrides the default sweep (e.g.
+    // an x100 linearity point on the dedup pipelines); the tail ratio is
+    // always computed from the LAST TWO points, with "linear" = the ratio
+    // of those scale factors (3.0 for the default 10→30).
+    val scales = sys.env.get("SPARK_GRAFT_SOAK_SCALES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 10, 30))
+    require(scales.size >= 2 && scales == scales.sorted && scales.distinct == scales,
+      s"SPARK_GRAFT_SOAK_SCALES must be >=2 strictly increasing ints, got $scales")
     // SPARK_GRAFT_SOAK_ONLY=name1,name2 runs a subset (local iteration on
     // one pipeline without paying for the other eight)
     val onlySoak = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
@@ -447,14 +455,14 @@ object ScaleSoak {
       val ptJson = pts.map { case (n, ((sec, r, w, rows, gc, spill), other)) =>
         s""""x$n":{"sec":${fmt(sec)},"sec_other_rep":${fmt(other)},"shuffle_read":$r,"shuffle_write":$w,"rows":$rows,"gc_ms":$gc,"spill_bytes":$spill}"""
       }
-      val (_, ((sA, rA, wA, _, _, _), _)) = pts(1)
-      val (_, ((sB, rB, wB, _, _, _), _)) = pts(2)
+      val (_, ((sA, rA, wA, _, _, _), _)) = pts(pts.size - 2)
+      val (_, ((sB, rB, wB, _, _, _), _)) = pts(pts.size - 1)
       val tail =
         s""""tail_time_ratio":${fmt(sB / sA)},"tail_shuffle_ratio":${fmt((rB + wB).toDouble / math.max(1L, rA + wA))},""" +
         s""""eff_pre":${fmt(eff)},"eff_post":${fmt(effPost)},"quiet_waits":$waits"""
       s""""$name":{${(ptJson :+ tail).mkString(",")}}"""
     }
-    out ++= s"""{"sf":"$sfDir","scales":[1,10,30],"cores":$cpus,${parts.mkString(",")}}"""
+    out ++= s"""{"sf":"$sfDir","scales":[${scales.mkString(",")}],"cores":$cpus,${parts.mkString(",")}}"""
     try {
       val soakOut = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r8.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(soakOut),
