@@ -268,6 +268,33 @@ object ScaleSoak {
       * back on doc_id — both linear in corpus size. The salted ×n corpus
       * keeps copies' gram sets disjoint, so the dup structure (and the
       * expected shuffle) grows n×, not n². */
+    /** Per-group cap at scale (the exprs.TopKAgg bounded-heap aggregate):
+      * shuffle should be O(groups·k) — FLAT in n, not linear — because
+      * map-side partials emit at most k entries per group per task.
+      * SPARK_GRAFT_CAP_WINDOW=1 swaps in the row_number window form for
+      * an A/B reading; measured r9: BOTH are flat (Spark 4 plans the
+      * rank filter as a partial WindowGroupLimit below the exchange), at
+      * x30 agg 526 KB / window 512 KB, times par — the aggregate's edge
+      * is streaming support and aggregate composability, not bytes. */
+    def capRun(n: Int): Long = {
+      // the payload carries the TEXT column — the capPerGroup use case is
+      // "cap each domain's share of the corpus", and the body riding along
+      // is what makes the window form's full-input shuffle expensive
+      val c = corpus(n).select(col("doc_id"),
+        (col("doc_id") % 37).cast("string").as("grp"), col("text"))
+      val out =
+        if (sys.env.get("SPARK_GRAFT_CAP_WINDOW").contains("1"))
+          graft.functions.SketchFunctions.capPerGroupWindow(c, Seq(col("grp")), col("doc_id"), 64)
+        else
+          graft.functions.SketchFunctions.capPerGroup(c, Seq(col("grp")), col("doc_id"), 64)
+      // consume the text column ABOVE the cap with an aggregate: a bare
+      // count() prunes text through the window, and a pushable predicate
+      // (length(text) >= 0) gets pushed BELOW it and pruned again — only a
+      // post-cap aggregate forces the document bodies through the
+      // exchange, which is what a real "cap each domain's share" keeps
+      out.select(sum(length(col("text"))).as("s")).head().getLong(0)
+    }
+
     def spanRun(n: Int): Long =
       // a bare count() lets Catalyst DROP the whole pipeline: the left join
       // on the grouped key preserves cardinality, so count folds to
@@ -419,7 +446,7 @@ object ScaleSoak {
       ("remove_dup_spans", spanRun), ("gap_fill", gapRun),
       ("sparse_cosine", sparseRun), ("interval_join", intervalRun),
       ("fuzzy_join", fuzzyRun), ("ivfpq", ivfpqRun), ("hamming_join", hammingRun),
-      ("edt3d", edtRun), ("label3d_cc", labelRun))
+      ("edt3d", edtRun), ("label3d_cc", labelRun), ("topk_per_group", capRun))
       .filter { case (name, _) => onlySoak.isEmpty || onlySoak(name) }
     // warmup: absorb codegen/JIT on the 1× shapes outside any timed run
     pipelines.foreach { case (_, run) => run(1) }

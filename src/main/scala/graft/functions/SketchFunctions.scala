@@ -71,12 +71,40 @@ object SketchFunctions {
     * survivors) and unbiased within the group (hash order is uniform).
     * One shuffle on the group key; the rank prunes executor state to
     * O(k) per group via the windowed top-k. */
-  def capPerGroup(df: DataFrame, groupCols: Seq[Column], key: Column, k: Int): DataFrame = {
+  def capPerGroup(df: DataFrame, groupCols: Seq[Column], key: Column, k: Int): DataFrame =
+    topKPerGroup(df, groupCols, hash60(key), key.cast("string"), k)
+
+  /** The window form capPerGroup used through r9, kept as the
+    * differential-test reference — semantically identical when (ord, tie)
+    * is a total order. NOTE (measured, r9): Spark 3.5+ plans the
+    * `row_number <= k` filter as a partial WindowGroupLimit below the
+    * exchange, so this form's shuffle is just as bounded as the
+    * aggregate's; the aggregate path wins on streaming support and
+    * single-pass composability, not shuffle bytes (see TopKAgg's doc). */
+  private[graft] def capPerGroupWindow(df: DataFrame, groupCols: Seq[Column], key: Column, k: Int): DataFrame = {
     val w = Window.partitionBy(groupCols: _*).orderBy(col("__caph"), key.cast("string"))
     df.withColumn("__caph", hash60(key))
       .withColumn("__capr", row_number().over(w))
       .where(col("__capr") <= k)
       .drop("__caph", "__capr")
+  }
+
+  /** At most k rows per group — the k smallest (ord, tie) — via the
+    * bounded-heap [[graft.exprs.TopKAgg]]: partial aggregation emits at
+    * most k entries per group per map task (exchange O(groups·k) — as
+    * bounded as Spark 3.5+'s WindowGroupLimit batch plan, but also
+    * streaming-capable and composable with sibling aggregates; see
+    * TopKAgg's doc for the measured comparison). ord must be BIGINT, tie
+    * STRING; (ord, tie) should totally order rows (ties at the k boundary
+    * keep an arbitrary representative, exactly like row_number with a
+    * non-unique ORDER BY). Output columns = the input's, in order; at
+    * most k rows per group. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], ord: Column, tie: Column, k: Int): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(groupCols: _*)
+      .agg(graft.exprs.TopKAgg.topK(ord, tie, payload, k).as("__tk"))
+      .select(explode(col("__tk")).as("__row"))
+      .select(df.columns.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Deterministic Bernoulli sample: keep rows whose key hashes under

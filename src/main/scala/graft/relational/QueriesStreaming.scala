@@ -526,6 +526,33 @@ object QueriesStreaming {
     // so the drain's final emission per key equals the batch aggregate the
     // oracle computes, under ANY micro-batch split (latestProfiles
     // collapses update-mode multi-batch emissions by monotone max).
+    // per-group top-k ON A STREAM — the capability the batch row_number
+    // window cannot provide (window functions are unsupported on streaming
+    // Datasets): exprs.TopKAgg's bounded heap rides the streaming
+    // aggregation with state bounded at groups·k forever. Complete-mode
+    // drain = the final heaps; explode back to rows post-drain. Ordering
+    // compares at us precision (the q_stream_state_agg convention — DuckDB
+    // reads TIMESTAMP(NANOS) truncated to us) and ties break on the
+    // user_id string, so payloads that tie are identical on both engines.
+    Q("q_stream_topk",
+      (s, dir) => {
+        val schema = T.rawSchema(s, dir, "events")
+        val src = T.normTs(s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+          .select(col("event_type"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+        val agg = src.groupBy(col("event_type"))
+          .agg(graft.exprs.TopKAgg.topK(col("ts_us"), col("user_id").cast("string"),
+            struct(col("user_id"), col("ts_us")), 5).as("tk"))
+        val drained = StreamingOps.runAvailableNow(agg, "q_stream_topk", outputMode = "complete")
+        drained.select(col("event_type"), explode(col("tk")).as("e"))
+          .select(col("event_type"), col("e.user_id").as("user_id"), col("e.ts_us").as("ts_us"))
+      },
+      Some("""WITH r AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+             |  row_number() OVER (PARTITION BY event_type
+             |    ORDER BY epoch_us(ts), CAST(user_id AS VARCHAR)) AS rn
+             |FROM events)
+             |SELECT event_type, user_id, ts_us FROM r WHERE rn <= 5""".stripMargin)),
+
     Q("q_stream_state_agg",
       (s, dir) => {
         val schema = T.rawSchema(s, dir, "events")

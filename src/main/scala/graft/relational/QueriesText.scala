@@ -2134,6 +2134,28 @@ object QueriesText {
              |FROM documents)
              |SELECT doc_id, lang FROM r WHERE rn <= 50""".stripMargin)),
 
+    // bounded-heap per-group top-k (exprs.TopKAgg): the 5 highest-price
+    // orders per order status through the O(groups·k)-shuffle aggregate
+    // (map-side partials emit <= k entries/group), oracle = the naive
+    // row_number window. Money ordered through the DECIMAL-cents
+    // convention (exact integer on both engines); descending = negated
+    // cents, ties broken by the orderkey string so the order is total.
+    Q("q_topk_group",
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.functions.SketchFunctions.topKPerGroup(
+          o, Seq(col("o_orderstatus")),
+          (col("o_totalprice").cast("decimal(12,2)") * -100).cast("long"),
+          col("o_orderkey").cast("string"), 5)
+      },
+      Some("""WITH r AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_orderstatus
+             |    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * -100 AS BIGINT),
+             |             CAST(o_orderkey AS VARCHAR)) AS rn
+             |FROM orders)
+             |SELECT o_orderkey, o_orderstatus, o_totalprice FROM r WHERE rn <= 5""".stripMargin)),
+
     Q("q_sample_bernoulli",
       (s, dir) => graft.functions.SketchFunctions.bernoulliSample(
           T(s, dir, "lineitem"),
