@@ -306,6 +306,15 @@ object Graft {
                       ps: Seq[Double]): org.apache.spark.sql.DataFrame =
     graft.functions.SketchFunctions.sampledQuantiles(df, key, value, k, groupCols, ps)
 
+  /** At most k rows per group, the k smallest (ord, tie) — the
+    * bounded-heap exprs.TopKAgg: works in streaming groupBys (state
+    * bounded at groups·k; window functions are unsupported there) and
+    * composes with sibling aggregates in one pass. See
+    * SketchFunctions.topKPerGroup for the determinism contract. */
+  def topKPerGroup(df: org.apache.spark.sql.DataFrame, groupCols: Seq[Column],
+                   ord: Column, tie: Column, k: Int): org.apache.spark.sql.DataFrame =
+    graft.functions.SketchFunctions.topKPerGroup(df, groupCols, ord, tie, k)
+
   /** Sequence packing: assign documents to fixed token-budget training
     * chunks (seq_id = floor(tokens-before / maxTokens) in id order) via the
     * distributed two-phase prefix scan (operators.PrefixSum) — never a
