@@ -2156,6 +2156,38 @@ object QueriesText {
              |FROM orders)
              |SELECT o_orderkey, o_orderstatus, o_totalprice FROM r WHERE rn <= 5""".stripMargin)),
 
+    // the single-pass composability TopKAgg exists for: per-group COUNT,
+    // money SUM, and top-3 order ids by price all in ONE hash aggregation
+    // (one shuffle; the window form needs a second exchange plus a join to
+    // attach the scalars). The oracle replays it as agg JOIN ranked rows.
+    Q("q_topk_composed",
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        o.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+            graft.exprs.TopKAgg.topK(
+              (col("o_totalprice").cast("decimal(12,2)") * -100).cast("long"),
+              col("o_orderkey").cast("string"), struct(col("o_orderkey")), 3).as("tk"))
+          .select(col("o_orderstatus"), col("n_orders"), col("sum_price"),
+            explode(col("tk")).as("e"))
+          .select(col("o_orderstatus"), col("n_orders"), col("sum_price"),
+            col("e.o_orderkey").as("top_orderkey"))
+      },
+      Some("""WITH a AS (SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+             |  (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS sum_price
+             |  FROM orders GROUP BY o_orderstatus),
+             |r AS (SELECT o_orderstatus, o_orderkey,
+             |  row_number() OVER (PARTITION BY o_orderstatus
+             |    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * -100 AS BIGINT),
+             |             CAST(o_orderkey AS VARCHAR)) AS rn
+             |  FROM orders)
+             |SELECT a.o_orderstatus, a.n_orders, a.sum_price,
+             |       r.o_orderkey AS top_orderkey
+             |FROM a JOIN r ON a.o_orderstatus = r.o_orderstatus
+             |WHERE r.rn <= 3""".stripMargin)),
+
     Q("q_sample_bernoulli",
       (s, dir) => graft.functions.SketchFunctions.bernoulliSample(
           T(s, dir, "lineitem"),
