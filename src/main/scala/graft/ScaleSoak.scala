@@ -4,11 +4,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale soak: runs the 100 TB-path pipelines (15 as of r9 — LSH near-dup,
+/** Scale soak: runs the 100 TB-path pipelines (16 as of r9 — LSH near-dup,
   * prefix-scan packing, halo-exchange erosion, striped volume zoom,
   * SemDeDup, k-means, span dedup, gap fill, sparse cosine, interval join,
   * PassJoin, IVF-PQ, hamming join, distributed 3-D EDT, distributed
-  * label-CC) at 1×/10×/30× the sf input, recording wall time and total
+  * label-CC, bounded-heap per-group top-k) at 1×/10×/30× the sf input
+  * (scales overridable via SPARK_GRAFT_SOAK_SCALES), recording wall time and total
   * shuffle read/write bytes per run. The claim under test is SUB-QUADRATIC
   * growth: banded/capped candidate joins, O(surface) halo exchanges, and
   * O(partials) scans should all scale ~linearly in input size; an

@@ -77,12 +77,14 @@ case class TopKAgg(ord: Expression, tie: Expression, payload: Expression, k: Int
     val o = ord.eval(input)
     if (o != null) {
       val ordL = o.asInstanceOf[Long]
-      val tieV = tie.eval(input).asInstanceOf[UTF8String]
-      val tieC = if (tieV == null) UTF8String.EMPTY_UTF8 else tieV.clone()
-      // cheap reject before paying the payload projection copy
-      if (q.size < k || TopKAgg.lt(ordL, tieC, q.peek())) {
+      val tieV0 = tie.eval(input).asInstanceOf[UTF8String]
+      val tieV = if (tieV0 == null) UTF8String.EMPTY_UTF8 else tieV0
+      // cheap reject on the (possibly buffer-backed) tie BEFORE paying any
+      // copy: once a heap is full, rejection is the overwhelmingly common
+      // case, and it needs no allocation at all
+      if (q.size < k || TopKAgg.lt(ordL, tieV, q.peek())) {
         scratchRow.update(0, payload.eval(input))
-        offer(q, TopKAgg.Entry(ordL, tieC, payloadProj(scratchRow).copy()))
+        offer(q, TopKAgg.Entry(ordL, tieV.clone(), payloadProj(scratchRow).copy()))
       }
     }
     q

@@ -72,7 +72,15 @@ object SketchFunctions {
     * One shuffle on the group key; the rank prunes executor state to
     * O(k) per group via the windowed top-k. */
   def capPerGroup(df: DataFrame, groupCols: Seq[Column], key: Column, k: Int): DataFrame =
-    topKPerGroup(df, groupCols, hash60(key), key.cast("string"), k)
+    // null keys keep the window form's behavior: a null hash sorted FIRST
+    // under Spark's asc-nulls-first, so null-key rows were retained
+    // preferentially — map them to (Long.MinValue, "") here (hash60 is
+    // 60-bit non-negative, so MinValue sorts strictly before every real
+    // key; the empty tie makes the survivors an arbitrary representative
+    // set among themselves, exactly like row_number over equal nulls)
+    topKPerGroup(df, groupCols,
+      coalesce(hash60(key), lit(Long.MinValue)),
+      coalesce(key.cast("string"), lit("")), k)
 
   /** The window form capPerGroup used through r9, kept as the
     * differential-test reference — semantically identical when (ord, tie)

@@ -526,6 +526,25 @@ object QueriesStreaming {
     // so the drain's final emission per key equals the batch aggregate the
     // oracle computes, under ANY micro-batch split (latestProfiles
     // collapses update-mode multi-batch emissions by monotone max).
+    Q("q_stream_state_agg",
+      (s, dir) => {
+        val schema = T.rawSchema(s, dir, "events")
+        val src = T.normTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val profiles = StreamingOps.statefulUserAgg(src)
+        val drained = StreamingOps.runAvailableNow(
+          profiles, "q_stream_state_agg", outputMode = "update")
+        // last_ts compares at us precision: DuckDB reads TIMESTAMP(NANOS)
+        // truncated to its us-native TIMESTAMP, Spark keeps the full ns
+        StreamingOps.latestProfiles(drained)
+          .select(col("user_id"), col("n_events"), col("n_purchases"),
+            col("max_value"), expr("last_ts DIV 1000").as("last_ts_us"))
+      },
+      Some("""SELECT user_id, count(*)::BIGINT AS n_events,
+             |  count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS n_purchases,
+             |  max(value) AS max_value, max(epoch_us(ts))::BIGINT AS last_ts_us
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // per-group top-k ON A STREAM — the capability the batch row_number
     // window cannot provide (window functions are unsupported on streaming
     // Datasets): exprs.TopKAgg's bounded heap rides the streaming
@@ -551,25 +570,6 @@ object QueriesStreaming {
              |  row_number() OVER (PARTITION BY event_type
              |    ORDER BY epoch_us(ts), CAST(user_id AS VARCHAR)) AS rn
              |FROM events)
-             |SELECT event_type, user_id, ts_us FROM r WHERE rn <= 5""".stripMargin)),
-
-    Q("q_stream_state_agg",
-      (s, dir) => {
-        val schema = T.rawSchema(s, dir, "events")
-        val src = T.normTs(s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
-        val profiles = StreamingOps.statefulUserAgg(src)
-        val drained = StreamingOps.runAvailableNow(
-          profiles, "q_stream_state_agg", outputMode = "update")
-        // last_ts compares at us precision: DuckDB reads TIMESTAMP(NANOS)
-        // truncated to its us-native TIMESTAMP, Spark keeps the full ns
-        StreamingOps.latestProfiles(drained)
-          .select(col("user_id"), col("n_events"), col("n_purchases"),
-            col("max_value"), expr("last_ts DIV 1000").as("last_ts_us"))
-      },
-      Some("""SELECT user_id, count(*)::BIGINT AS n_events,
-             |  count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS n_purchases,
-             |  max(value) AS max_value, max(epoch_us(ts))::BIGINT AS last_ts_us
-             |FROM events GROUP BY user_id""".stripMargin))
+             |SELECT event_type, user_id, ts_us FROM r WHERE rn <= 5""".stripMargin))
   )
 }

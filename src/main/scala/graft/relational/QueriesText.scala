@@ -2166,24 +2166,27 @@ object QueriesText {
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         o.groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+            // exact-integer cents (the hashed-value convention): the
+            // DECIMAL sum scaled to BIGINT never takes the engine-dependent
+            // DECIMAL->DOUBLE conversion past 2^53
+            (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("sum_cents"),
             graft.exprs.TopKAgg.topK(
               (col("o_totalprice").cast("decimal(12,2)") * -100).cast("long"),
               col("o_orderkey").cast("string"), struct(col("o_orderkey")), 3).as("tk"))
-          .select(col("o_orderstatus"), col("n_orders"), col("sum_price"),
+          .select(col("o_orderstatus"), col("n_orders"), col("sum_cents"),
             explode(col("tk")).as("e"))
-          .select(col("o_orderstatus"), col("n_orders"), col("sum_price"),
+          .select(col("o_orderstatus"), col("n_orders"), col("sum_cents"),
             col("e.o_orderkey").as("top_orderkey"))
       },
       Some("""WITH a AS (SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
-             |  (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS sum_price
+             |  (SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)::BIGINT AS sum_cents
              |  FROM orders GROUP BY o_orderstatus),
              |r AS (SELECT o_orderstatus, o_orderkey,
              |  row_number() OVER (PARTITION BY o_orderstatus
              |    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * -100 AS BIGINT),
              |             CAST(o_orderkey AS VARCHAR)) AS rn
              |  FROM orders)
-             |SELECT a.o_orderstatus, a.n_orders, a.sum_price,
+             |SELECT a.o_orderstatus, a.n_orders, a.sum_cents,
              |       r.o_orderkey AS top_orderkey
              |FROM a JOIN r ON a.o_orderstatus = r.o_orderstatus
              |WHERE r.rn <= 3""".stripMargin)),

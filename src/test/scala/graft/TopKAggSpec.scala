@@ -72,6 +72,23 @@ class TopKAggSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("capPerGroup keeps null-key rows preferentially, like the window form") {
+    // the window form sorted the null hash FIRST (asc-nulls-first), so
+    // null-key rows were retained ahead of every real key — the aggregate
+    // path maps them to (Long.MinValue, "") to preserve that. With m >= k
+    // null-key rows per group, ALL survivors are null-key on both paths.
+    val df = (0 until 30).map { i =>
+      val g = s"g${i % 2}"
+      if (i < 10) (g, null.asInstanceOf[String], i) else (g, s"key$i", i)
+    }.toDF("g", "key", "payload").repartition(4)
+    val a = SketchFunctions.capPerGroup(df, Seq(col("g")), col("key"), 4)
+      .select("key").collect().map(_.isNullAt(0))
+    val b = SketchFunctions.capPerGroupWindow(df, Seq(col("g")), col("key"), 4)
+      .select("key").collect().map(_.isNullAt(0))
+    assert(a.length == 8 && a.forall(identity), s"agg survivors: ${a.count(identity)}/8 null")
+    assert(b.length == 8 && b.forall(identity), s"window survivors: ${b.count(identity)}/8 null")
+  }
+
   test("struct payload with a nested array survives the buffer roundtrip") {
     val df = seededRows(100).toDF("g", "o", "t", "payload")
       .withColumn("arr", array(col("payload"), col("payload") * 2))
