@@ -108,11 +108,20 @@ object SketchFunctions {
     * non-unique ORDER BY). Output columns = the input's, in order; at
     * most k rows per group. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column], ord: Column, tie: Column, k: Int): DataFrame = {
+    // the payload struct round-trips rows by FIELD NAME (getField below),
+    // so duplicate input columns would silently resolve ambiguously —
+    // reject them up front rather than return wrong rows
+    require(df.columns.distinct.length == df.columns.length,
+      s"topKPerGroup requires distinct column names, got ${df.columns.mkString(", ")}")
+    // collision-proof internal aliases: a user column literally named
+    // __tk/__row must not capture the getField resolution
+    val base = Iterator.from(0).map(i => s"__tk$i").find(n => !df.columns.contains(n)).get
+    val rowAlias = Iterator.from(0).map(i => s"__row$i").find(n => !df.columns.contains(n)).get
     val payload = struct(df.columns.map(col): _*)
     df.groupBy(groupCols: _*)
-      .agg(graft.exprs.TopKAgg.topK(ord, tie, payload, k).as("__tk"))
-      .select(explode(col("__tk")).as("__row"))
-      .select(df.columns.map(c => col("__row").getField(c).as(c)): _*)
+      .agg(graft.exprs.TopKAgg.topK(ord, tie, payload, k).as(base))
+      .select(explode(col(base)).as(rowAlias))
+      .select(df.columns.map(c => col(rowAlias).getField(c).as(c)): _*)
   }
 
   /** Deterministic Bernoulli sample: keep rows whose key hashes under

@@ -175,6 +175,12 @@ object QueriesGrid {
   // broadcast path) and q_interp2d_tiled (per-tile executor
   // triangulation): brute-force O(n^3) circumcircle-empty Delaunay in
   // SQL + barycentric lerp, fill -1 outside the hull
+  // the query coordinates CAST the step/offset literals to DOUBLE:
+  // DuckDB would otherwise type them DECIMAL and compute qi*step+0.05
+  // exactly, while Spark computes it in IEEE doubles — a query landing on
+  // a triangle edge could then flip inside/outside between engines. With
+  // the cast both engines run the identical double expression (same
+  // operand types, same association), so the coordinates are bit-equal.
   private def interp2dOracle(nq: Int, step: String): String =
     s"""WITH pts0 AS (SELECT user_id % 5 AS gi, event_id % 5 AS gj,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
@@ -199,7 +205,8 @@ object QueriesGrid {
              |  WHERE NOT EXISTS (SELECT 1 FROM pts p WHERE p.id NOT IN (t.ia, t.ib, t.ic)
              |    AND (p.x - t.ux)*(p.x - t.ux) + (p.y - t.uy)*(p.y - t.uy) < t.rr)),
              |q AS (SELECT r1.qi AS qi, r2.qj AS qj,
-             |  r1.qi * $step + 0.05 AS qx, r2.qj * $step + 0.05 AS qy
+             |  r1.qi * CAST($step AS DOUBLE) + CAST(0.05 AS DOUBLE) AS qx,
+             |  r2.qj * CAST($step AS DOUBLE) + CAST(0.05 AS DOUBLE) AS qy
              |  FROM range($nq) r1(qi) CROSS JOIN range($nq) r2(qj)),
              |qa AS (SELECT q.qi, q.qj, t.va, t.vb, t.vc,
              |  ((t.b_y - t.cy) * (q.qx - t.cx) + (t.cx - t.bx) * (q.qy - t.cy)) / t.det AS w0,

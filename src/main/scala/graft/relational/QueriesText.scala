@@ -1877,21 +1877,30 @@ object QueriesText {
     // imops_backend context manager): `builtin` is the codegen'd expression
     // chain, `kernel` the single-pass JVM implementation. The gate hashes
     // both columns against one oracle, so the two backends agreeing
-    // byte-for-byte IS the verified property.
+    // byte-for-byte IS the verified property. The third column set runs
+    // the kernel backend under a PARAMETERIZED variant
+    // (`Numba(parallel=True, nogil=True)` mapped onto conf sub-keys,
+    // backend.py:69-92) — the knobs are documented no-ops on Spark, and
+    // this gate makes "no-op" a verified property rather than a claim.
     Q("q_backend_dispatch",
       (s, dir) => {
         val b = graft.core.Backend.withBackend(s, graft.core.Backend.Builtin)(
           graft.api.Graft.minhashSignature(s, col("text"), 2))
         val k = graft.core.Backend.withBackend(s, graft.core.Backend.Kernel)(
           graft.api.Graft.minhashSignature(s, col("text"), 2))
+        val v = graft.core.Backend.withBackendVariant(s, graft.core.Backend.Kernel,
+          graft.core.Backend.ParallelKey -> "true", graft.core.Backend.NogilKey -> "true")(
+          graft.api.Graft.minhashSignature(s, col("text"), 2))
         T(s, dir, "documents").select(
           col("doc_id") +:
             (b.zipWithIndex.map { case (c, i) => c.as(s"builtin_mh$i") } ++
-             k.zipWithIndex.map { case (c, i) => c.as(s"kernel_mh$i") }): _*)
+             k.zipWithIndex.map { case (c, i) => c.as(s"kernel_mh$i") } ++
+             v.zipWithIndex.map { case (c, i) => c.as(s"variant_mh$i") }): _*)
       },
       Some(s"""SELECT doc_id,
               |${(0 until 2).map(k => s"${mhSql(k)} AS builtin_mh$k").mkString(", ")},
-              |${(0 until 2).map(k => s"${mhSql(k)} AS kernel_mh$k").mkString(", ")}
+              |${(0 until 2).map(k => s"${mhSql(k)} AS kernel_mh$k").mkString(", ")},
+              |${(0 until 2).map(k => s"${mhSql(k)} AS variant_mh$k").mkString(", ")}
               |FROM documents""".stripMargin)),
 
     // ---- normalize_num_threads (/root/reference/imops/utils.py:40-92) ----

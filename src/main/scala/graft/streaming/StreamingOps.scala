@@ -181,7 +181,7 @@ object StreamingOps {
     val table = s"${name}_${runSeq.incrementAndGet()}"
     // Stateful operators allocate one state-store instance per shuffle
     // partition per micro-batch; the verification streams carry small
-    // state, so 8 partitions cuts fixed store setup 4x vs the session's
+    // state, so 4 partitions cuts fixed store setup 8x vs the session's
     // batch setting. Production sizing is data-dependent — this scoped
     // override applies only while the drain runs (the partition count is
     // pinned into the query's checkpoint at first batch).
@@ -194,31 +194,37 @@ object StreamingOps {
     val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     if (outputMode != "append")
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // memory-sink drains are a verification harness: their checkpoint is
+    // throwaway, so keep the per-batch offset/commit/state-delta writes
+    // on RAM-backed scratch when available (each micro-batch fsyncs
+    // several small files; on ext4 that is the drain's floor). The path
+    // carries a per-JVM token — a stale checkpoint from a previous run
+    // would otherwise be RESUMED (offsets committed, nothing processed,
+    // silently empty results) — and is deleted in the finally block, so a
+    // FAILED drain can't strand its state files on /dev/shm for the
+    // host's uptime. A real sink passes its own durable
+    // checkpointLocation and never hits this.
+    val ckpt = graft.core.ScratchDir.shm("graft-ckpt").map(d => s"$d/$jvmToken/$table")
     try {
       val w0 = stream.writeStream
         .format("memory")
         .queryName(table)
         .outputMode(outputMode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      // memory-sink drains are a verification harness: their checkpoint is
-      // throwaway, so keep the per-batch offset/commit/state-delta writes
-      // on RAM-backed scratch when available (each micro-batch fsyncs
-      // several small files; on ext4 that is the drain's floor). The path
-      // carries a per-JVM token — a stale checkpoint from a previous run
-      // would otherwise be RESUMED (offsets committed, nothing processed,
-      // silently empty results) — and is deleted after the drain. A real
-      // sink passes its own durable checkpointLocation and never hits this.
-      val ckpt = graft.core.ScratchDir.shm("graft-ckpt").map(d => s"$d/$jvmToken/$table")
       val q = ckpt.fold(w0)(c => w0.option("checkpointLocation", c)).start()
       q.awaitTermination()
+    } finally {
       ckpt.foreach { c =>
         try {
           val root = java.nio.file.Paths.get(c)
-          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          // Files.walk holds a directory stream open until closed — scope
+          // it with Using so the fd is released even when deletion throws
+          scala.util.Using.resource(java.nio.file.Files.walk(root)) { walk =>
+            walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
         } catch { case _: Throwable => () }
       }
-    } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
         case None => spark.conf.unset("spark.sql.shuffle.partitions")

@@ -37,6 +37,43 @@ class BackendSpec extends AnyFunSuite {
       Some("kernel")): _*).collect().map(_.toSeq)
     assert(b.toSeq == k.toSeq)
   }
+
+  test("variant knobs: defaults mirror the reference dataclasses, values validate") {
+    // defaults = Cython(fast=False) / Numba(parallel=True, nogil=True,
+    // cache=True) — backend.py:41-92
+    val v = Backend.variant(spark)
+    assert(v == Backend.Variant(fast = false, parallel = true, nogil = true, cache = true))
+    // non-boolean rejected like resolve_backend rejects unknown names
+    spark.conf.set(Backend.ParallelKey, "yes")
+    try assertThrows[IllegalArgumentException](Backend.variant(spark))
+    finally spark.conf.unset(Backend.ParallelKey)
+  }
+
+  test("variant knobs: scoped set/restore, fast=true is a warn-no-op with identical results") {
+    import spark.implicits._
+    val df = Seq("spark scan filter join agg window sort limit").toDF("text")
+    def sig(backend: Option[String]) = df.select(
+      graft.api.Graft.minhashSignature(spark, $"text", 3, backend): _*).collect().map(_.toSeq).toSeq
+    val base = sig(Some("builtin"))
+    val fast = Backend.withBackendVariant(spark, Backend.Builtin, Backend.FastKey -> "true") {
+      assert(Backend.variant(spark).fast)
+      sig(None)
+    }
+    assert(fast == base) // fast=true changes nothing (backend.py:45-46)
+    assert(spark.conf.getOption(Backend.FastKey).isEmpty) // restored
+    val knobbed = Backend.withBackendVariant(spark, Backend.Kernel,
+      Backend.ParallelKey -> "false", Backend.NogilKey -> "false", Backend.CacheKey -> "false") {
+      val v = Backend.variant(spark)
+      assert(!v.parallel && !v.nogil && !v.cache)
+      sig(None)
+    }
+    assert(knobbed == base)
+    assert(spark.conf.getOption(Backend.ParallelKey).isEmpty) // restored
+    // invalid knob value rejected up front, conf still restored
+    assertThrows[IllegalArgumentException](
+      Backend.withBackendVariant(spark, Backend.Kernel, Backend.CacheKey -> "7")(()))
+    assert(spark.conf.getOption(Backend.CacheKey).isEmpty)
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {

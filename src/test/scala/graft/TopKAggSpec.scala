@@ -89,6 +89,20 @@ class TopKAggSpec extends AnyFunSuite {
     assert(b.length == 8 && b.forall(identity), s"window survivors: ${b.count(identity)}/8 null")
   }
 
+  test("duplicate column names are rejected; __tk/__row user columns don't collide") {
+    // duplicate names would make the by-name payload getField ambiguous —
+    // the API rejects them up front (ADVICE r9)
+    val dup = Seq((1, 2)).toDF("a", "a")
+    assertThrows[IllegalArgumentException](
+      SketchFunctions.topKPerGroup(dup, Seq(col("a")), lit(1L), lit(""), 1))
+    // a user column named like the old internal aliases must round-trip
+    val tricky = Seq(("g1", 3L, "x", "tk"), ("g1", 1L, "y", "row"), ("g2", 2L, "z", "q"))
+      .toDF("g", "o", "__tk", "__row")
+    val out = SketchFunctions.topKPerGroup(tricky, Seq(col("g")), col("o"), col("__tk"), 1)
+      .collect().map(_.toSeq).toSet
+    assert(out == Set(Seq("g1", 1L, "y", "row"), Seq("g2", 2L, "z", "q")))
+  }
+
   test("struct payload with a nested array survives the buffer roundtrip") {
     val df = seededRows(100).toDF("g", "o", "t", "payload")
       .withColumn("arr", array(col("payload"), col("payload") * 2))
