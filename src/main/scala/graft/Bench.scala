@@ -118,7 +118,12 @@ object Bench {
     def masks(rows: Int, cells: Int): DataFrame =
       spark.range(rows).select(col("id"), maskGen(col("id"), lit(cells)).as("mask"))
 
-    final case class OpRec(sec: Double, thr: Double, reps: Array[Double], gcReps: Array[Long])
+    final case class Attempt(reps: Array[Double], gcReps: Array[Long],
+                             effPre: Double, effPost: Double) {
+      def quiet(floor: Double): Boolean = math.min(effPre, effPost) >= floor
+    }
+    final case class OpRec(sec: Double, thr: Double, reps: Array[Double], gcReps: Array[Long],
+                           effPre: Double, effPost: Double, attempts: Int)
     val ops = scala.collection.mutable.LinkedHashMap[String, OpRec]()
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
@@ -132,25 +137,58 @@ object Bench {
     // ride in the artifact so a bimodal op (slow MODE) is distinguishable
     // from a slow OP — r8's artifact recorded dilation at 7.5 s best-of-5
     // while other sessions measured 0.07 s, and the min alone hid which.
+    //
+    // Steal survival (r9 verdict item 1b): recording the weather is not the
+    // same as surviving it — r9's artifact published interp1d 0.414 s and
+    // volume_zoom 1.86 s from a run whose own probes read eff_cores 5.96/32
+    // (the host stole ~80% of the cores mid-suite). Each op now probes
+    // effective cores BEFORE and AFTER its timed reps; when either side of
+    // an attempt reads below `effFloor` the attempt is re-queued (bounded)
+    // instead of published. If no attempt ever ran on a quiet host, the
+    // best-min attempt is published and the per-op eff probes in the
+    // artifact say exactly under what weather it was measured.
+    val effFloor = cpus.toInt * 0.45 // well under the ~0.65 idle ceiling;
+                                     // r9's stolen run read 0.19
+    val maxOpAttempts = sys.env.getOrElse("SPARK_GRAFT_OP_ATTEMPTS", "3").toInt
     def bench(name: String, work: Double, input: Option[DataFrame] = None)(f: => Unit): Unit = {
       if (onlyOps.exists(!_.contains(name))) return
       input.foreach { df => df.persist(); df.count() }
       f // warmup
-      // best-of-5: the box runs other load and per-run swings of 3-4x were
-      // observed between identical builds; min over 5 reps is the steadiest
-      // estimator of the op's actual cost
-      val reps = new Array[Double](5)
-      val gcReps = new Array[Long](5)
-      var r = 0
-      while (r < 5) {
-        val g0 = gcMillis()
-        reps(r) = time(f)
-        gcReps(r) = gcMillis() - g0
-        r += 1
+      val attempts = scala.collection.mutable.ArrayBuffer[Attempt]()
+      var a = 0
+      var done = false
+      while (a < maxOpAttempts && !done) {
+        // pre-probe with a bounded wait-for-quiet (suite-level probe logic,
+        // applied per op — minute-3 weather is what the suite probe misses)
+        var pre = effectiveCoresFast(cpus.toInt)
+        var w = 0
+        while (pre < effFloor && w < 2) {
+          Thread.sleep(15000)
+          pre = effectiveCoresFast(cpus.toInt)
+          w += 1
+        }
+        // best-of-5: the box runs other load and per-run swings of 3-4x were
+        // observed between identical builds; min over 5 reps is the
+        // steadiest estimator of the op's actual cost
+        val reps = new Array[Double](5)
+        val gcReps = new Array[Long](5)
+        var r = 0
+        while (r < 5) {
+          val g0 = gcMillis()
+          reps(r) = time(f)
+          gcReps(r) = gcMillis() - g0
+          r += 1
+        }
+        val post = effectiveCoresFast(cpus.toInt)
+        val att = Attempt(reps, gcReps, pre, post)
+        attempts += att
+        done = att.quiet(effFloor)
+        a += 1
       }
-      val sec = reps.min
+      val pub = attempts.find(_.quiet(effFloor)).getOrElse(attempts.minBy(_.reps.min))
       input.foreach(_.unpersist())
-      ops(name) = OpRec(sec, work / sec, reps, gcReps)
+      ops(name) = OpRec(pub.reps.min, work / pub.reps.min, pub.reps, pub.gcReps,
+        pub.effPre, pub.effPost, attempts.length)
     }
 
     // effective-core probe (ROUND_NOTES r4: host weather once cut 32
@@ -169,6 +207,11 @@ object Bench {
     // without the turbo-biased ratio.
     def effectiveCores(threads: Int): (Double, Double, Double) =
       graft.core.HostProbe.effectiveCores(threads)
+    // the ~0.3 s per-op probe: 17 ops x 2 probes must not dominate the
+    // suite, and a steal big enough to poison a rep reads far below the
+    // floor even at a third of the calibration iterations
+    def effectiveCoresFast(threads: Int): Double =
+      graft.core.HostProbe.effectiveCores(threads, 10000000L)._1
     // quiet-host gate (r5 verdict: kernel dips were host-load artifacts,
     // eff_cores 19.5/32): probe before the op benches and, when the host is
     // visibly loaded, wait-and-reprobe a bounded number of times so the
@@ -318,6 +361,22 @@ object Bench {
     }
     pwRdd.unpersist()
     val interpInput = slices(65536, 256)
+    // push Interp1dKernel's searchsorted + lerp loops past the C2 compile
+    // threshold BEFORE any timed rep — the morphology warm-loop precedent
+    // (r8 verdict item 1) applied to the r9 red row: the driver's r9
+    // artifact recorded first reps of 20.6/18.7 s against a 0.06 s steady
+    // state, the profile-poisoned/cold-compile mode the single untimed
+    // warmup run did not reliably clear
+    locally {
+      val wxs = Array.tabulate(256)(_.toDouble)
+      val wys = Array.tabulate(256)(i => i * 1.5)
+      val wxq = Array.tabulate(256)(_ + 0.37)
+      var w = 0
+      while (w < 256) {
+        graft.kernels.Interp1dKernel.interp(wxs, wys, wxq, extrapolate = true, fillValue = 0.0)
+        w += 1
+      }
+    }
     bench("interp1d", c24, Some(interpInput)) {
       // 65536 rows of 256-point y-grids, 256 queries each (= 2^24 y cells)
       // typedlit -> a single constant ArrayData, not a 256-child CreateArray
@@ -356,14 +415,18 @@ object Bench {
         .select(graft.exprs.RadonExpr.radon(col("data"), lit(256), theta180).as("s"))
         .agg(sum(get(col("s"), lit(0)))).collect()
     }
-    // angle-sharded variant: same work, finer tasks (32 rows x 6 theta
-    // chunks = 192 tasks) — the path that stays packed when rows < cores
-    // or the host steals cores mid-task; ShardedRadonSpec asserts the
-    // stitched sinogram is bit-identical to the single-call path
+    // angle-sharded variant THROUGH THE ROUTER (r9 verdict item 2): the
+    // θ-chunk + stitch path exists for batches smaller than the cluster;
+    // at this 32-row/32-core shape the router correctly sends the batch
+    // through the plain per-row kernel (stitch measured ~2× the whole
+    // wall here), so this row records what a user of the one-call-shape
+    // API gets. The sharded path itself stays correctness-gated by
+    // q_radon_batch and ShardedRadonSpec (stitched output bit-identical),
+    // and routes in whenever rows under-fill the cores.
     bench("radon_sharded", 32.0 * 256 * 180, Some(radonReady)) {
       implicit val sp: org.apache.spark.sql.SparkSession = spark
-      graft.operators.ShardedRadon(radonReady, col("id"), col("data"), 256,
-          (0 until 180).map(_.toDouble), 6)
+      graft.operators.ShardedRadon.auto(radonReady, col("id"), col("data"), 256,
+          (0 until 180).map(_.toDouble), 6, rowsHint = Some(32L))
         .agg(sum(get(col("sino"), lit(0)))).collect()
     }
     val sinoInput = radonReady
@@ -390,6 +453,26 @@ object Bench {
     val volSlices = spark.range(256).select(
         lit(0L).as("id"), col("id").cast("int").as("sid"),
         sliceGen(col("id"), lit(65536)).as("data"))
+    // warm BOTH volume-zoom code paths (full-slice emitter and striped
+    // emitter) on a toy 32-cube before any timed rep — r9's artifact
+    // recorded volume_zoom_o1 first reps of 45/51 s against a 0.3 s
+    // steady state (C2 cold + steal); the bench()'s own warmup run is one
+    // pass, which r9 showed is not always enough to reach steady state
+    locally {
+      import spark.implicits._
+      val warmSlices = spark.range(32).select(
+          lit(0L).as("id"), col("id").cast("int").as("sid"),
+          sliceGen(col("id"), lit(1024)).as("data"))
+        .as[graft.operators.VolumeZoom.ZSlice]
+      var w = 0
+      while (w < 3) {
+        graft.operators.VolumeZoom(warmSlices, Array(32, 32, 32),
+          Array(2.0, 2.0, 2.0), order = 1)(spark).toDF().count()
+        graft.operators.VolumeZoom.strips(warmSlices, Array(32, 32, 32),
+          Array(2.0, 2.0, 2.0), order = 1)(spark).toDF().count()
+        w += 1
+      }
+    }
     bench("volume_zoom_o1", c24, Some(volSlices)) {
       import spark.implicits._
       graft.operators.VolumeZoom(
@@ -440,8 +523,13 @@ object Bench {
         tile3Gen(col("id")).as("data"))
       .as[Tile3]
     val tiles3Df = tiles3.toDF()
+    // through the size router (r9 verdict item 2): a 256³ volume sits
+    // under TiledStencil.AssembleCutoffCells, so the router assembles the
+    // volume in one task and runs the single-tensor kernel — the halo
+    // exchange at this toy shape measured fixed shuffle overhead, not the
+    // operator (its 100 TB shape stays gated by q_tiled_erosion3d_big)
     bench("tiled_erosion_3d", 256.0 * 256 * 256, Some(tiles3Df)) {
-      graft.operators.TiledStencil.erode3(tiles3Df.as[Tile3], 64, Array(4, 4, 4))(spark)
+      graft.operators.TiledStencil.erode3Auto(tiles3Df.as[Tile3], 64, Array(4, 4, 4))(spark)
         .toDF().agg(count(lit(1))).collect()
     }
 
@@ -458,18 +546,30 @@ object Bench {
     val qs = j(results)
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // compact per-op record WITH the rep array (r8 verdict item 3: the
-    // artifact of record must distinguish a slow op from a slow mode);
-    // per-rep GC ms goes to bench_full.json only, keeping the final stdout
-    // line inside the driver's 2000-char tail window
+    // compact per-op record (r8 verdict item 3: the artifact of record
+    // must distinguish a slow op from a slow mode) — but the final stdout
+    // line must stay inside the driver's 2000-char tail window (ADVICE r9:
+    // 17 ops x 5 full-precision reps sat right at the limit). The compact
+    // line therefore carries reps at %.2f and ONLY for ops whose spread
+    // exceeds 1.5x (a tight-rep op's min already tells the whole story);
+    // the full-precision reps + per-rep GC + per-op eff probes always ride
+    // in bench_full.json and the earlier full stdout line.
     val opsJson = ops.map { case (k, rec) =>
+      val spread = rec.reps.max / math.max(rec.reps.min, 1e-9)
+      val repsPart = if (spread > 1.5)
+        ",\"reps\":" + rec.reps.map(v =>
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))).mkString("[", ",", "]")
+      else ""
+      val attPart = if (rec.attempts > 1) s""",\"att\":${rec.attempts}""" else ""
       "\"" + k + "\":{\"sec\":" + fmt4(rec.sec) + ",\"cells_per_s\":" + fmt0(rec.thr) +
-        ",\"reps\":" + rec.reps.map(fmt3).mkString("[", ",", "]") + "}"
+        repsPart + attPart + "}"
     }.mkString("{", ",", "}")
     val opsJsonFull = ops.map { case (k, rec) =>
       "\"" + k + "\":{\"sec\":" + fmt4(rec.sec) + ",\"cells_per_s\":" + fmt0(rec.thr) +
         ",\"reps\":" + rec.reps.map(fmt4).mkString("[", ",", "]") +
-        ",\"gc_ms_reps\":" + rec.gcReps.mkString("[", ",", "]") + "}"
+        ",\"gc_ms_reps\":" + rec.gcReps.mkString("[", ",", "]") +
+        ",\"eff_pre\":" + fmt3(rec.effPre) + ",\"eff_post\":" + fmt3(rec.effPost) +
+        ",\"attempts\":" + rec.attempts + "}"
     }.mkString("{", ",", "}")
     // G1 region size honesty (r8 verdict item 2): the build.sbt fork flag
     // demonstrably does not reach the driver's own bench invocation, so the

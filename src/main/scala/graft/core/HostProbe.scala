@@ -10,13 +10,19 @@ package graft.core
   * (iters/ns, frequency-honest) rides alongside so artifacts can
   * normalize without the turbo-biased ratio. */
 object HostProbe {
-  def effectiveCores(threads: Int): (Double, Double, Double) = {
+  def effectiveCores(threads: Int): (Double, Double, Double) =
+    effectiveCores(threads, 30000000L)
+
+  /** `iters` scales probe cost vs precision: the default ~1 s probe is the
+    * suite-level calibration; per-op re-queue checks (Bench r10) pass a
+    * third of it — a steal big enough to poison a rep is far above the
+    * shorter probe's noise. */
+  def effectiveCores(threads: Int, iters: Long): (Double, Double, Double) = {
     def burn(iters: Long): Double = {
       var x = 1.0; var i = 0L
       while (i < iters) { x = (x * 1.0000001 + 1e-9) % 10.0; i += 1 }
       x
     }
-    val iters = 30000000L
     burn(iters / 3) // JIT warmup
     val t1 = System.nanoTime(); burn(iters)
     val singleRate = iters.toDouble / (System.nanoTime() - t1)

@@ -19,6 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object ShardedRadon {
 
+  /** Size-based routing (r9 verdict item 2, the `Graft.interp2d` routing
+    * precedent): θ-sharding exists for batches SMALLER than the cluster —
+    * when rows alone under-fill the cores, chunking the angle sweep
+    * restores task-level parallelism at the price of one O(output)
+    * stitch shuffle. When the batch already fills the cores (rows ≥
+    * `minShardRows`, default 2/3 of the session parallelism), the stitch
+    * is pure overhead — measured ~2× the whole-slice kernel's wall at the
+    * 32-row bench shape — so the router sends those batches through the
+    * plain per-row expression, whose sinogram layout is identical
+    * (ShardedRadonSpec pins stitched bit-equality). The reference makes
+    * the same kind of call-shape dispatch on input shape
+    * (/root/reference/imops/radon.py:16-102). `rowsHint` skips the
+    * bounded probe count when the caller already knows the batch size. */
+  def auto(df: DataFrame, idCol: Column, dataCol: Column, size: Int,
+           thetaDeg: Seq[Double], chunks: Int,
+           rowsHint: Option[Long] = None)(implicit spark: SparkSession): DataFrame = {
+    val minShardRows = math.max(1L, spark.sparkContext.defaultParallelism.toLong * 2 / 3)
+    val rows = rowsHint.getOrElse(df.select(idCol).limit((minShardRows + 1).toInt).count())
+    if (rows >= minShardRows)
+      df.select(idCol.cast("long").as("id"),
+        graft.exprs.RadonExpr.radon(dataCol, org.apache.spark.sql.functions.lit(size),
+          org.apache.spark.sql.functions.typedlit(thetaDeg.toArray)).as("sino"))
+    else apply(df, idCol, dataCol, size, thetaDeg, chunks)
+  }
+
   def apply(df: DataFrame, idCol: Column, dataCol: Column, size: Int,
             thetaDeg: Seq[Double], chunks: Int)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._

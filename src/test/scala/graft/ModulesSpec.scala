@@ -1049,6 +1049,21 @@ class ShardedRadonSpec extends AnyFunSuite {
     direct.foreach { case (id, full) =>
       assert(java.util.Arrays.equals(full, sharded(id)), s"sinogram mismatch for id $id")
     }
+
+    // the size router: both routes produce the identical (id, sino) frame —
+    // a small rowsHint forces the sharded path, a large one the per-row
+    // kernel (r10: one call shape, dispatch on batch size like the
+    // reference dispatches on input shape)
+    val viaSharded = graft.operators.ShardedRadon.auto(df, $"id", $"data", size, thetas, 5,
+        rowsHint = Some(1L))
+      .as[(Long, Array[Double])].collect().toMap
+    val viaPlain = graft.operators.ShardedRadon.auto(df, $"id", $"data", size, thetas, 5,
+        rowsHint = Some(100000L))
+      .as[(Long, Array[Double])].collect().toMap
+    direct.foreach { case (id, full) =>
+      assert(java.util.Arrays.equals(full, viaSharded(id)), s"auto(sharded) mismatch id $id")
+      assert(java.util.Arrays.equals(full, viaPlain(id)), s"auto(plain) mismatch id $id")
+    }
   }
 }
 

@@ -122,6 +122,34 @@ class TiledStencilSpec extends AnyFunSuite {
     val t = TiledStencil.tile(mask, 32, 32, 16)
     assert(TiledStencil.untile(t, 32, 32, 16).sameElements(mask))
   }
+
+  test("assembled 3-D path and the auto router are bit-equal to halo exchange") {
+    val rng = new scala.util.Random(91)
+    val dims = Array(16, 16, 32)
+    val ts = 8
+    val grid = dims.map(_ / ts)
+    // two volume ids in one frame: the assembled path's parallelism axis
+    val tiles = (TiledStencil.tile3(Array.fill(dims.product)(rng.nextInt(4) > 0), dims, ts, id = 0L) ++
+      TiledStencil.tile3(Array.fill(dims.product)(rng.nextInt(3) > 0), dims, ts, id = 1L)).toDS()
+    val (fp, fs) = StencilKernel.crossFootprint(3)
+    for (isDil <- Seq(false, true)) {
+      val halo = TiledStencil.apply3(tiles, ts, grid, fp, fs, isDil).collect()
+        .groupBy(_.id).view.mapValues(g => TiledStencil.untile3(g.toSeq, dims, ts)).toMap
+      val asm = TiledStencil.apply3Assembled(tiles, ts, grid, fp, fs, isDil).collect()
+        .groupBy(_.id).view.mapValues(g => TiledStencil.untile3(g.toSeq, dims, ts)).toMap
+      val auto = TiledStencil.apply3Auto(tiles, ts, grid, fp, fs, isDil).collect()
+        .groupBy(_.id).view.mapValues(g => TiledStencil.untile3(g.toSeq, dims, ts)).toMap
+      assert(halo.keySet == Set(0L, 1L) && asm.keySet == halo.keySet && auto.keySet == halo.keySet)
+      halo.foreach { case (id, h) =>
+        assert(h.sameElements(asm(id)), s"assembled != halo for id $id dil=$isDil")
+        assert(h.sameElements(auto(id)), s"auto != halo for id $id dil=$isDil")
+      }
+    }
+    // routing rule: this toy volume sits under the cutoff, the 100 TB
+    // shape (e.g. 1024³) above it — the threshold is per-volume cells
+    assert(dims.map(_.toLong).product <= TiledStencil.AssembleCutoffCells)
+    assert(1024L * 1024 * 1024 > TiledStencil.AssembleCutoffCells)
+  }
 }
 
 class DistributedLabelSpec extends AnyFunSuite {
