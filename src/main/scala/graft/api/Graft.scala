@@ -59,6 +59,10 @@ object Graft {
     TensorFunctions.labelUdf(data, shape, lit(background), lit(connectivity))
   def radon(data: Column, size: Int, thetaDeg: Seq[Double]): Column =
     graft.exprs.RadonExpr.radon(data, lit(size), array(thetaDeg.map(lit): _*))
+  /** `radon(..., return_fill=True)` (/root/reference/imops/radon.py:16-102):
+    * struct of (sinogram, outside-circle fill) from one validation pass. */
+  def radonWithFill(data: Column, size: Int, thetaDeg: Seq[Double]): Column =
+    graft.exprs.RadonExpr.radonWithFill(data, lit(size), array(thetaDeg.map(lit): _*))
   def inverseRadon(sino: Column, size: Int, thetaDeg: Seq[Double], fillValue: Double = 0.0): Column =
     graft.exprs.InverseRadonExpr.inverseRadon(sino, lit(size), array(thetaDeg.map(lit): _*), lit(fillValue))
 

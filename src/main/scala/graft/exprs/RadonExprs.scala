@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -58,6 +58,59 @@ object RadonExpr {
   def radon(data: Column, size: Column, theta: Column): Column =
     GraftColumnBridge.column(RadonExpr(GraftColumnBridge.expression(data),
       GraftColumnBridge.expression(size), GraftColumnBridge.expression(theta)))
+
+  def radonWithFill(data: Column, size: Column, theta: Column): Column =
+    GraftColumnBridge.column(RadonWithFillExpr(GraftColumnBridge.expression(data),
+      GraftColumnBridge.expression(size), GraftColumnBridge.expression(theta)))
+}
+
+/** `radon(..., return_fill=True)` as a native Expression
+  * (/root/reference/imops/radon.py:16-102): returns
+  * `struct<_1: array<double>, _2: double>` = (sinogram, outside-circle
+  * fill) from ONE validation pass — the [[ZoomExpr]] struct-return
+  * pattern on the [[RadonExpr]] bridge. */
+case class RadonWithFillExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("_1", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("_2", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != ArrayType(DoubleType, false) && first.dataType != ArrayType(DoubleType, true))
+      TypeCheckResult.TypeCheckFailure(s"radon data must be array<double>, got ${first.dataType.sql}")
+    else if (second.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"radon size must be int, got ${second.dataType.sql}")
+    else if (third.dataType != ArrayType(DoubleType, false) && third.dataType != ArrayType(DoubleType, true))
+      TypeCheckResult.TypeCheckFailure(s"radon theta must be array<double>, got ${third.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val dataElemNullable = ExprGuards.elemNullable(first.dataType)
+  private lazy val thetaElemNullable = ExprGuards.elemNullable(third.dataType)
+
+  override protected def nullSafeEval(d: Any, n: Any, t: Any): Any =
+    RadonWithFillExpr.call(
+      ExprGuards.evalGuard(d.asInstanceOf[ArrayData], dataElemNullable, "radon data"),
+      n.asInstanceOf[Int],
+      ExprGuards.evalGuard(t.asInstanceOf[ArrayData], thetaElemNullable, "radon theta"))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, n, t) =>
+      s"""${ev.value} = graft.exprs.RadonWithFillExpr.call(
+         |${ExprGuards.genGuard(d, dataElemNullable, "radon data")}, $n,
+         |${ExprGuards.genGuard(t, thetaElemNullable, "radon theta")});""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+object RadonWithFillExpr {
+  def call(data: ArrayData, size: Int, theta: ArrayData): InternalRow = {
+    val (sino, fill) = graft.kernels.RadonKernel.radonSliceWithFill(
+      data.toDoubleArray(), size, theta.toDoubleArray())
+    new GenericInternalRow(Array[Any](UnsafeArrayData.fromPrimitiveArray(sino), fill))
+  }
 }
 
 /** Filtered backprojection as a native Expression over

@@ -88,8 +88,22 @@ object RadonKernel {
 
   /** Forward radon of one validated square slice. thetaDeg in degrees.
     * Returns row-major (size x nAngles) sinogram. */
-  def radonSlice(image: Array[Double], size: Int, thetaDeg: Array[Double]): Array[Double] = {
-    val (clean, _) = validateCircle(image, size)
+  def radonSlice(image: Array[Double], size: Int, thetaDeg: Array[Double]): Array[Double] =
+    radonSliceWithFill(image, size, thetaDeg)._1
+
+  /** The `radon(..., return_fill=True)` surface
+    * (/root/reference/imops/radon.py:16-102): the sinogram plus the
+    * constant the image held outside the inscribed circle (the min of the
+    * outside band when it varies inside the 0.1 tolerance, 0.0 when the
+    * outside is already zero) — the value `inverse_radon(..., fill_value)`
+    * restores. */
+  def radonSliceWithFill(image: Array[Double], size: Int,
+                         thetaDeg: Array[Double]): (Array[Double], Double) = {
+    val (clean, fill) = validateCircle(image, size)
+    (radonOfClean(clean, size, thetaDeg), fill)
+  }
+
+  private def radonOfClean(clean: Array[Double], size: Int, thetaDeg: Array[Double]): Array[Double] = {
     val lim = limits(size)
     val nA = thetaDeg.length
     val center = (size / 2).toDouble

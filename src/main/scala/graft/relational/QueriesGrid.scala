@@ -428,6 +428,45 @@ object QueriesGrid {
               |WHERE cg.i >= lim.l AND cg.i < $N - lim.l
               |GROUP BY cg.j""".stripMargin)),
 
+    // the `radon(..., return_fill=True)` surface
+    // (/root/reference/imops/radon.py:16-102): the image holds a NON-ZERO
+    // near-constant outside the inscribed circle (5.0 / 5.0625 — inside
+    // the 0.1 validation tolerance, binary-exact increments so both
+    // engines build the identical double), the kernel must (a) zero the
+    // outside before integrating and (b) return the outside MIN as the
+    // fill — this gate asserts BOTH: the sinogram equals the zeroed-image
+    // oracle and the fill column equals the oracle's own min over the
+    // outside band (r9 verdict item 3: the last un-gated reference flag)
+    Q("q_radon_fill",
+      (s, dir) => {
+        val outside = (col("i") - 8) * (col("i") - 8) + (col("j") - 8) * (col("j") - 8) > 64
+        val filled = valueGrid(s, dir).select(col("i"), col("j"),
+          when(outside, lit(5.0) + ((col("i") + col("j")) % 2).cast("double") * lit(0.0625))
+            .otherwise(col("v")).as("v"))
+        toTensor(filled, asBool = false)
+          .select(graft.exprs.RadonExpr.radonWithFill(
+            col("data"), lit(N), array(lit(0.0))).as("sf"))
+          .select(col("sf").getField("_2").as("fill"),
+            posexplode(col("sf").getField("_1")).as(Seq("offset", "val")))
+          .select(col("offset").cast("long").as("offset"),
+            round(col("val"), 4).as("val"), round(col("fill"), 4).as("fill"))
+      },
+      Some(s"""WITH $valueGridCte,
+              |cg AS (SELECT i, j, CASE WHEN (i-8)*(i-8) + (j-8)*(j-8) > 64
+              |  THEN CAST(5.0 AS DOUBLE) + ((i+j) % 2) * CAST(0.0625 AS DOUBLE) ELSE v END AS v
+              |  FROM grid),
+              |fillv AS (SELECT round(min(v), 4) AS fill FROM cg
+              |  WHERE (i-8)*(i-8) + (j-8)*(j-8) > 64),
+              |cz AS (SELECT i, j, CASE WHEN (i-8)*(i-8) + (j-8)*(j-8) > 64 THEN 0.0 ELSE v END AS v
+              |  FROM cg),
+              |lim AS (SELECT j, count(CASE WHEN (i-8)*(i-8) + (j-8)*(j-8) > 100 THEN 1 END) // 2 AS l
+              |  FROM cz GROUP BY j)
+              |SELECT cz.j AS offset, round(sum(cz.v), 4) AS val,
+              |  (SELECT fill FROM fillv) AS fill
+              |FROM cz JOIN lim ON lim.j = cz.j
+              |WHERE cz.i >= lim.l AND cz.i < $N - lim.l
+              |GROUP BY cz.j""".stripMargin)),
+
     // forward radon across the reference's FULL default angle sweep
     // (theta=180, 1° steps — /root/reference/imops/radon.py:69-70; 178 of
     // 180 angles are non-axis):

@@ -339,6 +339,32 @@ class ReturnFillSpec extends AnyFunSuite {
     assert(clean(0) == 0.0 && img(0) == 2.5)
   }
 
+  test("radonSliceWithFill = (radonSlice, fill); near-constant outside returns the min") {
+    val size = 16
+    val r = size / 2
+    val img = Array.tabulate(size * size) { p =>
+      val (i, j) = (p / size, p % size)
+      val (di, dj) = (i - r, j - r)
+      if (di * di + dj * dj > r * r) 5.0 + ((i + j) % 2) * 0.0625 // inside tolerance
+      else (p % 7).toDouble
+    }
+    val theta = Array(0.0, 45.0, 90.0)
+    val (sino, fill) = RadonKernel.radonSliceWithFill(img, size, theta)
+    assert(fill == 5.0) // the outside MIN
+    assert(java.util.Arrays.equals(sino, RadonKernel.radonSlice(img, size, theta)))
+    // fill 0.0 when the outside is already zero
+    val zeroOut = img.clone()
+    (0 until size * size).foreach { p =>
+      val (i, j) = (p / size, p % size)
+      val (di, dj) = (i - r, j - r)
+      if (di * di + dj * dj > r * r) zeroOut(p) = 0.0
+    }
+    assert(RadonKernel.radonSliceWithFill(zeroOut, size, theta)._2 == 0.0)
+    // a >0.1 outside spread still throws through the WithFill surface
+    val bad = img.clone(); bad(0) = 6.0
+    assertThrows[IllegalArgumentException](RadonKernel.radonSliceWithFill(bad, size, theta))
+  }
+
   test("Box.buildSlices zips starts/stops/steps") {
     val b = Box(Seq(1, 2), Seq(5, 9))
     assert(b.buildSlices == Seq((1, 5, 1), (2, 9, 1)))
