@@ -18,6 +18,31 @@ import graft.functions.SimilarityFunctions._
   */
 object QueriesText {
 
+  /** Deterministic CLUSTERED embedding corpus for the q_pq_recall_clustered
+    * harness (and its spec): 1200 vectors of dim 64 = 25 well-separated
+    * cluster centers (components ±500), 100 near-duplicate groups of 12
+    * (group offset ±60/dim), per-vector jitter ±3/dim — the shape of a
+    * real embedding corpus with near-dup documents, vs the i.i.d. uniform
+    * worst case the other recall gates deliberately measure. All-integer
+    * hash construction, so the DuckDB oracle regenerates it bit-exactly. */
+  private[graft] def clusteredEmbeddings(s: org.apache.spark.sql.SparkSession) =
+    s.range(1200).select(col("id").as("vec_id"))
+      .select(col("vec_id"), transform(sequence(lit(0L), lit(63L)), k => {
+        val g = expr("vec_id DIV 12")
+        val center = ((g % 25) * lit(1315423911L) + k * lit(2654435761L)) % 1001 - 500
+        val groupOff = (g * lit(2654435761L) + k * lit(40503L)) % 121 - 60
+        val jitter = (col("vec_id") * 97 + k * 131) % 7 - 3
+        (center + groupOff + jitter).cast("double")
+      }).as("embedding"))
+
+  /** The 25 true cluster centers of [[clusteredEmbeddings]] — the
+    * deployment-grade coarse quantizer (k-means would recover these). */
+  private[graft] def clusteredCenters(s: org.apache.spark.sql.SparkSession) =
+    s.range(25).select(col("id").as("vec_id"))
+      .select(col("vec_id"), transform(sequence(lit(0L), lit(63L)), k =>
+        (((col("vec_id") % 25) * lit(1315423911L) + k * lit(2654435761L)) % 1001 - 500)
+          .cast("double")).as("embedding"))
+
   // (doc_id, term) token stream shared by the relevance-scoring queries —
   // tokenization is the dominant cost and both tf-idf and BM25 fan the
   // same stream into several aggregation branches, so it is persisted
@@ -1827,6 +1852,118 @@ object QueriesText {
            |  FROM probes p JOIN cells c ON c.cid = p.cid AND c.vec_id != p.qid
            |  JOIN best b ON b.vec_id = c.vec_id
            |  JOIN qd ON qd.qid = p.qid AND qd.cid = p.cid AND qd.s = b.s AND qd.j = b.j
+           |  GROUP BY 1, 2),
+           |ak AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY adq, vid) AS rk FROM adist)
+           |  WHERE rk <= 10)
+           |SELECT ek.qid, count(ak.vid)::BIGINT AS n_hit,
+           |  round(count(ak.vid) / 10.0, 4) AS recall
+           |FROM ek LEFT JOIN ak ON ak.qid = ek.qid AND ak.vid = ek.vid
+           |GROUP BY ek.qid""".stripMargin
+      }),
+
+    // The recall@10 harness on a CLUSTERED corpus (r9 verdict item 6):
+    // the three existing recall gates measure i.i.d. uniform unit vectors
+    // — PQ's known worst case (no structure for the quantizer to exploit;
+    // recall 0.39 even trained). Real embedding corpora are clustered and
+    // carry near-duplicate groups; this gate generates that shape
+    // DETERMINISTICALLY in both engines (all-integer construction: 25
+    // well-separated cluster centers (+/-500/dim), 100 near-dup groups of
+    // 12 at +/-60/dim, per-vector jitter +/-3/dim), ground-truths by EXACT
+    // integer squared-L2, and runs the production trained-PQ pipeline
+    // (true centers as the coarse quantizer, one Lloyd refit, nprobe 3).
+    // On this deployment-shaped corpus the same index that scores 0.39 on
+    // uniform data reaches >= 0.7 (PqRecallClusteredSpec pins the floor;
+    // this gate pins cross-engine agreement of every recall value).
+    Q("q_pq_recall_clustered",
+      (s, _) => {
+        val v = clusteredEmbeddings(s)
+        val cen = clusteredCenters(s)
+        val q = v.where(col("vec_id") % 61 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = v.select(col("vec_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+        val exact = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+          .withColumn("d2", aggregate(
+            zip_with(col("qe"), col("ce"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, t) => acc + t).cast("long"))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val trained = graft.functions.SimilarityFunctions.pqTrain(
+          v, v.where(col("vec_id") % 8 === 0), m = 8, iters = 2)
+        val approx = graft.functions.SimilarityFunctions.ivfPqTopK(
+            v.where(col("vec_id") % 61 === 0), v, cen, trained,
+            k = 10, nprobe = 3, m = 8)
+          .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("qid"), col("n_hit"),
+            round(col("n_hit") / 10.0, 4).as("recall"))
+      },
+      Some {
+        def cos(a: String, b: String) = {
+          val dot = (x: String, y: String) =>
+            s"list_sum(list_transform(range(1, 65), k -> $x[k] * $y[k]))"
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        }
+        val diff = "(v.embedding[s.s*8+k] - cb.cemb[s.s*8+k])"
+        s"""WITH v AS (SELECT i AS vec_id, list_transform(range(1, 65), k ->
+           |  CAST((((i // 12) % 25) * 1315423911 + (k-1) * 2654435761) % 1001 - 500
+           |     + ((i // 12) * 2654435761 + (k-1) * 40503) % 121 - 60
+           |     + (i * 97 + (k-1) * 131) % 7 - 3 AS DOUBLE)) AS embedding
+           |  FROM range(1200) t(i)),
+           |cen AS (SELECT c AS cid, list_transform(range(1, 65), k ->
+           |  CAST(((c % 25) * 1315423911 + (k-1) * 2654435761) % 1001 - 500 AS DOUBLE)) AS cemb
+           |  FROM range(25) t(c)),
+           |qs AS (SELECT vec_id, embedding FROM v WHERE vec_id % 61 = 0),
+           |ex AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+           |  CAST(list_sum(list_transform(range(1, 65), k ->
+           |    (q.embedding[k] - c.embedding[k]) * (q.embedding[k] - c.embedding[k]))) AS BIGINT) AS d2
+           |  FROM qs q JOIN v c ON q.vec_id != c.vec_id),
+           |ek AS (SELECT qid, vid FROM (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY d2, vid) AS rk FROM ex)
+           |  WHERE rk <= 10),
+           |casn AS (SELECT v.vec_id, cen.cid, ${cos("v.embedding", "cen.cemb")} AS ccos
+           |  FROM v CROSS JOIN cen),
+           |cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr FROM casn)
+           |  WHERE cr = 1),
+           |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr
+           |  FROM casn WHERE vec_id % 61 = 0) WHERE cr <= 3),
+           |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           |  embedding AS cemb FROM v WHERE vec_id % 8 = 0),
+           |d0 AS (SELECT v.vec_id, s.s, cb.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> $diff * $diff)) * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM v CROSS JOIN range(0, 8) s(s) CROSS JOIN cb),
+           |b0 AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d0)
+           |  WHERE r = 1),
+           |rf AS (SELECT b0.s, b0.j, t.kk,
+           |  round(avg(v.embedding[b0.s * 8 + t.kk]), 6) AS mu
+           |  FROM b0 JOIN v USING (vec_id) CROSS JOIN range(1, 9) t(kk)
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT s.s, cb.j, t.kk, cb.cemb[s.s * 8 + t.kk] AS c0
+           |  FROM cb CROSS JOIN range(0, 8) s(s) CROSS JOIN range(1, 9) t(kk)),
+           |cb1 AS (SELECT g.s, g.j,
+           |  list(coalesce(rf.mu, g.c0) ORDER BY g.kk) AS sub
+           |  FROM grid g LEFT JOIN rf ON rf.s = g.s AND rf.j = g.j AND rf.kk = g.kk
+           |  GROUP BY 1, 2),
+           |d1 AS (SELECT v.vec_id, cb1.s, cb1.j,
+           |  CAST(floor(list_sum(list_transform(range(1, 9),
+           |    k -> (v.embedding[cb1.s*8+k] - cb1.sub[k])
+           |       * (v.embedding[cb1.s*8+k] - cb1.sub[k])))
+           |    * 1e6 + 0.5) AS BIGINT) AS d2q
+           |  FROM v CROSS JOIN cb1),
+           |best AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+           |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2q, j) AS r FROM d1)
+           |  WHERE r = 1),
+           |adist AS (SELECT p.qid, c.vec_id AS vid, SUM(qd.d2q)::BIGINT AS adq
+           |  FROM probes p JOIN cells c ON c.cid = p.cid AND c.vec_id != p.qid
+           |  JOIN best b ON b.vec_id = c.vec_id
+           |  JOIN d1 qd ON qd.vec_id = p.qid AND qd.s = b.s AND qd.j = b.j
            |  GROUP BY 1, 2),
            |ak AS (SELECT qid, vid FROM (SELECT qid, vid,
            |  row_number() OVER (PARTITION BY qid ORDER BY adq, vid) AS rk FROM adist)
