@@ -750,12 +750,73 @@ object Graft {
 
   /** Per-key time-series resample + forward fill (the q_gap_fill pipeline
     * as API; QuestDB/Timescale `SAMPLE BY ... FILL(PREV)`): bucket `tsCol`
-    * (ns-epoch long) into `bucketNs`-wide buckets per key, materialize the
-    * dense per-key grid from first to last observation, and carry the last
+    * (ns-epoch long) into `bucketNs`-wide buckets per key, emit the dense
+    * per-key grid from first to last observation, and carry the last
     * observed aggregate across the gaps. Integer bucket arithmetic; the
-    * decimal-path sum is order-independent. */
+    * decimal-path sum is order-independent.
+    *
+    * Scale shape (r9 verdict item 5): gap rows are generated LAZILY after
+    * the shuffle — only the observed (key, bucket) aggregate rows shuffle
+    * (repartition on key + in-partition sort, the same exchange the
+    * window form paid), and a stateful per-partition iterator streams the
+    * missing buckets out with the carried value. The previous
+    * explode(sequence(lo, hi)) + window form materialized EVERY missing
+    * bucket as a pre-window row (a per-key array allocation of the whole
+    * span plus the window's buffered partition) — measured 123 s GC at
+    * the x100 soak point on one JVM. GapFillSpec pins bit-equality to
+    * the window form, including null-value carry and leading-null keys. */
   def gapFill(events: org.apache.spark.sql.DataFrame, keyCol: String, tsCol: String,
               valueCol: String, bucketNs: Long): org.apache.spark.sql.DataFrame = {
+    require(bucketNs > 0, "gapFill needs bucketNs > 0")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val agg = events
+      .select(col(keyCol), expr(s"$tsCol DIV $bucketNs").as("bucket"), col(valueCol))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val sorted = agg.repartition(col(keyCol)).sortWithinPartitions(col(keyCol), col("bucket"))
+    val outSchema = StructType(Seq(
+      sorted.schema.head.copy(name = keyCol),
+      StructField("bucket", LongType, nullable = false),
+      StructField("n_events", LongType, nullable = false),
+      StructField("filled_value", DoubleType, nullable = true)))
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var prevBucket = 0L
+      var carried: java.lang.Double = null
+      it.flatMap { r =>
+        val key = r.get(0)
+        val bucket = r.getLong(1)
+        val n = r.getLong(2)
+        val sv: java.lang.Double = if (r.isNullAt(3)) null else r.getDouble(3)
+        val newKey = !haveKey || key != curKey
+        if (newKey) { curKey = key; haveKey = true; carried = null }
+        // capture pre-update state for the gap rows: the iterator below is
+        // consumed lazily, after `carried`/`prevBucket` have advanced
+        val gapFillVal = carried
+        val gapStart = if (newKey) bucket else prevBucket + 1
+        prevBucket = bucket
+        if (sv != null) carried = sv
+        val filledHere = carried
+        val gaps: Iterator[Row] = new Iterator[Row] {
+          private var b = gapStart
+          def hasNext: Boolean = b < bucket
+          def next(): Row = { val row = Row(key, b, 0L, gapFillVal); b += 1; row }
+        }
+        gaps ++ Iterator.single(Row(key, bucket, n, filledHere))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** The r9 window form of [[gapFill]], kept as the differential-test
+    * reference (explode the dense grid, forward-fill via a running
+    * window) — semantically identical, but it materializes every missing
+    * bucket before the window. */
+  private[graft] def gapFillWindow(events: org.apache.spark.sql.DataFrame, keyCol: String,
+                                   tsCol: String, valueCol: String,
+                                   bucketNs: Long): org.apache.spark.sql.DataFrame = {
     require(bucketNs > 0, "gapFill needs bucketNs > 0")
     val agg = events
       .select(col(keyCol), expr(s"$tsCol DIV $bucketNs").as("bucket"), col(valueCol))

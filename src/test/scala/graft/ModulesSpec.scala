@@ -365,6 +365,25 @@ class GraphCCSpec extends AnyFunSuite {
     assert((5L to 7L).forall(got(_) == 5L))
     assert(got(8L) == 8L && got(9L) == 9L)
   }
+
+  test("distributed rounds + contraction finish: 600 chains of 100 over multiple partitions") {
+    // > 50k vertices forces the multi-partition propagation loop (not the
+    // single-task union-find), and chain shapes force enough rounds that
+    // churn decays through the contraction trigger — the r10 local-finish
+    // path (contracted residual -> driver union-find) must produce the
+    // exact per-chain minimum for every vertex
+    implicit val s: org.apache.spark.sql.SparkSession = SharedSpark.spark
+    val chains = 600
+    val len = 100
+    val verts = s.sparkContext.range(0L, chains.toLong * len, numSlices = 8)
+    val edges = s.sparkContext.range(0L, chains.toLong * len, numSlices = 8)
+      .filter(v => v % len != len - 1).map(v => (v, v + 1))
+    val got = graft.operators.GraphCC.minLabels(verts, edges).collect()
+    assert(got.length == chains * len)
+    got.foreach { case (v, l) =>
+      assert(l == (v / len) * len, s"vertex $v labeled $l, expected ${(v / len) * len}")
+    }
+  }
 }
 
 class Interp1dExprSpec extends AnyFunSuite {
@@ -1423,5 +1442,45 @@ class LnPolySpec extends AnyFunSuite {
       assert(math.abs(g - math.log(n.toDouble)) < 2e-8,
         s"accuracy at n=$n: $g vs ${math.log(n.toDouble)}")
     }
+  }
+}
+
+/** Graft.gapFill r10 rewrite (lazy per-partition span generation) vs the
+  * r9 window form: bit-equal on a corpus with multi-key gaps, null values
+  * (carry skips them), leading-null keys, single-observation keys, and
+  * negative bucket ordinates. */
+class GapFillSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  test("lazy gapFill is row-equal to the window form on gaps/nulls/edges") {
+    import spark.implicits._
+    val rows = Seq(
+      // key 1: gaps, mid-null value (carried over), big gap
+      (1L, 10L, Some(5.0)), (1L, 13L, None), (1L, 14L, Some(2.0)), (1L, 30L, Some(7.5)),
+      // key 2: leading nulls (filled stays null until first non-null)
+      (2L, 0L, None), (2L, 3L, None), (2L, 5L, Some(1.25)), (2L, 6L, None),
+      // key 3: single observation
+      (3L, 100L, Some(9.0)),
+      // key 4: negative buckets (ts DIV keeps sign for negative epochs)
+      (4L, -5L, Some(4.0)), (4L, -2L, None), (4L, 1L, Some(6.0)))
+    // expand each (key, bucket, value) into 1-2 events inside the bucket
+    val events: Seq[(Long, Long, java.lang.Double)] =
+      rows.zipWithIndex.flatMap { case ((k, b, v), i) =>
+        (0 to i % 2).map { j =>
+          val split: java.lang.Double =
+            v.map(x => java.lang.Double.valueOf(x / (i % 2 + 1))).orNull
+          (k, b * 1000L + j * 37L, split)
+        }
+      }
+    val df = events.toDF("user_id", "ts", "value").repartition(5)
+    val fast = graft.api.Graft.gapFill(df, "user_id", "ts", "value", 1000L)
+      .collect().map(_.toSeq).toSet
+    val slow = graft.api.Graft.gapFillWindow(df, "user_id", "ts", "value", 1000L)
+      .collect().map(_.toSeq).toSet
+    assert(fast == slow)
+    assert(fast.nonEmpty)
+    // the dense-grid contract: key 1 covers every bucket 10..30
+    val k1 = fast.filter(_.head == 1L).map(_(1).asInstanceOf[Long])
+    assert(k1 == (10L to 30L).toSet)
   }
 }
