@@ -475,16 +475,22 @@ object ScaleSoak {
       // mode with the scaling behavior the tail ratio is supposed to
       // measure. Min-of-2 is the same repeat-best convention the op bench
       // uses; the rep pair makes any residual slow mode visible.
+      // per-scale-point weather (r9 verdict item 8): the pipeline-level
+      // pre/post pair can't say WHICH scale point a steal hit — a stolen
+      // x30 with a quiet x10 reads as a superlinear tail. The short probe
+      // (a third of the calibration iterations) runs after each point and
+      // rides in that point's record.
       val pts = scales.map { n =>
         val a = timed(run(n)); val b = timed(run(n))
-        n -> (if (b._1 < a._1) (b, a._1) else (a, b._1))
+        val effPt = graft.core.HostProbe.effectiveCores(cpus.toInt, 10000000L)._1
+        n -> ((if (b._1 < a._1) (b, a._1) else (a, b._1)), effPt)
       }
       val effPost = graft.core.HostProbe.effectiveCores(cpus.toInt)._1
-      val ptJson = pts.map { case (n, ((sec, r, w, rows, gc, spill), other)) =>
-        s""""x$n":{"sec":${fmt(sec)},"sec_other_rep":${fmt(other)},"shuffle_read":$r,"shuffle_write":$w,"rows":$rows,"gc_ms":$gc,"spill_bytes":$spill}"""
+      val ptJson = pts.map { case (n, (((sec, r, w, rows, gc, spill), other), effPt)) =>
+        s""""x$n":{"sec":${fmt(sec)},"sec_other_rep":${fmt(other)},"shuffle_read":$r,"shuffle_write":$w,"rows":$rows,"gc_ms":$gc,"spill_bytes":$spill,"eff":${fmt(effPt)}}"""
       }
-      val (_, ((sA, rA, wA, _, _, _), _)) = pts(pts.size - 2)
-      val (_, ((sB, rB, wB, _, _, _), _)) = pts(pts.size - 1)
+      val (_, (((sA, rA, wA, _, _, _), _), _)) = pts(pts.size - 2)
+      val (_, (((sB, rB, wB, _, _, _), _), _)) = pts(pts.size - 1)
       val tail =
         s""""tail_time_ratio":${fmt(sB / sA)},"tail_shuffle_ratio":${fmt((rB + wB).toDouble / math.max(1L, rA + wA))},""" +
         s""""eff_pre":${fmt(eff)},"eff_post":${fmt(effPost)},"quiet_waits":$waits"""

@@ -31,17 +31,30 @@ object GraphCC {
     * the merge map broadcast is ≤ 2·bound longs. */
   val LocalFinishEdges: Long = 500000L
 
+  /** Vertex bound for the single-task union-find path: O(V) task memory
+    * (a 1M-entry long→long map ≈ 50 MB) and O(E·α) streaming time in ONE
+    * narrow stage. Raised from the old 50k partition-sizing threshold
+    * (r10): the x100 soak showed the 50k→distributed transition IS the
+    * semdedup shuffle superlinearity — a 200k-vertex pair graph paid
+    * ~6 shuffle stages per propagation round for work one task absorbs in
+    * milliseconds. Graphs past this bound (the 100 TB case) run the
+    * partitioned fixpoint with the contraction finish. */
+  val LocalVertexCutoff: Long = 1000000L
+
   /** Returns (vertex, component-min-id). `edges` may be directed input;
-    * it is symmetrized here. Isolated vertices map to themselves. */
-  def minLabels(vertices: RDD[Long], edges0: RDD[(Long, Long)])
+    * it is symmetrized here. Isolated vertices map to themselves.
+    * `localCutoff` overrides [[LocalVertexCutoff]] (tests force the
+    * distributed path with it). */
+  def minLabels(vertices: RDD[Long], edges0: RDD[(Long, Long)],
+                localCutoff: Long = LocalVertexCutoff)
                (implicit spark: SparkSession): RDD[(Long, Long)] = {
-    // size the partitioner to the graph: every propagation round pays
-    // per-partition task overhead across several stages, so a small graph
-    // (thousands of vertices) on the full default parallelism spends more
-    // time scheduling than computing. ~50k vertices per partition, capped
-    // at the session's parallelism for the 100 TB case; the one count()
-    // is a narrow job over the (usually cached) vertex source.
+    // the one count() is a narrow job over the (usually cached) vertex
+    // source; small graphs take the single-task union-find, large ones
+    // size the partitioner at ~50k vertices/partition capped at the
+    // session's parallelism (every propagation round pays per-partition
+    // task overhead across several stages)
     val n = vertices.count()
+    if (n <= localCutoff) return localMinLabels(vertices, edges0)
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, (n / 50000L).toInt + 1))
     if (parts == 1) return localMinLabels(vertices, edges0)

@@ -378,7 +378,9 @@ class GraphCCSpec extends AnyFunSuite {
     val verts = s.sparkContext.range(0L, chains.toLong * len, numSlices = 8)
     val edges = s.sparkContext.range(0L, chains.toLong * len, numSlices = 8)
       .filter(v => v % len != len - 1).map(v => (v, v + 1))
-    val got = graft.operators.GraphCC.minLabels(verts, edges).collect()
+    // localCutoff = 0 forces the distributed fixpoint (the production
+    // default would absorb 60k vertices in the single-task union-find)
+    val got = graft.operators.GraphCC.minLabels(verts, edges, localCutoff = 0L).collect()
     assert(got.length == chains * len)
     got.foreach { case (v, l) =>
       assert(l == (v / len) * len, s"vertex $v labeled $l, expected ${(v / len) * len}")
