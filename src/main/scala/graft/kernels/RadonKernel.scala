@@ -126,8 +126,26 @@ object RadonKernel {
         // round(_, 4) and the bilinear kernel's continuity
         var rr = j * (-s) + i * c - cShift
         var cc = j * c + i * s - rShift
+        // Interior fast path: when the 2x2 bilinear stencil is fully
+        // in-bounds (rr, cc ∈ [0, size-1)) the four fetches need no edge
+        // checks and floor(x>=0) is (int)x — one branch per sample instead
+        // of interpolate2d's two libm floors, two ceils and eight bound
+        // compares. Bit-identical to the checked form: same corner fetch
+        // order and weight association, and at integral coordinates the
+        // ceil==floor degenerate corner differs only in a term multiplied
+        // by exactly 0.0 (±0.0 never flips a running non-negative-zero
+        // accumulator). Ray edges (the few samples whose stencil touches
+        // the border) keep the checked interpolate2d verbatim.
+        val inMax = (size - 1).toDouble
         while (i < end) {
-          acc += interpolate2d(clean, size, rr, cc)
+          if (rr >= 0.0 && rr < inMax && cc >= 0.0 && cc < inMax) {
+            val minr = rr.toInt; val minc = cc.toInt
+            val dr = rr - minr; val dc = cc - minc
+            val base = minr * size + minc
+            val top = (1 - dc) * clean(base) + dc * clean(base + 1)
+            val bottom = (1 - dc) * clean(base + size) + dc * clean(base + size + 1)
+            acc += (1 - dr) * top + dr * bottom
+          } else acc += interpolate2d(clean, size, rr, cc)
           rr += c
           cc += s
           i += 1
