@@ -461,6 +461,17 @@ object ScaleSoak {
     val quietTarget = cpus.toInt * 0.62
     val maxWaits = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAITS", "4").toInt
     val parts = pipelines.map { case (name, run) =>
+      // Inter-pipeline hygiene (the Bench op-section convention): the
+      // pipelines persist corpus replicas and operator state that nothing
+      // unpersists, and at 16 pipelines × x100 the accumulated storage
+      // blocks crowd the unified pool until a late pipeline's join
+      // starves ("Unable to acquire 65536 bytes, got 0" — first seen
+      // ~49 min into the 16-pipeline x100 sweep). Clear everything and
+      // re-mark the three tiny base frames; each pipeline re-caches what
+      // it needs on first touch.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      docs0.persist(); emb0.persist(); ev0.persist()
       var eff = graft.core.HostProbe.effectiveCores(cpus.toInt)._1
       var waits = 0
       while (eff < quietTarget && waits < maxWaits) {
@@ -494,7 +505,12 @@ object ScaleSoak {
       val tail =
         s""""tail_time_ratio":${fmt(sB / sA)},"tail_shuffle_ratio":${fmt((rB + wB).toDouble / math.max(1L, rA + wA))},""" +
         s""""eff_pre":${fmt(eff)},"eff_post":${fmt(effPost)},"quiet_waits":$waits"""
-      s""""$name":{${(ptJson :+ tail).mkString(",")}}"""
+      val frag = s""""$name":{${(ptJson :+ tail).mkString(",")}}"""
+      // incremental durability: a sweep this long (the x100 shape runs
+      // ~1 h) must not lose every completed pipeline to one late failure
+      // — the per-pipeline record lands on stderr the moment it exists
+      System.err.println(s"[soak] $frag")
+      frag
     }
     out ++= s"""{"sf":"$sfDir","scales":[${scales.mkString(",")}],"cores":$cpus,${parts.mkString(",")}}"""
     try {
