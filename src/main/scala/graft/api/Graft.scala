@@ -791,7 +791,10 @@ object Graft {
         val bucket = r.getLong(1)
         val n = r.getLong(2)
         val sv: java.lang.Double = if (r.isNullAt(3)) null else r.getDouble(3)
-        val newKey = !haveKey || key != curKey
+        // deepEquals (ADVICE r10): a BinaryType key surfaces as Array[Byte],
+        // whose == is reference equality — every row would look like a new
+        // key and gaps would silently never fill
+        val newKey = !haveKey || !java.util.Objects.deepEquals(key, curKey)
         if (newKey) { curKey = key; haveKey = true; carried = null }
         // capture pre-update state for the gap rows: the iterator below is
         // consumed lazily, after `carried`/`prevBucket` have advanced

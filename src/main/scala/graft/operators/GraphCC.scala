@@ -41,12 +41,22 @@ object GraphCC {
     * partitioned fixpoint with the contraction finish. */
   val LocalVertexCutoff: Long = 1000000L
 
+  /** Edge bound companion to [[LocalVertexCutoff]] (ADVICE r10): routing
+    * on vertex count alone sent a dense pair graph — 1M vertices but
+    * 100M+ LSH candidate edges — through the single-task union-find,
+    * streaming the whole edge list through one task. The union-find's
+    * memory is O(V), but its wall time and the one-task edge scan are
+    * O(E); past this bound the partitioned fixpoint (whose contraction
+    * finish absorbs the small-residual case anyway) is the right shape. */
+  val LocalEdgeCutoff: Long = 5000000L
+
   /** Returns (vertex, component-min-id). `edges` may be directed input;
     * it is symmetrized here. Isolated vertices map to themselves.
     * `localCutoff` overrides [[LocalVertexCutoff]] (tests force the
     * distributed path with it). */
   def minLabels(vertices: RDD[Long], edges0: RDD[(Long, Long)],
-                localCutoff: Long = LocalVertexCutoff)
+                localCutoff: Long = LocalVertexCutoff,
+                edgeCutoff: Long = LocalEdgeCutoff)
                (implicit spark: SparkSession): RDD[(Long, Long)] = {
     // the one count() is a narrow job over the (usually cached) vertex
     // source; small graphs take the single-task union-find, large ones
@@ -54,12 +64,29 @@ object GraphCC {
     // session's parallelism (every propagation round pays per-partition
     // task overhead across several stages)
     val n = vertices.count()
-    if (n <= localCutoff) return localMinLabels(vertices, edges0)
-    val parts = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, (n / 50000L).toInt + 1))
-    if (parts == 1) return localMinLabels(vertices, edges0)
+    var edgeIn = edges0
+    var edgeCnt = -1L
+    if (n <= localCutoff) {
+      // the edge gate needs a count, and the union-find needs the same
+      // edges — persist so candidate-pair generation runs exactly once
+      val e = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+      edgeCnt = e.count()
+      if (edgeCnt <= edgeCutoff) {
+        val res = localMinLabels(vertices, e)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        res.count()
+        e.unpersist(blocking = false)
+        return res
+      }
+      edgeIn = e // dense small-vertex graph: fall through to the fixpoint
+    }
+    // sized by vertices AND (when counted) edges; floor 2 — the local
+    // union-find already owns every case where one partition is right
+    val parts = math.max(2, math.min(
+      spark.sparkContext.defaultParallelism,
+      math.max(n / 50000L, math.max(0L, edgeCnt) / 500000L).toInt + 1))
     val part = new HashPartitioner(parts)
-    val edges = edges0.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = edgeIn.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .distinct(part.numPartitions)
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.distinct(part.numPartitions)
@@ -142,6 +169,7 @@ object GraphCC {
       }
     }
     edges.unpersist(blocking = false)
+    if (edgeCnt >= 0) edgeIn.unpersist(blocking = false)
     labels
   }
 
@@ -154,7 +182,10 @@ object GraphCC {
     val combined: RDD[Either[Long, (Long, Long)]] =
       vertices.map(v => Left(v): Either[Long, (Long, Long)]) ++
         edges.map(e => Right(e): Either[Long, (Long, Long)])
-    combined.coalesce(1).mapPartitions { it =>
+    // shuffle=true (ADVICE r10): a shuffle-free coalesce(1) would also
+    // collapse upstream vertex/edge GENERATION into the single task;
+    // the bounded input (≤1M vertices + ≤5M edges) is cheap to exchange
+    combined.coalesce(1, shuffle = true).mapPartitions { it =>
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -93,6 +93,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       (7L, 3L, 1L, 4.5), (9L, 1L, 1L, 1.0)))
   }
 
+  test("gapFill fills gaps under a BinaryType key (deepEquals, not reference eq)") {
+    // Array[Byte] keys compare by reference under ==; the run detection
+    // must use deepEquals or every row looks like a new key (ADVICE r10)
+    val events = Seq(
+      (Array[Byte](1, 2), 0L, 10.0),
+      (Array[Byte](1, 2), 3L * 100L, 4.5)
+    ).toDF("k", "ts", "v")
+    val r = Graft.gapFill(events, "k", "ts", "v", 100L)
+      .orderBy("bucket").select("bucket", "n_events", "filled_value")
+      .as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((0L, 1L, 10.0), (1L, 0L, 10.0), (2L, 0L, 10.0), (3L, 1L, 4.5)))
+  }
+
   test("weightedSample is re-run stable, k-bounded, and weight-biased") {
     val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) 1000.0 else 1.0))
       .toDF("id", "w").withColumn("g", lit("all"))

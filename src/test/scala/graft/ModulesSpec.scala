@@ -366,6 +366,21 @@ class GraphCCSpec extends AnyFunSuite {
     assert(got(8L) == 8L && got(9L) == 9L)
   }
 
+  test("edge cutoff routes dense small-vertex graphs to the fixpoint (ADVICE r10)") {
+    // edgeCutoff = 0 simulates a pair graph whose edge list overflows the
+    // single-task bound while the vertex count sits under LocalVertexCutoff:
+    // the fixpoint + contraction finish must produce the same labels
+    implicit val s: org.apache.spark.sql.SparkSession = SharedSpark.spark
+    val verts = s.sparkContext.parallelize(0L to 9L)
+    val edges = s.sparkContext.parallelize(
+      Seq((1L, 0L), (1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (7L, 5L)))
+    val got = graft.operators.GraphCC.minLabels(verts, edges, edgeCutoff = 0L)
+      .collect().toMap
+    assert((0L to 4L).forall(got(_) == 0L))
+    assert((5L to 7L).forall(got(_) == 5L))
+    assert(got(8L) == 8L && got(9L) == 9L)
+  }
+
   test("distributed rounds + contraction finish: 600 chains of 100 over multiple partitions") {
     // > 50k vertices forces the multi-partition propagation loop (not the
     // single-task union-find), and chain shapes force enough rounds that
