@@ -165,8 +165,16 @@ object Bench {
       // GC-crushed is unpublishable regardless of eff probes.
       def validIdx: Seq[Int] = reps.indices.filter(i => gcReps(i) <= 300.0 * reps(i))
       def best: Double = { val v = validIdx; if (v.nonEmpty) v.map(reps).min else reps.min }
+      // rep-steadiness guard (r10 verdict item 3): pointwise_add published
+      // reps [0.198, 5.24, 7.56, 8.82, 3.66] with ZERO GC and quiet-reading
+      // bracketing probes — a mid-attempt steal wave the pre/post probes
+      // straddled (the rise-then-recover shape rules out a persistent
+      // deopt; isolated and prefix-chain re-runs are flat). A >4x max/min
+      // spread re-queues the attempt; sub-0.2 s ops bounce ±2x on this box
+      // (memory: bench hygiene), so 4x only fires on genuine pathology.
+      def steady: Boolean = reps.max / math.max(reps.min, 1e-9) <= 4.0
       def quiet(floor: Double): Boolean =
-        math.min(effPre, effPost) >= floor && validIdx.nonEmpty
+        math.min(effPre, effPost) >= floor && validIdx.nonEmpty && steady
     }
     final case class OpRec(sec: Double, thr: Double, reps: Array[Double], gcReps: Array[Long],
                            effPre: Double, effPost: Double, attempts: Int, route: String)
@@ -556,6 +564,8 @@ object Bench {
     // and would zero the WHOLE bench artifact — skip loudly instead
     // (SPARK_DRIVER_MEM=24g+ enables it).
     val heapG = Runtime.getRuntime.maxMemory >> 30
+    if (heapG < 16 && opWanted("volume_zoom_o1_512")) System.err.println(
+      s"[bench] volume_zoom_o1_512 skipped: heap ${heapG}g < 16g")
     if (heapG >= 16 && opWanted("volume_zoom_o1_512")) {
       // r8 fix, moved INTO the operator: the full-slice path emits 8 MB
       // output rows — humongous at G1's default region size — and after
@@ -579,28 +589,47 @@ object Bench {
             Array(512, 512, 512), Array(2.0, 2.0, 2.0), order = 1)(spark)
           .toDF().agg(sum(get(col("data"), lit(0)))).collect()
       }
-    } else System.err.println(
-      s"[bench] volume_zoom_o1_512 skipped: heap ${heapG}g < 16g")
+    }
 
     import graft.operators.TiledStencil.Tile3
-    val tiles3 = spark.range(64).select(
-        lit(0L).as("id"),
-        (col("id") / 16).cast("int").as("ti"),
-        ((col("id") / 4) % 4).cast("int").as("tj"),
-        (col("id") % 4).cast("int").as("tk"),
+    // matched-FRAMING batch (r10 verdict item 4): the r10 row ran ONE 256³
+    // volume through the router's assembled path — one task, one core, and
+    // the published 52 M cells/s was simply single-thread kernel speed on
+    // a 32-core box. Every other bench row frames the batch axis as rows
+    // fanned across executor threads (radon runs 32 slices; zoom 256), so
+    // this row now does too: 32 independent 256³ volumes, one assembly
+    // task each — the shape the assembled route exists for (per-volume
+    // parallelism across the batch, the reference's OpenMP-batch analog).
+    // Throughput is per cell over all 32 volumes. The 3-D kernel gets the
+    // same C2 warm pass as morphology/interp1d (r10 reps 1.46 → 0.32 were
+    // the cold-compile curve inside the timed attempt).
+    if (opWanted("tiled_erosion_3d")) {
+      val (wfp, wfs) = graft.kernels.StencilKernel.crossFootprint(3)
+      val wMask = Array.tabulate(32 * 32 * 32)(i => (i % 5) != 0)
+      var w = 0
+      while (w < 32) {
+        graft.kernels.StencilKernel.erode(wMask, Array(32, 32, 32), wfp, wfs)
+        w += 1
+      }
+    }
+    val tiles3 = spark.range(64L * 32).select(
+        floor(col("id") / 64).as("id"),
+        ((col("id") % 64) / 16).cast("int").as("ti"),
+        (((col("id") % 64) / 4) % 4).cast("int").as("tj"),
+        ((col("id") % 64) % 4).cast("int").as("tk"),
         tile3Gen(col("id")).as("data"))
       .as[Tile3]
     val tiles3Df = tiles3.toDF()
-    // through the size router (r9 verdict item 2): a 256³ volume sits
-    // under TiledStencil.AssembleCutoffCells, so the router assembles the
-    // volume in one task and runs the single-tensor kernel — the halo
-    // exchange at this toy shape measured fixed shuffle overhead, not the
-    // operator (its 100 TB shape stays gated by q_tiled_erosion3d_big)
-    bench("tiled_erosion_3d", 256.0 * 256 * 256, Some(tiles3Df),
-          route = "router:assembled") {
+    // 32 volume keys into the default 32 shuffle partitions would load
+    // the max bin 3-4 volumes deep (balls-in-bins); widen the exchange so
+    // each assembly task owns ~1 volume, then restore
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    bench("tiled_erosion_3d", 32.0 * 256 * 256 * 256, Some(tiles3Df),
+          route = "router:assembled,batch=32") {
       graft.operators.TiledStencil.erode3Auto(tiles3Df.as[Tile3], 64, Array(4, 4, 4))(spark)
         .toDF().agg(count(lit(1))).collect()
     }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
     effCoresPost = effectiveCores(cpus.toInt)._1
 
