@@ -171,8 +171,11 @@ object Bench {
       // straddled (the rise-then-recover shape rules out a persistent
       // deopt; isolated and prefix-chain re-runs are flat). A >4x max/min
       // spread re-queues the attempt; sub-0.2 s ops bounce ±2x on this box
-      // (memory: bench hygiene), so 4x only fires on genuine pathology.
-      def steady: Boolean = reps.max / math.max(reps.min, 1e-9) <= 4.0
+      // (memory: bench hygiene), so the ratio bar carries an absolute
+      // jitter floor — half a second of spread on a 0.1 s op is scheduler
+      // noise, not a mode.
+      def steady: Boolean =
+        reps.max / math.max(reps.min, 1e-9) <= 4.0 || reps.max - reps.min <= 0.5
       def quiet(floor: Double): Boolean =
         math.min(effPre, effPost) >= floor && validIdx.nonEmpty && steady
     }
@@ -231,18 +234,26 @@ object Bench {
         }
         // best-of-5: the box runs other load and per-run swings of 3-4x were
         // observed between identical builds; min over 5 reps is the
-        // steadiest estimator of the op's actual cost
-        val reps = new Array[Double](5)
-        val gcReps = new Array[Long](5)
+        // steadiest estimator of the op's actual cost. Wall-time bound on
+        // hopeless attempts (a GC-crushed vz512 rep runs 50-100 s): an
+        // attempt that can never publish — host read stolen after the
+        // bounded wait, or both opening reps GC-crushed — stops at 2 reps;
+        // the fallback publish only needs a min, not five of them.
+        val nReps = if (pre < floor) 2 else 5
+        val repsB = scala.collection.mutable.ArrayBuffer[Double]()
+        val gcB = scala.collection.mutable.ArrayBuffer[Long]()
         var r = 0
-        while (r < 5) {
+        var bail = false
+        while (r < nReps && !bail) {
           val g0 = gcMillis()
-          reps(r) = time(f)
-          gcReps(r) = gcMillis() - g0
+          repsB += time(f)
+          gcB += gcMillis() - g0
           r += 1
+          if (r == 2 && repsB.indices.forall(i => gcB(i) > 300.0 * repsB(i)))
+            bail = true
         }
         val post = effectiveCoresFast(cpus.toInt)
-        val att = Attempt(reps, gcReps, pre, post)
+        val att = Attempt(repsB.toArray, gcB.toArray, pre, post)
         attempts += att
         done = att.quiet(floor)
         a += 1

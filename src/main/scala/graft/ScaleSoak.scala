@@ -512,7 +512,11 @@ object ScaleSoak {
       System.err.println(s"[soak] $frag")
       frag
     }
-    out ++= s"""{"sf":"$sfDir","scales":[${scales.mkString(",")}],"cores":$cpus,${parts.mkString(",")}}"""
+    // heap in the header (r10 verdict item 5): the heap-bound pipelines'
+    // x1000 points are only comparable across rounds when the JVM size
+    // they ran under is in the artifact, not in a side note
+    val heapG = Runtime.getRuntime.maxMemory >> 30
+    out ++= s"""{"sf":"$sfDir","scales":[${scales.mkString(",")}],"cores":$cpus,"heap_g":$heapG,${parts.mkString(",")}}"""
     try {
       val soakOut = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r8.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(soakOut),
