@@ -56,6 +56,14 @@ object ScaleSoak {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // x1000 points on the heap-bound pipelines can stall the whole JVM
+      // in GC for minutes at a time; at the default 120 s heartbeat
+      // timeout the local executor gets "removed" mid-pause and the run
+      // dies in an RPC storm (measured: a 175 s pause killed the r11
+      // gap_fill x1000 sweep). The pause still lands in the rep wall time
+      // and gc_ms — these only keep a single-JVM soak alive through it.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
     val spark = Bench.shmLocalDir().fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
