@@ -233,9 +233,16 @@ object ScaleSoak {
       * cluster COUNT rides corpus size so the per-cell O(B²) pair term
       * stays constant per cell and total pairs grow ∝ N. (The previous
       * k ∝ √N shape put pairs at n^1.5 and measured a 14.8× shuffle tail
-      * at ×3 data — the round-6 scale-killer.) `cellCap` is the hard
-      * guard against skewed cells when the quantizer under-fits; dropped
-      * cells are counted and printed, never silent. */
+      * at ×3 data — the round-6 scale-killer.) k ∝ N in turn makes a FLAT
+      * assignment argmax O(N·k) = quadratic — the r11 x1000 run measured
+      * exactly that (every executor thread pinned in the assignment fold
+      * for ~an hour while pairs/CC stayed linear) — so assignment routes
+      * through the two-level coarse→fine tree ([[graft.functions
+      * .SimilarityFunctions.semDedup2]]): coarse k₁ ≈ √k, per-vector work
+      * O(√k), total O(N^1.5) dots with a tiny constant instead of O(N²).
+      * `cellCap` is the hard guard against skewed cells when the
+      * quantizer under-fits; over-cap cells are counted from the result
+      * frame itself (one pass, never silent). */
     def semdedupRun(n: Int): Long = {
       // auto-broadcast off for THIS pipeline's measurement: at 1×/10× the
       // pair join's build side fits the broadcast threshold (14 KB shuffle)
@@ -249,13 +256,18 @@ object ScaleSoak {
       sq.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       try {
         val v = vecs(n)
-        val cen = v.where(col("vec_id") % 100 === 0)
-        val dropped = graft.functions.SimilarityFunctions
-          .semDedupDroppedCells(v, cen, cellCap = 256).count()
-        if (dropped > 0)
-          println(s"""{"semdedup_dropped_cells": $dropped, "scale": $n}""")
-        graft.functions.SimilarityFunctions.semDedup(
-          v, cen, tau = 0.3, cellCap = 256).count()
+        val fine = v.where(col("vec_id") % 100 === 0)
+        // coarse ≈ √k of the fine set, deterministically id-sampled
+        val coarseMod = 100L * math.max(1, math.round(math.sqrt(n.toDouble)))
+        val coarse = v.where(col("vec_id") % coarseMod === 0)
+        val r = graft.functions.SimilarityFunctions.semDedup2(
+          v, coarse, fine, tau = 0.3, cellCap = 256)
+        val agg = r.groupBy("cell").agg(count(lit(1)).as("cn"))
+          .agg(sum(when(col("cn") > 256, 1L).otherwise(0L)).as("dropped"),
+            sum(col("cn")).as("rows")).collect()(0)
+        if (agg.getLong(0) > 0)
+          println(s"""{"semdedup_dropped_cells": ${agg.getLong(0)}, "scale": $n}""")
+        agg.getLong(1)
       } finally {
         sq.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
         sq.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved._2)
@@ -500,10 +512,21 @@ object ScaleSoak {
       // (a third of the calibration iterations) runs after each point and
       // rides in that point's record.
       val pts = scales.map { n =>
+        // scale-aware exchange width (r11): a fixed 32-partition exchange
+        // at x1000 forces ~8M-row hash-agg/sort partitions that spill and
+        // GC-stall the JVM (edt3d x1000: 31 GB spill, 191 s GC, time tail
+        // 23 over a linear shuffle tail). A real cluster sizes the
+        // exchange to the data — the soak mirrors that above x100 and
+        // keeps the session default below it so r10 points stay
+        // comparable. Shuffle BYTES are partition-count independent, so
+        // the tail ratios still measure the plan, not the conf.
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(512, cpus.toInt * math.max(1, n / 100)).toString)
         val a = timed(run(n)); val b = timed(run(n))
         val effPt = graft.core.HostProbe.effectiveCores(cpus.toInt, 10000000L)._1
         n -> ((if (b._1 < a._1) (b, a._1) else (a, b._1)), effPt)
       }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
       val effPost = graft.core.HostProbe.effectiveCores(cpus.toInt)._1
       val ptJson = pts.map { case (n, (((sec, r, w, rows, gc, spill), other), effPt)) =>
         s""""x$n":{"sec":${fmt(sec)},"sec_other_rep":${fmt(other)},"shuffle_read":$r,"shuffle_write":$w,"rows":$rows,"gc_ms":$gc,"spill_bytes":$spill,"eff":${fmt(effPt)}}"""

@@ -156,11 +156,33 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
 object NearestCentroid {
   /** Spark's own double `round(x, 6)` semantics: BigDecimal.valueOf
     * (decimal string repr) → setScale(6, HALF_UP); NaN/Infinity pass
-    * through unrounded. */
-  def round6(v: Double): Double =
-    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
-    else java.math.BigDecimal.valueOf(v)
+    * through unrounded.
+    *
+    * Fast path (r11): this sits in the per-CANDIDATE inner loop of every
+    * nearest-centroid argmax, and BigDecimal.valueOf goes through
+    * Double.toString — it dominated the whole assignment pass at large k
+    * (jstack'd at the top of every executor thread in the x1000 soak).
+    * When the scaled value is comfortably away from a .5 tie the
+    * half-up result is plain floor(y+0.5)/1e6: for |y| ≤ 2^52 the
+    * binary-scaling error (≤ 0.5 ulp(1e6) ≈ 6e-11) and the shortest-repr
+    * deviation BigDecimal.valueOf sees (≤ ulp(v)·1e6 ≈ 1e-10 for cosines)
+    * are 4+ orders below the 1e-6 guard band, so fast and slow paths
+    * agree exactly; within the band we defer to BigDecimal. Pinned
+    * bit-equal against the BigDecimal form over random + adversarial
+    * near-tie inputs by PropertySpec. */
+  def round6(v: Double): Double = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return v
+    if (v == 0.0) return 0.0 // BigDecimal.valueOf(-0.0) normalizes to +0.0
+    val y = v * 1e6
+    if (math.abs(y) < 4.5e15) {
+      val f = math.floor(y)
+      val d = y - f
+      if (math.abs(d - 0.5) > 1e-6)
+        return (if (d > 0.5) f + 1.0 else f) / 1e6
+    }
+    java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
 
   /** The shared argmax kernel: (best id, best rounded cosine) of `arr`
     * against id-ascending (ids, cents, norms) — the exact loop the

@@ -313,9 +313,50 @@ object SimilarityFunctions {
     val cells = assignBest(
       corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), cenArr)
       .cache()
+    semDedupFinish(cells, tau, cellCap)
+  }
+
+  /** [[semDedup]] with the two-level (coarse → fine) quantizer assignment
+    * of [[ivf2Assign]] — the deployment shape once the cell count rides
+    * corpus size. SemDeDup's own scale rule (k ∝ N, constant expected cell
+    * width so per-cell pair work stays bounded) makes a FLAT assignment
+    * argmax O(N·k) = quadratic in corpus size — the r11 x1000 soak
+    * measured exactly that: assignment pinned every executor thread for
+    * the better part of an hour while pairs/CC stayed linear. Routing
+    * assignment through the coarse→fine tree cuts it to
+    * O(N·(k₁ + k/k₁)) = O(N·√k) dot products at k₁ ≈ √k, still map-only
+    * and shuffle-free. Cells are the FINE centroid ids; pair generation,
+    * the cellCap guard, components, and the keep rule are identical to
+    * [[semDedup]]. Coarse-routing divergence (a member whose flat-argmax
+    * fine centroid lives under a different coarse cell) can split a flat
+    * cell — deployment semantics, pinned by its own oracle
+    * (q_semdedup_ivf2). Rows landing in an EMPTY coarse cell (fid -1)
+    * are excluded from pair generation and come back as singleton
+    * clusters, keep = true. Returns (vec_id, cell, cluster, keep). */
+  def semDedup2(corpus: DataFrame, coarse: DataFrame, fine: DataFrame,
+                tau: Double, idCol: String = "vec_id",
+                embCol: String = "embedding", cellCap: Int = 2048): DataFrame = {
+    val idx = Ivf2Index.build(coarse, fine, idCol, embCol)
+    val cells = SimilarityFunctions.assignBest(
+        corpus.select(col(idCol).as("vec_id"), col(embCol).as("ce")), idx.coarseArr)
+      .withColumn("fb",
+        graft.exprs.NearestCentroidByCell.best(col("ce"), col("cid"), idx.fineByCell))
+      .select(col("vec_id"), col("ce"),
+        col("fb.fid").as("cid"), col("fb.fcos").as("ccos"))
+      .cache()
+    semDedupFinish(cells, tau, cellCap)
+  }
+
+  /** Shared [[semDedup]]/[[semDedup2]] tail on an assigned `cells` frame
+    * (vec_id, ce, cid, ccos): per-cell pair generation under the cap,
+    * GraphCC components over ALL vectors, and the keep window. Cells with
+    * cid < 0 (the two-level form's empty-cell marker) never join pairs. */
+  private def semDedupFinish(cells: DataFrame, tau: Double, cellCap: Int): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
     // one tiny agg shuffle buys the hard per-cell bound on the self-join;
     // members of over-cap cells stay in the vertex set (→ singletons)
-    val joinable = cells.join(
+    val joinable = cells.where(col("cid") >= 0).join(
       cells.groupBy("cid").agg(count(lit(1)).as("cell_n"))
         .where(col("cell_n") <= cellCap).select("cid"),
       Seq("cid"), "left_semi")

@@ -1338,6 +1338,64 @@ object QueriesText {
            |FROM r GROUP BY cell""".stripMargin
       }),
 
+    // SemDeDup through the TWO-LEVEL (coarse → fine) quantizer assignment
+    // — the deployment shape once cell count rides corpus size: k ∝ N
+    // keeps per-cell pair work constant but makes the flat assignment
+    // argmax O(N·k) = quadratic (the r11 x1000 soak measured exactly
+    // that); the coarse→fine tree cuts it to O(N·√k), map-only. Cells
+    // are the fine ids; pairs/components/keep replay q_semdedup's rules.
+    // The oracle composes q_ann_ivf2's two-level argmax CTEs with
+    // q_semdedup's closure + keep window.
+    Q("q_semdedup_ivf2",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        graft.functions.SimilarityFunctions.semDedup2(
+          e, e.where(col("vec_id") % 100 === 0), e.where(col("vec_id") % 10 === 0),
+          tau = 0.3)
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1, 65), k -> cast($a[k] AS DOUBLE) * cast($b[k] AS DOUBLE)))"
+        def cos(a: String, b: String) =
+          s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+        s"""WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings),
+           |co AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id % 100 = 0),
+           |fi AS (SELECT vec_id AS fid, embedding AS femb FROM v WHERE vec_id % 10 = 0),
+           |fa AS (SELECT fid, cid FROM (SELECT f.fid, c.cid,
+           |  row_number() OVER (PARTITION BY f.fid
+           |    ORDER BY ${cos("f.femb", "c.cemb")} DESC, c.cid) AS rn
+           |  FROM fi f CROSS JOIN co c) WHERE rn = 1),
+           |va AS (SELECT vec_id, cid FROM (SELECT v.vec_id, c.cid,
+           |  row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY ${cos("v.embedding", "c.cemb")} DESC, c.cid) AS rn
+           |  FROM v CROSS JOIN co c) WHERE rn = 1),
+           |vf AS (SELECT vec_id, fid, fcos FROM (SELECT va.vec_id, fa.fid,
+           |  ${cos("v.embedding", "fi.femb")} AS fcos,
+           |  row_number() OVER (PARTITION BY va.vec_id
+           |    ORDER BY ${cos("v.embedding", "fi.femb")} DESC, fa.fid) AS rn
+           |  FROM va JOIN fa ON fa.cid = va.cid
+           |  JOIN v ON v.vec_id = va.vec_id
+           |  JOIN fi ON fi.fid = fa.fid) WHERE rn = 1),
+           |cells AS (SELECT va.vec_id, coalesce(vf.fid, -1) AS cid,
+           |  coalesce(vf.fcos, -2.0) AS ccos
+           |  FROM va LEFT JOIN vf ON vf.vec_id = va.vec_id),
+           |w AS (SELECT cid, count(*) AS cn FROM cells GROUP BY 1),
+           |jo AS (SELECT c.vec_id, c.cid FROM cells c
+           |  JOIN w ON w.cid = c.cid AND w.cn <= 2048 WHERE c.cid >= 0),
+           |e AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM jo a
+           |  JOIN jo b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  JOIN v x ON x.vec_id = a.vec_id JOIN v y ON y.vec_id = b.vec_id
+           |  WHERE ${cos("x.embedding", "y.embedding")} >= 0.3),
+           |sym AS (SELECT id1, id2 FROM e UNION SELECT id2, id1 FROM e),
+           |reach(s, t) AS (SELECT vec_id, vec_id FROM cells
+           |  UNION SELECT r.s, e2.id2 FROM reach r JOIN sym e2 ON e2.id1 = r.t),
+           |comp AS (SELECT s AS vec_id, min(t) AS cluster FROM reach GROUP BY s),
+           |r AS (SELECT c.vec_id, c.cid AS cell, p.cluster, c.ccos,
+           |  row_number() OVER (PARTITION BY p.cluster ORDER BY c.ccos ASC, c.vec_id) AS rn
+           |  FROM cells c JOIN comp p ON p.vec_id = c.vec_id)
+           |SELECT vec_id, cell, cluster, rn = 1 AS keep FROM r""".stripMargin
+      }),
+
     // Lloyd k-means refinement (2 assignment passes, 1 refit) — the
     // quantizer trainer behind q_ann_ivf/q_semdedup's centroids. The
     // oracle unrolls both iterations with centroids as (cid, k, val)

@@ -15,6 +15,29 @@ class PropertySpec extends AnyFunSuite {
   private def randShape(maxRank: Int = 4): Array[Int] =
     Array.fill(1 + rng.nextInt(maxRank))(2 + rng.nextInt(7))
 
+  test("round6 fast path is bit-equal to the BigDecimal reference") {
+    def ref(v: Double): Double =
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+      else java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def check(v: Double): Unit = {
+      val got = graft.exprs.NearestCentroid.round6(v)
+      val want = ref(v)
+      assert(java.lang.Double.compare(got, want) == 0, s"round6($v): $got != $want")
+    }
+    // cosine-range randoms (the hot-loop domain), wider randoms, and
+    // adversarial near-tie values that must fall through to BigDecimal
+    (0 until 200000).foreach(_ => check(rng.nextDouble() * 2 - 1))
+    (0 until 50000).foreach(_ => check((rng.nextDouble() * 2 - 1) * math.pow(10, rng.nextInt(12) - 6)))
+    (-20 to 20).foreach { i =>
+      val base = i * 1e-6 + 5e-7 // exact .5 ties in decimal terms
+      (-3 to 3).foreach(ulps => check(math.ulp(base) * ulps + base))
+    }
+    Seq(0.0, -0.0, 1.0, -1.0, 0.9999995, -0.9999995, 1234.5678995,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      4.9e15, -4.9e15, 1e300).foreach(check)
+  }
+
   test("zoom fast path agrees with the generic per-cell evaluators") {
     for (_ <- 0 until 30) {
       val shape = randShape()

@@ -435,6 +435,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(4L) == (10L, 4L, true), "singleton keeps itself")
   }
 
+  test("semDedup2 with coarse == fine degenerates to flat semDedup") {
+    // each vector's coarse argmax IS its flat argmax, and that cell's
+    // only fine centroid is itself — so the two-level assignment, cells,
+    // clusters, and keeps must all equal the flat form's
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (10L, Seq(0f, 1f, 0f)),
+      (1L, Seq(1f, 0.01f, 0f)), (2L, Seq(1f, 0.02f, 0f)),
+      (3L, Seq(1f, 0.2f, 0f)), (4L, Seq(0.1f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = vecs.where($"vec_id" =!= 0L && $"vec_id" =!= 10L)
+    val cen = vecs.where($"vec_id" === 0L || $"vec_id" === 10L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "cluster", "keep")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rows(SimilarityFunctions.semDedup2(corpus, cen, cen, tau = 0.95)) ==
+      rows(SimilarityFunctions.semDedup(corpus, cen, tau = 0.95)))
+  }
+
+  test("semDedup2 empty-cell rows come back as kept singletons") {
+    // coarse 10 (y-axis) gets no fine centroid: v4 lands there, must be a
+    // singleton cluster with cell -1 and keep = true, never pair-joined
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (10L, Seq(0f, 1f, 0f)),
+      (100L, Seq(1f, 0.05f, 0f)), // fine; argmaxes into coarse 0
+      (1L, Seq(1f, 0.01f, 0f)), (4L, Seq(0.1f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityFunctions.semDedup2(
+        vecs.where($"vec_id".isin(1L, 4L)),
+        vecs.where($"vec_id".isin(0L, 10L)),
+        vecs.where($"vec_id" === 100L), tau = 0.95)
+      .select("vec_id", "cell", "cluster", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (100L, 1L, true))
+    assert(out(4L) == (-1L, 4L, true), "empty-cell row is a kept singleton")
+  }
+
   test("ivf2Assign routes through the coarse tree and pins the empty-cell rule") {
     // coarse 0=(x-axis), 10=(y-axis); fine 100/101 both argmax into coarse
     // 0, coarse 10 gets NO fine centroid. v1 hugs f100, v2 tilts toward
