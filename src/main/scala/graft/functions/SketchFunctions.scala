@@ -224,10 +224,23 @@ object SketchFunctions {
     * FP-exact cross-engine. */
   def sampledQuantiles(df: DataFrame, key: Column, value: Column, k: Int,
                        groupCols: Seq[Column], ps: Seq[Double]): DataFrame = {
-    val w = Window.partitionBy(groupCols: _*).orderBy(col("qh"))
+    // KMV row selection through the bounded-heap aggregate (TopKAgg)
+    // rather than row_number over a window: the window form needed every
+    // map partition SORTED (r11 baseline plan: Sort + WindowGroupLimit
+    // over the full input before the exchange — the sort of ~600k rows
+    // was the whole query cost), while the heap keeps the k smallest
+    // hashes per group in O(n log k) with ordinary partial aggregation,
+    // and the exchange carries only O(groups·k) sampled values either
+    // way. Selection is identical: qh is a 60-bit hash of a caller-unique
+    // key, so the k smallest (qh, tie) rows are the k smallest qh rows the
+    // window picked. The sampled values then re-aggregate through the same
+    // exact `percentile` expression — same sample, same interpolation,
+    // bit-identical output.
     df.select(groupCols :+ hash60(key).as("qh") :+ value.as("v"): _*)
-      .withColumn("r", row_number().over(w))
-      .where(col("r") <= k)
+      .groupBy(groupCols: _*)
+      .agg(graft.exprs.TopKAgg.topK(
+        col("qh"), col("qh").cast("string"), col("v"), k).as("sample"))
+      .select(groupCols :+ explode(col("sample")).as("v"): _*)
       .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n_sample"),
         percentile(col("v"), typedlit(ps)).as("qs"))

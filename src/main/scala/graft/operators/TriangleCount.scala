@@ -33,11 +33,21 @@ object TriangleCount {
     * @return (u, n_tri) — vertices participating in >= 1 triangle
     */
   def apply(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // `und` fans into the degree aggregation AND the orientation join, and
+    // `o` below is consumed THREE times (both wedge arms + the closure
+    // probe). Left as pure lineage every consumer re-derives the whole
+    // upstream edge pipeline (r11 baseline: a 2,136-line physical plan
+    // with 36 scans of the source for one triangle query). Materializing
+    // both — the adjacency-list build every distributed triangle counter
+    // performs — makes each pass run once; MEMORY_AND_DISK so a 100 TB
+    // edge list degrades to disk instead of OOM (same policy as GraphCC's
+    // internal edge persist).
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(explode(array(col("a"), col("b"))).as("u"))
       .groupBy("u").agg(count(lit(1)).as("deg"))
     val withDeg = und
@@ -51,6 +61,7 @@ object TriangleCount {
         .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wedges = o.as("x").join(o.as("y"),
         col("x.u") === col("y.u") &&
           (col("x.dv") < col("y.dv") ||

@@ -361,11 +361,13 @@ object QueriesStreaming {
     // Streaming repetition gate: the ingest-time form of q_repetition's
     // filter. Streaming allows ONE aggregation per query, so the per-doc
     // metrics compute ROW-LOCALLY (dup-word fraction from array_distinct;
-    // top-bigram fraction as an O(m²) HOF fold over the row's own bigrams
-    // — fine at document length, and it never explodes rows into state);
-    // the single stateful op is the per-language rollup of integer counts,
-    // which are merge-order-proof. Thresholds compare identical IEEE
-    // divisions on both engines.
+    // top-bigram COUNT as the longest equal-run of the row's SORTED
+    // bigram array — r11: the previous per-distinct-bigram filter scan
+    // was O(m²) per document and dominated the drain; max run length over
+    // array_sort is the same integer by definition and runs O(m log m),
+    // never exploding rows into state); the single stateful op is the
+    // per-language rollup of integer counts, which are merge-order-proof.
+    // Thresholds compare identical IEEE divisions on both engines.
     Q("q_stream_repetition",
       (s, dir) => {
         import graft.functions.TextFunctions.tokens
@@ -379,11 +381,19 @@ object QueriesStreaming {
           .select(col("lang"), tokens(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .withColumn("bgs", graft.functions.TextFunctions.wordGrams(col("toks"), 2))
+          .withColumn("bgs_sorted", array_sort(col("bgs")))
           .select(col("lang"),
             (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
               size(col("toks")).cast("double")).as("df"),
-            (array_max(transform(array_distinct(col("bgs")),
-              b => size(filter(col("bgs"), x => x === b)))).cast("double") /
+            (aggregate(col("bgs_sorted"),
+              struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+              (st, x) => {
+                val run = when(x === st.getField("prev"),
+                  st.getField("run") + 1).otherwise(lit(1))
+                struct(x.as("prev"), run.as("run"),
+                  greatest(st.getField("best"), run).as("best"))
+              },
+              st => st.getField("best")).cast("double") /
               size(col("bgs")).cast("double")).as("tf"))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),

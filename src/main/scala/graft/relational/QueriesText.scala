@@ -77,6 +77,34 @@ object QueriesText {
                           dir: String): org.apache.spark.sql.DataFrame =
     SharedInputs(s, dir, "docClusters") { docClustersBuild(s, dir) }
 
+  // Distinct capped candidate-pair set over the rep signatures — the LSH
+  // blocking output every near-dup verifier consumes. Four declared
+  // queries (cluster CC build, n-gram Jaccard, containment, edit
+  // distance) previously each re-ran the identical banded self-join +
+  // distinct (r11 baseline plans: 24-44 Exchange nodes apiece, zero
+  // runtime reuse); one materialized pair table is the "compute the
+  // candidate table once" pipeline shape, same SharedInputs contract as
+  // repSig/docTokens (guide §2.4: two operations keyed the same way share
+  // one exchange — here they share the whole blocking pass).
+  private def candPairs64(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedInputs(s, dir, "candPairs64") {
+      val bands = repSig(s, dir)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+      graft.operators.LshBlocking
+        .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
+        .distinct()
+    }
+
+  // (doc_id, sh) distinct 3-gram shingle arrays of the reps — shared by
+  // the Jaccard/containment verifiers and the recall harness; the shingle
+  // UDF over every rep's full text is their dominant projection cost and
+  // byte-identical in all three.
+  private def repShingles3(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedInputs(s, dir, "repShingles3") {
+      repSig(s, dir).select(col("doc_id"),
+        shinglesUdf.asNondeterministic()(col("text"), lit(3)).as("sh"))
+    }
+
   private def docClustersBuild(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -87,11 +115,8 @@ object QueriesText {
     val docs = T(s, dir, "documents")
     val reps = repSig(s, dir)
     val docRep = graft.operators.LshBlocking.repMapping(docs, "doc_id", "text")
-    val bands = reps
-      .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
-    val pairs = graft.operators.LshBlocking
-      .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
-      .select(col("id1").as("src"), col("id2").as("dst")).distinct()
+    val pairs = candPairs64(s, dir)
+      .select(col("id1").as("src"), col("id2").as("dst"))
     val labels = graft.operators.GraphCC.minLabels(
       reps.select(col("doc_id")).as[Long].rdd,
       pairs.as[(Long, Long)].rdd)(s)
@@ -136,6 +161,16 @@ object QueriesText {
       // re-evaluate per element (see TextFunctions.wordGrams)
       T(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(wordGrams(col("toks"), 5)).as("g"))
+    }
+
+  // distinct (doc_id, gh) hashed 5-gram incidence — the deduped gram table
+  // all three decontamination gates (semi-join, Bloom, contamination
+  // report) derive identically from grams5 (r11: each previously re-ran
+  // the md5 + distinct shuffle over the full gram stream; one materialized
+  // table per session, the SharedInputs contract).
+  private def grams5h(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SharedInputs(s, dir, "grams5h") {
+      grams5(s, dir).select(col("doc_id"), md5(col("g")).as("gh")).distinct()
     }
 
   // DuckDB twin of the 5-gram stream: CTE `g` = (doc_id, g)
@@ -321,13 +356,12 @@ object QueriesText {
         // capped; the exact Jaccard via hash-set array_intersect —
         // O(|A|+|B|) per candidate — runs only on the deduped candidate
         // set, with the (heavy) shingle arrays joined back AFTER candidate
-        // dedup so they move once per pair, not once per band match
-        val d = repSig(s, dir).select(col("doc_id"), col("sig"),
-          shinglesUdf(col("text"), lit(3)).as("sh"))
-        val bands = d.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
-        val cand = graft.operators.LshBlocking
-          .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
-          .distinct()
+        // dedup so they move once per pair, not once per band match.
+        // Candidates and shingle arrays come from the shared session
+        // tables (candPairs64 / repShingles3) — this query, containment
+        // and edit distance verify the SAME blocking output.
+        val d = repShingles3(s, dir)
+        val cand = candPairs64(s, dir)
         val inter = size(array_intersect(col("sa"), col("sb")))
         cand
           .join(d.select(col("doc_id").as("id1"), col("sh").as("sa")), Seq("id1"))
@@ -379,21 +413,32 @@ object QueriesText {
       (s, dir) => {
         import s.implicits._
         val reps = repSig(s, dir).where(col("doc_id") < 600)
-        // shingles compare as 60-bit md5 BIGINTs, not strings: the
-        // all-pairs intersect is the harness's whole cost and primitive
-        // arrays cut the string-hash/allocation churn several-fold. The
+        // shingles compare as 60-bit md5 BIGINTs, not strings: primitive
+        // keys cut the string-hash/allocation churn several-fold. The
         // oracle hashes identically, so a (cosmically unlikely) collision
         // shifts BOTH engines the same way — the sparse_cosine convention.
-        val d = reps.select(col("doc_id"),
-          array_distinct(transform(shinglesUdf(col("text"), lit(3)),
-            g => graft.functions.SketchFunctions.hash60(g))).as("sh"))
-        val pairs = d.select(col("doc_id").as("id1"), col("sh").as("sa"))
-          .join(d.select(col("doc_id").as("id2"), col("sh").as("sb")),
-            col("id1") < col("id2"))
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-          .where(col("inter") >= 1)
+        // Truth pairs via explode + ONE equi-join on the shingle hash
+        // (r11: the previous BroadcastNestedLoopJoin evaluated
+        // array_intersect for all 600·599/2 pairs; a pair with zero shared
+        // shingles — the overwhelming majority — was filtered AFTER paying
+        // the intersect. grouping the exploded equi-join counts exactly
+        // the `inter >= 1` pairs and never materializes the rest —
+        // guide §3.1/§2.3: equi-join over nested-loop, shuffle keys not
+        // payloads). Sizes join back from the tiny per-doc table.
+        val d = repShingles3(s, dir).where(col("doc_id") < 600)
+          .select(col("doc_id"),
+            array_distinct(transform(col("sh"),
+              g => graft.functions.SketchFunctions.hash60(g))).as("sh"))
+        val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
+        val ex = d.select(col("doc_id"), explode(col("sh")).as("hsh"))
+        val pairs = ex.as("x").join(ex.as("y"),
+            col("x.hsh") === col("y.hsh") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(broadcast(sizes.select(col("doc_id").as("id1"), col("sz").as("s1"))), Seq("id1"))
+          .join(broadcast(sizes.select(col("doc_id").as("id2"), col("sz").as("s2"))), Seq("id2"))
           .select(col("id1"), col("id2"), col("inter"),
-            (size(col("sa")) + size(col("sb")) - col("inter")).cast("long").as("un"))
+            (col("s1") + col("s2") - col("inter")).cast("long").as("un"))
         val bands = reps
           .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
         val cand = graft.operators.LshBlocking
@@ -450,9 +495,19 @@ object QueriesText {
       (s, dir) => {
         val toks = T(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
+        // materialize the postings once per run (r11): SparseSimJoin fans
+        // `posts` into THREE branches (df aggregation, rare-term join,
+        // vector packing) and the baseline plan re-ran the tokenize +
+        // trigram explode + (doc,term) aggregation for each (12 parquet
+        // scans, zero runtime reuse). localCheckpoint is eager, so the
+        // pass is computed inside this run — per-invocation, nothing is
+        // memoized across runs — and the three branches read the
+        // materialized rows (guide §3.3: materialise an intermediate to
+        // stop re-computation / truncate the plan).
         val posts = toks
           .select(col("doc_id"), explode(wordGrams(col("toks"), 3)).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         graft.operators.SparseSimJoin(posts, "doc_id", "term", "tf",
           maxDf = 8, minCosine = 0.05)
       },
@@ -484,12 +539,11 @@ object QueriesText {
     // generation; both directions come from one intersection.
     Q("q_containment",
       (s, dir) => {
-        val d = repSig(s, dir).select(col("doc_id"), col("sig"),
-          shinglesUdf(col("text"), lit(3)).as("sh"))
-        val bands = d.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
-        val cand = graft.operators.LshBlocking
-          .candidatePairs(bands, "band", "h", "doc_id", cap = 64)
-          .distinct()
+        // shared blocking output (candPairs64) + shared shingle table
+        // (repShingles3) — one banded self-join and one shingle pass per
+        // session across the three pair verifiers
+        val d = repShingles3(s, dir)
+        val cand = candPairs64(s, dir)
         cand
           .join(d.select(col("doc_id").as("id1"), col("sh").as("sa")), Seq("id1"))
           .join(d.select(col("doc_id").as("id2"), col("sh").as("sb")), Seq("id2"))
@@ -2266,7 +2320,7 @@ object QueriesText {
     Q("q_bloom_decontaminate",
       (s, dir) => {
         val mbits = 65536; val k = 3
-        val gd = grams5(s, dir).select(col("doc_id"), md5(col("g")).as("gh")).distinct()
+        val gd = grams5h(s, dir)
         val ev = gd.where(col("doc_id") % 7 === 0).select(col("gh"))
         val bits = graft.functions.SketchFunctions.bloomBuild(ev, col("gh"), mbits, k)
         gd.where(col("doc_id") % 7 =!= 0)
@@ -2490,14 +2544,15 @@ object QueriesText {
       (s, dir) => {
         // exact dups collapsed + 64-cap like every LSH band join (the DP is
         // the expensive verifier — the cap bounds how many times it runs
-        // per bucket); the 64-char prefixes ride through the band join
-        // (cheap), unlike q_ngram_jaccard's heavy shingle arrays
-        val bands = repSig(s, dir)
-          .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"),
-            posexplode(col("sig")).as(Seq("band", "h")))
-        graft.operators.LshBlocking
-          .candidatePairs(bands, "band", "h", "doc_id", cap = 64, carry = Seq("prefix"))
-          .distinct()
+        // per bucket); candidates come from the shared candPairs64 table
+        // (one blocking pass per session) with the 64-char prefixes joined
+        // back from the cached rep table — identical pair set and prefix
+        // values as the previous carry-through-the-band-join form
+        val pref = repSig(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"))
+        candPairs64(s, dir)
+          .join(pref.select(col("doc_id").as("id1"), col("prefix").as("prefix_1")), Seq("id1"))
+          .join(pref.select(col("doc_id").as("id2"), col("prefix").as("prefix_2")), Seq("id2"))
           // equal-prefix short-circuit (distinct docs can still share the
           // first 64 chars) + bounded DP via the threshold form (O(k·n),
           // -1 when above) — both value-preserving vs plain levenshtein<=20
@@ -3218,7 +3273,7 @@ object QueriesText {
     // which is exactly how train/test-overlap scrubs run in production.
     Q("q_decontaminate",
       (s, dir) => {
-        val gd = grams5(s, dir).select(col("doc_id"), md5(col("g")).as("gh")).distinct()
+        val gd = grams5h(s, dir)
         val ev = gd.where(col("doc_id") % 7 === 0).select("gh").distinct()
         gd.where(col("doc_id") % 7 =!= 0)
           .join(broadcast(ev), Seq("gh"), "left_semi")
@@ -3240,7 +3295,7 @@ object QueriesText {
     // eval set and broadcasts back for the per-doc count.
     Q("q_contamination",
       (s, dir) => {
-        val gd = grams5(s, dir).select(col("doc_id"), md5(col("g")).as("gh")).distinct()
+        val gd = grams5h(s, dir)
         val ev = gd.where(col("doc_id") % 7 === 0)
         val evGh = ev.select("gh").distinct()
         val hitGh = gd.where(col("doc_id") % 7 =!= 0).select("gh")
