@@ -39,4 +39,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // on identical code). 32 MB regions make the slice rows ordinary
   // allocations; a real deployment running volume ops would set the same.
   "-XX:G1HeapRegionSize=32m",
+  // The 244-query sweep generates thousands of codegen classes; at the
+  // default 240m ReservedCodeCacheSize the 'profiled nmethods' segment
+  // saturates (r11 measured 74/116 MB used after only 30 queries) and C2
+  // promotion stalls — the r10 pointwise_add bimodality (reps ~1.0 s then
+  // ~0.14 s on identical plans, ONLY inside the polluted suite; isolated
+  // runs are flat at ~0.15 s) is hot codegen stuck at C1/profiled tier
+  // until the sweeper frees room. Standard sizing for any long-lived
+  // Spark JVM that runs hundreds of distinct queries.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -224,23 +224,20 @@ object SketchFunctions {
     * FP-exact cross-engine. */
   def sampledQuantiles(df: DataFrame, key: Column, value: Column, k: Int,
                        groupCols: Seq[Column], ps: Seq[Double]): DataFrame = {
-    // KMV row selection through the bounded-heap aggregate (TopKAgg)
-    // rather than row_number over a window: the window form needed every
-    // map partition SORTED (r11 baseline plan: Sort + WindowGroupLimit
-    // over the full input before the exchange — the sort of ~600k rows
-    // was the whole query cost), while the heap keeps the k smallest
-    // hashes per group in O(n log k) with ordinary partial aggregation,
-    // and the exchange carries only O(groups·k) sampled values either
-    // way. Selection is identical: qh is a 60-bit hash of a caller-unique
-    // key, so the k smallest (qh, tie) rows are the k smallest qh rows the
-    // window picked. The sampled values then re-aggregate through the same
-    // exact `percentile` expression — same sample, same interpolation,
-    // bit-identical output.
+    // ATTEMPTED AND REVERTED (r11): selecting the sample through the
+    // bounded-heap TopKAgg instead of this window. First-principles said
+    // the heap wins (no map-side sort, O(n log k)); measured it LOST
+    // 1.9 s -> 5.3 s steady at sf0.1/32c — the per-row
+    // TypedImperativeAggregate cost (UnsafeProjection round-trip + a
+    // long->UTF8String tie allocation per input row) dwarfs the radix
+    // sort of 600 k longs that WindowGroupLimit actually pays, and the
+    // exchange was already bounded to groups*k by the partial limit.
+    // Guide §1.1's warning ("a fresh implementation of the ideal plan is
+    // usually slower at first") applied verbatim; the window form stays.
+    val w = Window.partitionBy(groupCols: _*).orderBy(col("qh"))
     df.select(groupCols :+ hash60(key).as("qh") :+ value.as("v"): _*)
-      .groupBy(groupCols: _*)
-      .agg(graft.exprs.TopKAgg.topK(
-        col("qh"), col("qh").cast("string"), col("v"), k).as("sample"))
-      .select(groupCols :+ explode(col("sample")).as("v"): _*)
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= k)
       .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n_sample"),
         percentile(col("v"), typedlit(ps)).as("qs"))

@@ -507,7 +507,6 @@ object QueriesText {
         val posts = toks
           .select(col("doc_id"), explode(wordGrams(col("toks"), 3)).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
         graft.operators.SparseSimJoin(posts, "doc_id", "term", "tf",
           maxDf = 8, minCosine = 0.05)
       },
