@@ -701,7 +701,7 @@ object Bench {
     // bytes for the LSH/pack/halo pipelines) rides along in the full
     // artifact when present — it is run per-round by hand, not per-bench
     val soak = {
-      val p = Seq("SOAK_r8.json", "SOAK_r7.json", "SOAK_r6.json")
+      val p = Seq("SOAK_r11_x1000.json", "SOAK_r10_x100.json", "SOAK_r8.json")
         .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
       p.map(f => "," + "\"soak\":" +
         new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim).getOrElse("")

@@ -473,6 +473,53 @@ object TextFunctions {
           array_join(slice(t, st, coalesce(get(cps, k + 1), n + 1) - st), " "))), 1)
     }), 1)
 
+  /** Kernel twin of [[cdcChunks]] — byte-identical output, one tight JVM
+    * pass. The declarative form evaluates `polyHash31` by SPLITTING every
+    * 3-token gram into single-character strings and folding boxed longs
+    * over them; each token sits in three grams, so every character costs
+    * three 1-char String allocations plus a boxed-fold step (r11 measured
+    * the two CDC gates at 1.4–1.9 s apiece, dominated by this projection).
+    * Here the same `(h·31 + codepoint) mod 1e9+7` recurrence runs over
+    * `charAt` with primitive longs. Equality with the declarative form is
+    * pinned by CdcChunksSpec (`kernel == declarative` on random docs);
+    * both CDC gates stay oracle-gated. Same 100 TB shape: a stateless,
+    * deterministic row-local map. */
+  val cdcChunksUdf = org.apache.spark.sql.functions.udf {
+    (toks: Seq[String], modulus: Int) =>
+      if (toks == null) null
+      else {
+        val n = toks.length
+        val cuts = scala.collection.mutable.ArrayBuffer[Int](1)
+        var j = 1 // 1-based gram start; cuts only consider j <= n-3
+        while (j <= n - 3) {
+          var h = 0L
+          var t = j - 1
+          while (t <= j + 1) {
+            val s = toks(t)
+            var i = 0
+            while (i < s.length) { h = (h * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+            if (t < j + 1) h = (h * 31 + 32) % 1000000007L // the joining space
+            t += 1
+          }
+          if (h % modulus == 0) cuts += j + 3
+          j += 1
+        }
+        val out = new Array[String](cuts.length)
+        var k = 0
+        while (k < cuts.length) {
+          val st = cuts(k)
+          val end = if (k + 1 < cuts.length) cuts(k + 1) else n + 1
+          out(k) = toks.slice(st - 1, end - 1).mkString(" ")
+          k += 1
+        }
+        out: Seq[String]
+      }
+  }
+
+  /** [[cdcChunksUdf]] with the [[cdcChunks]] call shape. */
+  def cdcChunksKernel(toks: Column, modulus: Int = 4): Column =
+    cdcChunksUdf(toks, org.apache.spark.sql.functions.lit(modulus))
+
   final case class WinnowFp(pos: Long, h: Long)
 
   /** Winnow selection kernel: (1-based pos, 60-bit md5 hash) of each

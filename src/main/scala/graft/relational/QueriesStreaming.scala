@@ -430,15 +430,15 @@ object QueriesStreaming {
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
         // the static side materializes ONCE before the stream starts —
         // stream-static joins re-plan the static subtree every micro-batch,
-        // so an unpersisted eval set would re-explode per batch
-        // tokens pre-project as a column on BOTH sides — wordGrams' lambda
-        // references the array from inside `transform`, where an inline
-        // split re-evaluates per element (measured 4-5x on this drain; see
-        // TextFunctions.wordGrams)
-        val evalGrams = T(s, dir, "documents").where(col("doc_id") % 7 === 0)
-          .select(tokens(col("text")).as("toks"))
-          .select(explode(wordGrams(col("toks"), 5)).as("g"))
-          .select(md5(col("g")).as("gh")).distinct()
+        // so an unpersisted eval set would re-explode per batch. r11: the
+        // eval gram set derives from the session-shared grams5h table
+        // (identical distinct-gh-per-doc semantics, built once for the
+        // three batch decontamination gates) instead of re-tokenizing the
+        // eval slice here; the derived distinct still persists so the
+        // per-micro-batch re-plan reads a materialized set.
+        val evalGrams = QueriesText.grams5h(s, dir)
+          .where(col("doc_id") % 7 === 0)
+          .select(col("gh")).distinct()
           .persist()
         try {
           // a doc's grams dedup INSIDE the row (array_distinct before the

@@ -168,7 +168,7 @@ object QueriesText {
   // report) derive identically from grams5 (r11: each previously re-ran
   // the md5 + distinct shuffle over the full gram stream; one materialized
   // table per session, the SharedInputs contract).
-  private def grams5h(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[relational] def grams5h(s: org.apache.spark.sql.SparkSession, dir: String) =
     SharedInputs(s, dir, "grams5h") {
       grams5(s, dir).select(col("doc_id"), md5(col("g")).as("gh")).distinct()
     }
@@ -3436,7 +3436,7 @@ object QueriesText {
         val toksDf = T(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
         toksDf
-          .select(col("doc_id"), posexplode(cdcChunks(col("toks"))).as(Seq("k0", "chunk")))
+          .select(col("doc_id"), posexplode(cdcChunksKernel(col("toks"))).as(Seq("k0", "chunk")))
           .select(col("doc_id"), (col("k0") + 1).cast("long").as("k"),
             col("chunk"), md5(col("chunk")).as("chunk_h"))
       },
@@ -3469,7 +3469,7 @@ object QueriesText {
         val toksDf = T(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
         val chunks = toksDf
-          .select(col("doc_id"), posexplode(cdcChunks(col("toks"))).as(Seq("k0", "chunk")))
+          .select(col("doc_id"), posexplode(cdcChunksKernel(col("toks"))).as(Seq("k0", "chunk")))
           .select(col("doc_id"), (col("k0") + 1).cast("long").as("k"), col("chunk"))
         val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("k"))
         chunks

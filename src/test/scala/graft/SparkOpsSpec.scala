@@ -1181,6 +1181,23 @@ class CdcChunksSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel form is byte-identical to the declarative form") {
+    // r11: the CDC gates run the tight-loop kernel (cdcChunksKernel); the
+    // declarative expression stays the specification — pin equality on
+    // random docs including the degenerate sizes (0..4 tokens, where cut
+    // candidates vanish and a single whole-doc chunk must come back)
+    import graft.functions.TextFunctions.cdcChunksKernel
+    val rng = new scala.util.Random(23)
+    val words = Vector("a", "bb", "ccc", "dd", "e", "ffff", "g", "hh", "i0", "j12")
+    val docs = (0 to 4).map(n => Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" ")) ++
+      (1 to 30).map(_ => Seq.fill(1 + rng.nextInt(80))(words(rng.nextInt(words.size))).mkString(" "))
+    val df = docs.toDF("text").select(split(col("text"), " ").as("toks"))
+    val both = df.select(cdcChunks(col("toks")).as("a"),
+        cdcChunksKernel(col("toks")).as("b"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (a, b) => assert(a == b, s"kernel diverged: $a vs $b") }
+  }
+
   test("boundaries are content-local: chunks far from an edit are unchanged") {
     // CDC's contract vs fixed-stride chunking: inserting a token early in
     // the doc must leave the trailing chunks' TEXT identical (only their
