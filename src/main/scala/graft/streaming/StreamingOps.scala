@@ -213,6 +213,17 @@ object StreamingOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       val q = ckpt.fold(w0)(c => w0.option("checkpointLocation", c)).start()
       q.awaitTermination()
+      // drain-floor instrument (r11, opt-in): per-micro-batch duration
+      // breakdown from StreamingQueryProgress, so "where does the ~1 s
+      // per drain go" is answerable from a log instead of argued —
+      // addBatch vs triggerExecution vs state-store commit etc.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")) {
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[drain] $table batch=${p.batchId} " +
+            s"durationMs=${p.durationMs} rows=${p.numInputRows} " +
+            s"stateOps=${p.stateOperators.length}")
+        }
+      }
     } finally {
       ckpt.foreach { c =>
         try {
