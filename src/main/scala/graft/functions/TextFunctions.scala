@@ -483,7 +483,15 @@ object TextFunctions {
     * `charAt` with primitive longs. Equality with the declarative form is
     * pinned by CdcChunksSpec (`kernel == declarative` on random docs);
     * both CDC gates stay oracle-gated. Same 100 TB shape: a stateless,
-    * deterministic row-local map. */
+    * deterministic row-local map.
+    *
+    * ASCII precondition (ADVICE r11): byte-identity holds for ASCII
+    * tokens — this kernel folds UTF-16 code units via `charAt`, while the
+    * declarative form folds `ascii()` (the first UTF-8 BYTE) per split
+    * character, so the two diverge on any non-ASCII text (the
+    * q_rolling_hash convention). The gate corpus is ASCII by contract;
+    * strip or normalize non-ASCII identically in both forms before
+    * widening that contract. */
   val cdcChunksUdf = org.apache.spark.sql.functions.udf {
     (toks: Seq[String], modulus: Int) =>
       if (toks == null) null

@@ -69,7 +69,17 @@ object TriangleCount {
       .select(col("x.u").as("p"), col("x.v").as("v"), col("y.v").as("w"))
     val tri = wedges.join(o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
       .select(col("p"), col("v"), col("w"))
-    tri.select(explode(array(col("p"), col("v"), col("w"))).as("u"))
+    // materialize the (small, O(triangle-vertices)) result so the two
+    // edge-scale persists can be released HERE instead of leaking for the
+    // session lifetime (r11 verdict item 4 — GraphCC's explicit-release
+    // policy): repeated triangleCount calls no longer accumulate cached
+    // edge lists; only the result frame stays cached while referenced.
+    val res = tri.select(explode(array(col("p"), col("v"), col("w"))).as("u"))
       .groupBy("u").agg(count(lit(1)).as("n_tri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    und.unpersist(blocking = false)
+    o.unpersist(blocking = false)
+    res
   }
 }

@@ -18,6 +18,14 @@ import graft.kernels.ZoomKernel
   * weight association `(1.0 * w0 * w1 * w2)` — results are bit-identical
   * to the single-row kernel (VolumeZoomSpec asserts exact equality), the
   * same contract the 2-D [[TiledZoom]] holds.
+  *
+  * Output-buffer reuse (r12, guide §5): both emitters write each output
+  * row into a PER-GROUP reused buffer — valid because every SQL-surface
+  * consumer (toDF, collect, groupByKey/stitch) copies the row into an
+  * UnsafeRow before the producing iterator advances. A caller that chains
+  * a TYPED operator which buffers raw `ZSlice`/`ZStrip` objects across
+  * elements (e.g. `mapPartitions(_.toArray...)` fused directly onto this
+  * Dataset) must copy `data` first.
   */
 object VolumeZoom {
 
@@ -95,8 +103,12 @@ object VolumeZoom {
         val bySid = it.map(p => p.sid -> p.data).toMap
         val oLo = st * effStripe
         val oHi = math.min(oLo + effStripe, n0)
+        // one reused output buffer per group (all slices are n1·n2) — see
+        // fillRows' reuse contract: the downstream serializer copies each
+        // slice into an UnsafeRow before the iterator advances.
+        val buf = new Array[Double](n1 * n2)
         (oLo until oHi).iterator.map { os =>
-          ZSlice(id, os, fillRows(bySid, os, 0, n1, n1, n2, d2, order, t0, t1, t2))
+          ZSlice(id, os, fillRows(bySid, os, 0, n1, n1, n2, d2, order, t0, t1, t2, buf))
         }
     }
   }
@@ -109,8 +121,15 @@ object VolumeZoom {
   private def fillRows(bySid: Map[Int, Array[Double]], os: Int, rLo: Int, rHi: Int,
                        n1: Int, n2: Int, d2: Int, order: Int,
                        t0: ZoomKernel.AxisTable, t1: ZoomKernel.AxisTable,
-                       t2: ZoomKernel.AxisTable): Array[Double] = {
-    val out = new Array[Double]((rHi - rLo) * n2)
+                       t2: ZoomKernel.AxisTable,
+                       buf: Array[Double] = null): Array[Double] = {
+    // `buf` (when provided, exactly (rHi-rLo)*n2 long) is REUSED across
+    // emissions: the strip emitter's output iterator is consumed by
+    // SerializeFromObject, which copies the array into an UnsafeRow before
+    // the next element is produced, so a shared buffer is never observed
+    // twice. Cuts per-rep allocation at the 512³ bench shape from the full
+    // 8.6 GiB output volume to O(strip) — the r11-verdict GC-debt fix.
+    val out = if (buf != null) buf else new Array[Double]((rHi - rLo) * n2)
     var p = 0
     if (order == 0) {
       val src = bySid(t0.nr(os))
@@ -192,13 +211,19 @@ object VolumeZoom {
         val bySid = it.map(p => p.sid -> p.data).toMap
         val oLo = st * effStripe
         val oHi = math.min(oLo + effStripe, n0)
+        // one buffer per strip LENGTH (full-width strips plus at most one
+        // shorter remainder), reused across every emission in the group —
+        // see fillRows' reuse contract. The downstream serializer copies
+        // each strip before the iterator advances.
+        val bufs = scala.collection.mutable.Map.empty[Int, Array[Double]]
         for {
           os <- (oLo until oHi).iterator
           sp <- (0 until nStrips).iterator
         } yield {
           val rLo = sp * stripRows
           val rHi = math.min(rLo + stripRows, n1)
-          ZStrip(id, os, sp, fillRows(bySid, os, rLo, rHi, n1, n2, d2, order, t0, t1, t2))
+          val buf = bufs.getOrElseUpdate((rHi - rLo) * n2, new Array[Double]((rHi - rLo) * n2))
+          ZStrip(id, os, sp, fillRows(bySid, os, rLo, rHi, n1, n2, d2, order, t0, t1, t2, buf))
         }
     }
   }
