@@ -24,11 +24,24 @@ import graft.operators.TiledStencil.Tile
   *
   * Boolean masks; connectivity 1..ndim in both the 2-D and 3-D forms
   * (conn-1 merges via face keys, conn ≥ 2 via the shell-probe equi-join).
+  *
+  * r12 (guide §1.2 step 1 / §2.4): each tile is labeled ONCE — pixel rows
+  * and border/shell rows emit from a single kernel pass into one cached
+  * tagged frame (the r11 shape ran the union-find kernel and the tile
+  * source scan twice per query, once for pixels and once for borders).
+  * The result materializes eagerly and every intermediate cache is
+  * released before returning (the TriangleCount/GraphCC release policy);
+  * only the O(true pixels) result frame stays cached while referenced.
   */
 object DistributedLabel {
 
   final case class Px(g: Long, rep: Long)
   final case class Border(bkey: Long, pos: Int, side: Int, rep: Long)
+
+  // unified single-pass emission row: kind 0 = pixel (a = global index),
+  // kind 1 = border face cell (a = bkey, b = pos, c = side) or shell cell
+  // (a/b/c = global coordinates), always carrying the local component rep
+  private type Emit = (Int, Long, Long, Long, Long)
 
   /** Steps 3+4, shared by the 2-D and 3-D forms: min-label propagation to a
     * fixpoint over the representative graph, then scan-order densification.
@@ -52,9 +65,31 @@ object DistributedLabel {
     val roots = labels.values.distinct(spark.sparkContext.defaultParallelism)
       .sortBy(identity).zipWithIndex()
       .map { case (lbl, idx) => (lbl, idx + 1) }
-    localized.join(labels.toDF("rep", "lbl"), Seq("rep"))
+    val res = localized.join(labels.toDF("rep", "lbl"), Seq("rep"))
       .join(roots.toDF("lbl", "label"), Seq("lbl"))
       .select(col("g"), col("label").cast("long").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    labels.unpersist(blocking = false)
+    res
+  }
+
+  /** Runs the two-level scheme over a single-pass tagged emission frame:
+    * caches it, splits pixels from border/shell rows, builds `symEdges`
+    * with `edgesOf`, propagates, and releases every intermediate. */
+  private def run(emitted: Dataset[Emit],
+                  edgesOf: DataFrame => DataFrame)
+                 (implicit spark: SparkSession): DataFrame = {
+    val tagged = emitted.toDF("kind", "a", "b", "c", "rep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val localized = tagged.where(col("kind") === 0)
+      .select(col("a").as("g"), col("rep"))
+    val edges = edgesOf(tagged.where(col("kind") === 1))
+    val symEdges = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val res = propagateAndDensify(localized, symEdges)
+    tagged.unpersist(blocking = false)
+    res
   }
 
   /** Returns (global flat pixel index, label) for every true pixel.
@@ -68,89 +103,74 @@ object DistributedLabel {
     import spark.implicits._
     val cols = gridCols * ts
 
-    // 1. local labeling; emit (g, rep) per true pixel + border cells
-    val localized = tiles.flatMap { t =>
+    // ONE kernel pass per tile: pixel rows + (face-key or shell) rows
+    val emitted: Dataset[Emit] = tiles.flatMap { t =>
       val data = t.data.map(b => if (b) 1.0 else 0.0)
       val res = LabelKernel.label(data, Array(ts, ts), connectivity = connectivity)
-      // rep per local label = min global index
       val rep = scala.collection.mutable.Map.empty[Long, Long]
       var i = 0
       while (i < ts * ts) {
         val lb = res.labels(i)
         if (lb != 0) {
           val g = (t.ti.toLong * ts + i / ts) * cols + (t.tj.toLong * ts + i % ts)
-          if (!rep.contains(lb) || g < rep(lb)) rep(lb) = rep.get(lb).map(math.min(_, g)).getOrElse(g)
+          rep(lb) = rep.get(lb).map(math.min(_, g)).getOrElse(g)
         }
         i += 1
       }
-      (0 until ts * ts).flatMap { i =>
+      val px = (0 until ts * ts).iterator.flatMap { i =>
         val lb = res.labels(i)
         if (lb == 0) None
         else {
           val g = (t.ti.toLong * ts + i / ts) * cols + (t.tj.toLong * ts + i % ts)
-          Some(Px(g, rep(lb)))
+          Some((0, g, 0L, 0L, rep(lb)): Emit)
         }
       }
-    }.toDF("g", "rep").cache()
-
-    // 2. border edges: vertical boundaries between (ti,tj) and (ti,tj+1)
-    // keyed by (boundary id, row); horizontal analogously. Two sides with
-    // the same key and both true -> edge between reps.
-    val edges =
-      if (connectivity == 1) {
-        val borders = tiles.flatMap { t =>
-          val data = t.data.map(b => if (b) 1.0 else 0.0)
-          val res = LabelKernel.label(data, Array(ts, ts), connectivity = 1)
-          val rep = scala.collection.mutable.Map.empty[Long, Long]
-          for (i <- 0 until ts * ts; if res.labels(i) != 0) {
-            val g = (t.ti.toLong * ts + i / ts) * cols + (t.tj.toLong * ts + i % ts)
-            val lb = res.labels(i)
-            rep(lb) = rep.get(lb).map(math.min(_, g)).getOrElse(g)
-          }
-          def repAt(i: Int, j: Int): Option[Long] = {
-            val lb = res.labels(i * ts + j)
-            if (lb == 0) None else Some(rep(lb))
-          }
-          val out = scala.collection.mutable.ArrayBuffer.empty[Border]
+      def repAt(i: Int, j: Int): Option[Long] = {
+        val lb = res.labels(i * ts + j)
+        if (lb == 0) None else Some(rep(lb))
+      }
+      val border: Iterator[Emit] =
+        if (connectivity == 1) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Emit]
           // vertical boundary to the right: boundary id = (ti, tj) pair hashed
           for (i <- 0 until ts) {
             repAt(i, ts - 1).foreach { r =>
-              out += Border(((t.ti.toLong * gridCols + t.tj) << 1) | 0, i, 0, r) }
+              out += ((1, ((t.ti.toLong * gridCols + t.tj) << 1) | 0, i, 0L, r)) }
             if (t.tj > 0) repAt(i, 0).foreach { r =>
-              out += Border(((t.ti.toLong * gridCols + (t.tj - 1)) << 1) | 0, i, 1, r) }
+              out += ((1, ((t.ti.toLong * gridCols + (t.tj - 1)) << 1) | 0, i, 1L, r)) }
           }
           // horizontal boundary below
           for (j <- 0 until ts) {
             repAt(ts - 1, j).foreach { r =>
-              out += Border(((t.ti.toLong * gridCols + t.tj) << 1) | 1, j, 0, r) }
+              out += ((1, ((t.ti.toLong * gridCols + t.tj) << 1) | 1, j, 0L, r)) }
             if (t.ti > 0) repAt(0, j).foreach { r =>
-              out += Border((((t.ti - 1).toLong * gridCols + t.tj) << 1) | 1, j, 1, r) }
+              out += ((1, (((t.ti - 1).toLong * gridCols + t.tj) << 1) | 1, j, 1L, r)) }
           }
-          out
-        }.toDF("bkey", "pos", "side", "rep")
+          out.iterator
+        } else {
+          // conn-2 (8-adjacency): shell cells by global coordinates — a
+          // tile-corner cell can meet a diagonal tile's corner, which the
+          // face-key scheme cannot express
+          (for {
+            i <- (0 until ts).iterator; j <- (0 until ts).iterator
+            if i == 0 || i == ts - 1 || j == 0 || j == ts - 1
+            lb = res.labels(i * ts + j) if lb != 0
+          } yield ((1, t.ti.toLong * ts + i, t.tj.toLong * ts + j, 0L, rep(lb)): Emit))
+        }
+      px ++ border
+    }
+
+    def edgesOf(tagged: DataFrame): DataFrame =
+      if (connectivity == 1) {
+        val borders = tagged.select(col("a").as("bkey"), col("b").as("pos"),
+          col("c").as("side"), col("rep"))
         borders.where(col("side") === 0).as("a")
           .join(borders.where(col("side") === 1).as("b"), Seq("bkey", "pos"))
           .select(col("a.rep").as("src"), col("b.rep").as("dst"))
           .where(col("src") =!= col("dst"))
       } else {
-        // conn-2 (8-adjacency): shell-probe equi-join like the 3-D form —
-        // a tile-corner cell can meet a diagonal tile's corner, which the
-        // face-key scheme cannot express
         val (nR, nC) = (gridRows.toLong * ts, gridCols.toLong * ts)
-        val shell = tiles.flatMap { t =>
-          val data = t.data.map(b => if (b) 1.0 else 0.0)
-          val res = LabelKernel.label(data, Array(ts, ts), connectivity = connectivity)
-          val rep = scala.collection.mutable.Map.empty[Long, Long]
-          for (f <- 0 until ts * ts; if res.labels(f) != 0) {
-            val g = (t.ti.toLong * ts + f / ts) * cols + (t.tj.toLong * ts + f % ts)
-            rep(res.labels(f)) = rep.get(res.labels(f)).map(math.min(_, g)).getOrElse(g)
-          }
-          for {
-            i <- 0 until ts; j <- 0 until ts
-            if i == 0 || i == ts - 1 || j == 0 || j == ts - 1
-            lb = res.labels(i * ts + j) if lb != 0
-          } yield (t.ti.toLong * ts + i, t.tj.toLong * ts + j, rep(lb))
-        }.toDF("gi", "gj", "rep").cache()
+        val shell = tagged.select(col("a").as("gi"), col("b").as("gj"), col("rep"))
         val offsets = Seq(-1, 0, 1).flatMap(di => Seq(-1, 0, 1).map(dj => (di, dj)))
           .filter { case (di, dj) => di != 0 || dj != 0 }
         val probes = shell.crossJoin(broadcast(offsets.toDF("di", "dj")))
@@ -166,11 +186,8 @@ object DistributedLabel {
           .select(col("rep").as("src"), col("rep2").as("dst"))
           .where(col("src") =!= col("dst"))
       }
-    val symEdges = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
 
-    // 3+4. fixpoint propagation and scan-order densification
-    propagateAndDensify(localized, symEdges)
+    run(emitted, edgesOf)
   }
 
   import graft.operators.TiledStencil.Tile3
@@ -193,7 +210,7 @@ object DistributedLabel {
     import spark.implicits._
     val (d1, d2) = (grid(1) * ts, grid(2) * ts)
 
-    def localReps(t: Tile3): (graft.kernels.LabelKernel.Result, collection.Map[Long, Long]) = {
+    val emitted: Dataset[Emit] = tiles.flatMap { t =>
       val res = graft.kernels.LabelKernel.label(
         t.data.map(b => if (b) 1.0 else 0.0), Array(ts, ts, ts), connectivity = connectivity)
       val rep = scala.collection.mutable.Map.empty[Long, Long]
@@ -207,67 +224,66 @@ object DistributedLabel {
         }
         f += 1
       }
-      (res, rep)
-    }
-
-    val localized = tiles.flatMap { t =>
-      val (res, rep) = localReps(t)
-      (0 until ts * ts * ts).flatMap { f =>
+      val px = (0 until ts * ts * ts).iterator.flatMap { f =>
         val lb = res.labels(f)
         if (lb == 0) None
         else {
           val (i, j, k) = (f / (ts * ts), (f / ts) % ts, f % ts)
           val g = ((t.ti.toLong * ts + i) * d1 + (t.tj.toLong * ts + j)) * d2 + (t.tk.toLong * ts + k)
-          Some(Px3(g, rep(lb)))
+          Some((0, g, 0L, 0L, rep(lb)): Emit)
         }
       }
-    }.toDF("g", "rep").cache()
-
-    val edges =
-      if (connectivity == 1) {
-        val borders = tiles.flatMap { t =>
-          val (res, rep) = localReps(t)
-          def repAt(i: Int, j: Int, k: Int): Option[Long] = {
-            val lb = res.labels((i * ts + j) * ts + k)
-            if (lb == 0) None else Some(rep(lb))
-          }
+      def repAt(i: Int, j: Int, k: Int): Option[Long] = {
+        val lb = res.labels((i * ts + j) * ts + k)
+        if (lb == 0) None else Some(rep(lb))
+      }
+      val border: Iterator[Emit] =
+        if (connectivity == 1) {
           def faceKey(ti: Int, tj: Int, tk: Int, axis: Int): Long =
             (((ti.toLong * grid(1) + tj) * grid(2) + tk) * 3) + axis
-          val out = scala.collection.mutable.ArrayBuffer.empty[Border3]
+          val out = scala.collection.mutable.ArrayBuffer.empty[Emit]
           for (a <- 0 until ts; b <- 0 until ts) {
             val pos = a * ts + b
             // +i face of this tile vs -i face of tile below (axis 0)
-            repAt(ts - 1, a, b).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 0), pos, 0, r))
-            if (t.ti > 0) repAt(0, a, b).foreach(r => out += Border3(faceKey(t.ti - 1, t.tj, t.tk, 0), pos, 1, r))
+            repAt(ts - 1, a, b).foreach(r => out += ((1, faceKey(t.ti, t.tj, t.tk, 0), pos, 0L, r)))
+            if (t.ti > 0) repAt(0, a, b).foreach(r => out += ((1, faceKey(t.ti - 1, t.tj, t.tk, 0), pos, 1L, r)))
             // +j face (axis 1)
-            repAt(a, ts - 1, b).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 1), pos, 0, r))
-            if (t.tj > 0) repAt(a, 0, b).foreach(r => out += Border3(faceKey(t.ti, t.tj - 1, t.tk, 1), pos, 1, r))
+            repAt(a, ts - 1, b).foreach(r => out += ((1, faceKey(t.ti, t.tj, t.tk, 1), pos, 0L, r)))
+            if (t.tj > 0) repAt(a, 0, b).foreach(r => out += ((1, faceKey(t.ti, t.tj - 1, t.tk, 1), pos, 1L, r)))
             // +k face (axis 2)
-            repAt(a, b, ts - 1).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk, 2), pos, 0, r))
-            if (t.tk > 0) repAt(a, b, 0).foreach(r => out += Border3(faceKey(t.ti, t.tj, t.tk - 1, 2), pos, 1, r))
+            repAt(a, b, ts - 1).foreach(r => out += ((1, faceKey(t.ti, t.tj, t.tk, 2), pos, 0L, r)))
+            if (t.tk > 0) repAt(a, b, 0).foreach(r => out += ((1, faceKey(t.ti, t.tj, t.tk - 1, 2), pos, 1L, r)))
           }
-          out
-        }.toDF("bkey", "pos", "side", "rep")
+          out.iterator
+        } else {
+          // shell cells by global coordinates for the probe join below;
+          // cells adjacent WITHIN a tile share a local label already (the
+          // kernel ran at the same connectivity), so same-tile probes are
+          // filtered in edgesOf
+          (for {
+            i <- (0 until ts).iterator; j <- (0 until ts).iterator; k <- (0 until ts).iterator
+            if i == 0 || i == ts - 1 || j == 0 || j == ts - 1 || k == 0 || k == ts - 1
+            lb = res.labels((i * ts + j) * ts + k) if lb != 0
+          } yield ((1, t.ti.toLong * ts + i, t.tj.toLong * ts + j, t.tk.toLong * ts + k, rep(lb)): Emit))
+        }
+      px ++ border
+    }
+
+    def edgesOf(tagged: DataFrame): DataFrame =
+      if (connectivity == 1) {
+        val borders = tagged.select(col("a").as("bkey"), col("b").as("pos"),
+          col("c").as("side"), col("rep"))
         borders.where(col("side") === 0).as("a")
           .join(borders.where(col("side") === 1).as("b"), Seq("bkey", "pos"))
           .select(col("a.rep").as("src"), col("b.rep").as("dst"))
           .where(col("src") =!= col("dst"))
       } else {
-        // shell-probe exchange for edge/corner adjacency: true cells on the
-        // 1-deep shell of each tile, keyed by global coordinates. A probe is
-        // a shell cell's out-of-tile neighbor coordinate; the equi-join
-        // probe→shell materializes exactly the cross-tile adjacency. Cells
-        // adjacent WITHIN a tile share a local label already (the kernel ran
-        // at the same connectivity), so same-tile probes are filtered.
+        // shell-probe exchange for edge/corner adjacency: a probe is a
+        // shell cell's out-of-tile neighbor coordinate; the equi-join
+        // probe→shell materializes exactly the cross-tile adjacency.
         val (nD0, nD1, nD2) = (grid(0).toLong * ts, grid(1).toLong * ts, grid(2).toLong * ts)
-        val shell = tiles.flatMap { t =>
-          val (res, rep) = localReps(t)
-          for {
-            i <- 0 until ts; j <- 0 until ts; k <- 0 until ts
-            if i == 0 || i == ts - 1 || j == 0 || j == ts - 1 || k == 0 || k == ts - 1
-            lb = res.labels((i * ts + j) * ts + k) if lb != 0
-          } yield (t.ti.toLong * ts + i, t.tj.toLong * ts + j, t.tk.toLong * ts + k, rep(lb))
-        }.toDF("gi", "gj", "gk", "rep").cache()
+        val shell = tagged.select(col("a").as("gi"), col("b").as("gj"),
+          col("c").as("gk"), col("rep"))
         val offsets = for {
           di <- -1 to 1; dj <- -1 to 1; dk <- -1 to 1
           m = math.abs(di) + math.abs(dj) + math.abs(dk) if m >= 1 && m <= connectivity
@@ -289,9 +305,7 @@ object DistributedLabel {
           .select(col("rep").as("src"), col("rep2").as("dst"))
           .where(col("src") =!= col("dst"))
       }
-    val symEdges = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
 
-    propagateAndDensify(localized, symEdges)
+    run(emitted, edgesOf)
   }
 }

@@ -66,7 +66,13 @@ object QueriesStreaming {
               col("b_ts") >= col("a_ts") &&
               col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
           .select(col("a_user").as("user_id"), col("a_id"), col("b_id"))
-        StreamingOps.runAvailableNow(joined, "q_stream_join", outputMode = "append")
+        // inner join: every match emits in the data batch itself; the
+        // trailing no-data micro-batch would only evict join state this
+        // throwaway drain never reuses (~1 s of the gate, measured via
+        // SPARK_GRAFT_STREAM_DEBUG) — skip it. An OUTER stream-stream
+        // join MUST keep it (null-side rows emit on watermark advance).
+        StreamingOps.runAvailableNow(joined, "q_stream_join",
+          outputMode = "append", noDataBatch = false)
       },
       Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
              |FROM events a JOIN events b
@@ -193,7 +199,18 @@ object QueriesStreaming {
         val schema = T.rawSchema(s, dir, "documents")
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // guide §2.5 unsplittable input: the gate fixture is ONE parquet
+        // row group, so without this exchange the md5-per-shingle minhash
+        // of every document runs in a single scan task regardless of core
+        // count (r11 measured this gate at 12.3 s on 8 cores, the heaviest
+        // query in the suite). Hash-repartition the raw docs across the
+        // session's cores BEFORE the signature projection — a few MB of
+        // text shuffled so the dominant per-row work parallelizes; at
+        // production scale the source has many row groups and the exchange
+        // cost stays O(input). Deterministic key (doc_id), not round-robin,
+        // so task retries replay identically.
         val agg = src
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             graft.functions.TextFunctions.minhashSigUdf(col("text"), lit(4), lit(3)).as("sig"))
           .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
@@ -311,6 +328,12 @@ object QueriesStreaming {
         val schema = T.rawSchema(s, dir, "events")
         val src = T.normTs(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir))
+        // repartition-after-read ATTEMPTED AND REVERTED here and on
+        // q_stream_window (r12, repeating r11's blanket A/B per-gate): the
+        // events gates' map-side work (cast + project) is trivial, so the
+        // added exchange of 100k raw rows costs more than it parallelizes
+        // (session 1.78→2.21 s, window 1.51→1.57 s isolated at 32c). The
+        // heavy DOCUMENT gates keep it — see q_stream_lsh_dedup.
         val agg = src
           .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
           .withWatermark("tsc", "0 seconds")
@@ -378,6 +401,7 @@ object QueriesStreaming {
         // HOF lambdas below, an inline expression re-evaluates per element
         // (the documented wordGrams trap), an attribute read is free
         val agg = src
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("lang"), tokens(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .withColumn("bgs", graft.functions.TextFunctions.wordGrams(col("toks"), 2))
@@ -445,6 +469,7 @@ object QueriesStreaming {
           // explode), so the aggregation is a plain codegen'd count instead
           // of a collect_set object-hash state
           val agg = src.where(col("doc_id") % 7 =!= 0)
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
             .select(col("doc_id"), tokens(col("text")).as("toks"))
             .select(col("doc_id"),
               explode(array_distinct(wordGrams(col("toks"), 5))).as("g"))
@@ -508,7 +533,15 @@ object QueriesStreaming {
         val schema = T.rawSchema(s, dir, "documents")
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        val toks = src.select(explode(
+        // §2.5 unsplittable input (the q_stream_lsh_dedup note): the
+        // split+explode of every document otherwise runs in the single
+        // scan task of the one-row-group fixture — r11's repartition A/B
+        // already showed this gate (the heaviest per-row document gate)
+        // gaining 3.9→2.5 s cold while lighter gates lost; applied here
+        // per-gate instead of blanket.
+        val toks = src
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(explode(
           filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
         val sketch = graft.functions.SketchFunctions.cmsBuild(toks, col("term"), 4, 256)
         val drained = StreamingOps.runAvailableNow(sketch, "q_stream_cms")

@@ -47,9 +47,20 @@ object QueriesText {
   // tokenization is the dominant cost and both tf-idf and BM25 fan the
   // same stream into several aggregation branches, so it is persisted
   // once per session like the grid inputs
+  // guide §2.5 unsplittable input (r12): the documents fixture is ONE
+  // parquet row group, so a scan-stage explode runs in a single task at
+  // any core count — and a table cached straight off it persists as ONE
+  // partition, serializing every consumer's read too. Spreading the docs
+  // across the session's cores BEFORE the heavy per-row work fixes both;
+  // at production scale the source splits natively and this exchange is
+  // O(input) against an explode that is strictly larger.
+  private def spreadDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    T(s, dir, "documents").repartition(
+      s.sparkContext.defaultParallelism, col("doc_id"))
+
   private def docTokens(s: org.apache.spark.sql.SparkSession, dir: String) =
     SharedInputs(s, dir, "docTokens") {
-      T(s, dir, "documents").select(col("doc_id"),
+      spreadDocs(s, dir).select(col("doc_id"),
         explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
     }
 
@@ -161,8 +172,9 @@ object QueriesText {
     SharedInputs(s, dir, "grams5") {
       // tokens materialize as a column first — wordGrams' lambda references
       // the array from inside `transform`, where an inline split would
-      // re-evaluate per element (see TextFunctions.wordGrams)
-      T(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("toks"))
+      // re-evaluate per element (see TextFunctions.wordGrams); spreadDocs
+      // parallelizes the explode and the cached table's partitioning
+      spreadDocs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(wordGrams(col("toks"), 5)).as("g"))
     }
 
@@ -496,6 +508,12 @@ object QueriesText {
     // operators.SparseSimJoin for the 100 TB shape (df² per-term bound).
     Q("q_sparse_cosine",
       (s, dir) => {
+        // spreadDocs ATTEMPTED AND REVERTED (r12): repartitioning the docs
+        // before the trigram explode — the §2.5 fix that pays off for
+        // q_simhash_pairs — measured a 3-4x LOSS here (2.6 → 7.5/10.2 s,
+        // two runs): the extra exchange under SparseSimJoin's three-branch
+        // fan-out defeats the runtime shuffle-stage reuse that currently
+        // deduplicates the explode+groupBy subtree across branches.
         val toks = T(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
         // ATTEMPTED AND REVERTED (r11): an eager localCheckpoint on
@@ -592,7 +610,9 @@ object QueriesText {
     // filter then keeps true near-dups. Integer-exact on both engines.
     Q("q_simhash_pairs",
       (s, dir) => {
-        val sh = T(s, dir, "documents")
+        // spreadDocs (§2.5): one md5 per token per doc otherwise runs in
+        // the single scan task of the one-row-group fixture
+        val sh = spreadDocs(s, dir)
           .select(col("doc_id"), simhash16Udf(col("text")).as("sh"))
         val bands = sh.select(col("doc_id"), col("sh"),
           explode(array(

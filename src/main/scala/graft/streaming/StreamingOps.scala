@@ -176,7 +176,8 @@ object StreamingOps {
     * watermark are emitted — the oracle mirrors that closure rule.
     */
   def runAvailableNow(stream: DataFrame, name: String,
-                      outputMode: String = "complete"): DataFrame = {
+                      outputMode: String = "complete",
+                      noDataBatch: Boolean = true): DataFrame = {
     val spark = stream.sparkSession
     val table = s"${name}_${runSeq.incrementAndGet()}"
     // Stateful operators allocate one state-store instance per shuffle
@@ -190,9 +191,13 @@ object StreamingOps {
     // complete/update drains emit their full/touched result in the data
     // batch itself; the trailing no-data micro-batch exists to advance the
     // watermark so APPEND-mode aggregations can finalize — skip it for the
-    // modes that don't need it (one full state round saved per drain)
+    // modes that don't need it (one full state round saved per drain).
+    // `noDataBatch = false` lets an APPEND-mode caller opt out too when
+    // its rows provably don't depend on the final watermark advance (the
+    // inner stream-stream join: matches emit in the data batch; the
+    // trailing batch only evicts state the drain is about to discard).
     val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    if (outputMode != "append")
+    if (outputMode != "append" || !noDataBatch)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // memory-sink drains are a verification harness: their checkpoint is
     // throwaway, so keep the per-batch offset/commit/state-delta writes
