@@ -134,6 +134,12 @@ object Bench {
     // inputs explicitly, so clearing here changes nothing they measure.
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // settle the teardown before the first timed op (the vz512 precedent,
+    // applied at the section boundary): the sweep's dropped caches
+    // otherwise collect DURING the opening zoom attempts — this round's
+    // baseline published zoom_o0 at 0.44 s with 330 ms GC in every rep,
+    // 6x its steady state, purely from sweep garbage.
+    System.gc(); Thread.sleep(400); System.gc(); Thread.sleep(400)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
