@@ -235,6 +235,30 @@ class DistributedLabelSpec extends AnyFunSuite {
       .select("label").distinct().collect().map(_.getLong(0))
     assert(labels.length == 1 && labels(0) == 1L)
   }
+
+  test("intermediate caches are released; only the result frame stays persisted") {
+    // r12 release policy: repeated labeling must not accumulate cached
+    // RDDs for the session lifetime (the r11 shape leaked the pixel frame
+    // and, at conn >= 2, the shell frame per call). The result itself is
+    // persisted by contract (it materializes eagerly) — so after N calls
+    // exactly N result-backing entries may remain, which callers release
+    // by unpersisting the returned frame.
+    val rng = new scala.util.Random(3)
+    val (rows, cols, ts) = (32, 32, 16)
+    val mask = Array.fill(rows * cols)(rng.nextInt(3) > 0)
+    val tiles = TiledStencil.tile(mask, rows, cols, ts).toDS()
+    def persistedCount = spark.sparkContext.getPersistentRDDs.size
+    val before = persistedCount
+    val res1 = DistributedLabel(tiles, ts, rows / ts, cols / ts, connectivity = 2)
+    val res2 = DistributedLabel(tiles, ts, rows / ts, cols / ts, connectivity = 2)
+    res1.count(); res2.count()
+    val after = persistedCount
+    assert(after - before <= 2,
+      s"expected at most the two result frames to stay cached, " +
+        s"but $before -> $after persisted RDDs")
+    res1.unpersist(blocking = true)
+    res2.unpersist(blocking = true)
+  }
 }
 
 class DistributedEdtSpec extends AnyFunSuite {

@@ -1029,6 +1029,24 @@ class TriangleCountSpec extends AnyFunSuite {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(tri(g) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("edge-scale persists are released; only the result frame stays cached") {
+    // r12 release policy (r11 verdict item 4): each call used to leak its
+    // `und` and `o` MEMORY_AND_DISK caches for the session lifetime. Now
+    // only the small materialized result may remain per call, and the
+    // caller can release it by unpersisting the returned frame.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    def persistedCount = spark.sparkContext.getPersistentRDDs.size
+    val before = persistedCount
+    val r1 = graft.operators.TriangleCount(g.toDF("src", "dst"), "src", "dst")
+    val r2 = graft.operators.TriangleCount(g.toDF("src", "dst"), "src", "dst")
+    r1.count(); r2.count()
+    val after = persistedCount
+    assert(after - before <= 2,
+      s"expected at most the two result frames cached, but $before -> $after")
+    r1.unpersist(blocking = true)
+    r2.unpersist(blocking = true)
+  }
 }
 
 class KCoreSpec extends AnyFunSuite {
